@@ -1,0 +1,182 @@
+"""FrontendConfig — the single frozen config object for the whole chain.
+
+Every knob in SURVEY.md Appendix C (the convention matrix) is an explicit
+enum here, because the 1e-4 acceptance gate lives or dies on these
+conventions (e.g. the psf-quantized vs TF-continuous mel matrices differ by
+0.24 elementwise — SURVEY.md Appendix A).
+
+The config is hashable and is passed as a static argument to jitted
+functions; all derived constants (frame length, filterbank matrix, DCT
+matrix, window, lifter) are computed on host in float64 and cast once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+# ---------------------------------------------------------------------------
+# Enum values (strings keep the dataclass trivially hashable/serializable).
+# ---------------------------------------------------------------------------
+
+WINDOWS = ("hamming_sym", "hamming_periodic", "hann_sym", "hann_periodic", "rect")
+MEL_VARIANTS = ("psf_quantized", "tf_continuous")
+LOG_KINDS = ("ln", "ln_stab", "db")
+DCT_NORMS = ("ortho", "htk")
+FRAME_TAILS = ("pad", "drop")
+CMVN_MODES = ("off", "utterance", "global")
+FEATURES = ("mfcc", "logmel")
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Complete specification of one feature-extraction chain.
+
+    Defaults are the psf/tutorial lineage the reference belongs to
+    (SURVEY.md Appendix C, column 2): 16 kHz, 25 ms / 10 ms frames, 512-pt
+    FFT, 26 mel bins, 13 cepstra, preemph 0.97, symmetric Hamming window,
+    bin-quantized mel triangles, natural log, ortho DCT, lifter 22, c0
+    replaced by log frame energy.
+    """
+
+    # signal
+    sample_rate: int = 16000
+    input_sample_rate: Optional[int] = None  # if set != sample_rate: resample
+    # framing
+    win_len_s: float = 0.025
+    hop_s: float = 0.010
+    frame_tail: str = "pad"  # "pad": F = 1+ceil((N-L)/S), zero-pad; "drop": 1+(N-L)//S
+    # spectrum
+    n_fft: int = 512
+    power_scale_nfft: bool = True  # True: |X|^2/NFFT (psf); False: |X|^2 (TF kernel)
+    window: str = "hamming_sym"
+    preemph: float = 0.97
+    # mel
+    n_mels: int = 26
+    mel_variant: str = "psf_quantized"
+    mel_low_hz: float = 0.0
+    mel_high_hz: Optional[float] = None  # None -> sample_rate / 2
+    # log
+    log_kind: str = "ln"  # "ln": ln(max(x, eps)); "ln_stab": ln(x + 1e-6); "db": 10*log10
+    log_eps: float = 2.220446049250313e-16  # np.finfo(float64).eps — psf clamp
+    # cepstra
+    features: str = "mfcc"  # "mfcc": DCT to n_ceps; "logmel": stop after log
+    n_ceps: int = 13
+    dct_norm: str = "ortho"  # "ortho": scipy ortho; "htk": ortho with bin0 * sqrt(2)
+    lifter: int = 22  # 0 disables
+    append_energy: bool = True  # replace c0 with ln(sum pspec)
+    # dynamics
+    deltas: int = 0  # 0: none, 1: +delta, 2: +delta+deltadelta
+    delta_window: int = 2
+    # normalization
+    cmvn: str = "off"  # off | utterance | global
+    cmvn_var_norm: bool = True
+    cmvn_eps: float = 1e-8  # inside sqrt(var + eps)
+    # compute
+    dtype: str = "float32"  # on-device dtype; oracle is always float64
+
+    def __post_init__(self) -> None:
+        checks = [
+            (self.window, WINDOWS, "window"),
+            (self.mel_variant, MEL_VARIANTS, "mel_variant"),
+            (self.log_kind, LOG_KINDS, "log_kind"),
+            (self.dct_norm, DCT_NORMS, "dct_norm"),
+            (self.frame_tail, FRAME_TAILS, "frame_tail"),
+            (self.cmvn, CMVN_MODES, "cmvn"),
+            (self.features, FEATURES, "features"),
+        ]
+        for val, allowed, name in checks:
+            if val not in allowed:
+                raise ValueError(f"{name}={val!r} not in {allowed}")
+        if self.deltas not in (0, 1, 2):
+            raise ValueError(f"deltas={self.deltas} must be 0, 1 or 2")
+        if self.n_ceps > self.n_mels:
+            raise ValueError("n_ceps must be <= n_mels")
+
+    # -- derived constants (host-side, python ints) --------------------------
+
+    @property
+    def frame_length(self) -> int:
+        """Samples per analysis frame (400 at 16 kHz / 25 ms)."""
+        return int(round(self.win_len_s * self.sample_rate))
+
+    @property
+    def frame_step(self) -> int:
+        """Hop in samples (160 at 16 kHz / 10 ms)."""
+        return int(round(self.hop_s * self.sample_rate))
+
+    @property
+    def n_bins(self) -> int:
+        """Real-FFT bin count: n_fft // 2 + 1 (257 for 512)."""
+        return self.n_fft // 2 + 1
+
+    @property
+    def mel_high(self) -> float:
+        return self.sample_rate / 2.0 if self.mel_high_hz is None else self.mel_high_hz
+
+    @property
+    def feat_dim(self) -> int:
+        """Output feature dimension after deltas are stacked."""
+        base = self.n_ceps if self.features == "mfcc" else self.n_mels
+        return base * (1 + self.deltas)
+
+    def num_frames(self, n_samples: int) -> int:
+        """Frame count for an utterance of n_samples (SURVEY.md Appendix B #2)."""
+        L, S = self.frame_length, self.frame_step
+        if self.frame_tail == "pad":
+            return 1 + math.ceil(max(0, n_samples - L) / S)
+        return max(0, 1 + (n_samples - L) // S) if n_samples >= L else 0
+
+    def padded_length(self, num_frames: int) -> int:
+        """Sample count the signal is zero-padded to for `num_frames` frames."""
+        return (num_frames - 1) * self.frame_step + self.frame_length
+
+    def config_hash(self) -> str:
+        """Stable hash used in output manifests for resume-safety."""
+        payload = json.dumps(dataclasses.asdict(self), sort_keys=True)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+    def replace(self, **kw) -> "FrontendConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Named configs — the five BASELINE.json scenarios.
+# ---------------------------------------------------------------------------
+
+NAMED_CONFIGS: dict[str, FrontendConfig] = {
+    # BASELINE config #1: single 16 kHz wav -> 13 MFCCs.
+    "classic13": FrontendConfig(),
+    # BASELINE config #2: batch-64, 13 MFCCs + deltas (39-dim), per-utt CMVN.
+    "classic13_deltas": FrontendConfig(deltas=2),
+    # BASELINE config #3: 80-bin log-mel for neural ASR front-ends, batch-256.
+    # ASR-style conventions: periodic Hann, continuous mel triangles,
+    # stabilized log, no DCT/lifter/energy.
+    "logmel80": FrontendConfig(
+        features="logmel",
+        n_mels=80,
+        window="hann_periodic",
+        mel_variant="tf_continuous",
+        mel_low_hz=125.0,
+        mel_high_hz=7600.0,
+        log_kind="ln_stab",
+        power_scale_nfft=False,
+        append_energy=False,
+        lifter=0,
+    ),
+    # BASELINE config #4: LibriSpeech-scale streaming with global CMVN, 8-chip DP.
+    "classic13_deltas_gcmvn": FrontendConfig(deltas=2, cmvn="global"),
+    # BASELINE config #5: 48 kHz input resampled to 16 kHz, 39-dim MFCC+Δ+ΔΔ.
+    "mfcc39_48k": FrontendConfig(deltas=2, input_sample_rate=48000),
+}
+
+
+def named_config(name: str) -> FrontendConfig:
+    try:
+        return NAMED_CONFIGS[name]
+    except KeyError:
+        raise KeyError(f"unknown config {name!r}; known: {sorted(NAMED_CONFIGS)}")

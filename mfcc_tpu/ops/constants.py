@@ -1,0 +1,168 @@
+"""Host-side constant builders shared by the oracle, the jnp chain and the
+Pallas kernels.
+
+All constants are computed in float64 on host (SURVEY.md §7.2 hard-part #1:
+"keep filterbank/DCT/window constants computed in float64 on host, cast once
+to fp32") and returned as numpy arrays; callers cast to the device dtype.
+
+Conventions implemented per SURVEY.md Appendix B/C, certified against the
+on-disk oracles in tests/test_oracle_certification.py:
+  - window:    scipy.signal.windows (symmetric) / TF window_ops (periodic)
+  - mel psf:   bin-quantized triangles, floor((NFFT+1)*hz/sr)
+  - mel tf:    continuous mel-domain slopes, DC bin excluded
+               (tf/signal/mel_ops.py:181-212 semantics)
+  - DCT:       scipy ortho; HTK = ortho with bin-0 scaled by sqrt(2)
+               (tf/signal/mfcc_ops.py:89-107 semantics)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from mfcc_tpu.config import FrontendConfig
+
+# ---------------------------------------------------------------------------
+# Mel scale (HTK): m = 2595 log10(1 + f/700)  ==  1127 ln(1 + f/700)
+# ---------------------------------------------------------------------------
+
+
+def hz_to_mel(hz):
+    return 2595.0 * np.log10(1.0 + np.asarray(hz, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz(mel):
+    return 700.0 * (10.0 ** (np.asarray(mel, dtype=np.float64) / 2595.0) - 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+def window_vector(kind: str, length: int) -> np.ndarray:
+    """Analysis window, float64.
+
+    "sym" variants follow the numpy/scipy convention w[n] over n/(M-1)
+    (np.hamming); "periodic" variants use n/M (the TF/STFT convention,
+    tf/signal/window_ops.py periodic default).
+    """
+    n = np.arange(length, dtype=np.float64)
+    if kind == "rect":
+        return np.ones(length, dtype=np.float64)
+    if kind.startswith("hamming"):
+        a, b = 0.54, 0.46
+    elif kind.startswith("hann"):
+        a, b = 0.5, 0.5
+    else:
+        raise ValueError(f"unknown window {kind!r}")
+    denom = (length - 1) if kind.endswith("_sym") else length
+    return a - b * np.cos(2.0 * np.pi * n / denom)
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbanks — both convention variants, shape [n_bins, n_mels]
+# ---------------------------------------------------------------------------
+
+
+def mel_filterbank_psf(
+    n_mels: int, n_fft: int, sample_rate: int, low_hz: float, high_hz: float
+) -> np.ndarray:
+    """Bin-quantized triangular filterbank (psf/tutorial lineage).
+
+    Edges are FFT-bin indices floor((NFFT+1) * hz / sr); triangle j rises on
+    [b_j, b_{j+1}) and falls on [b_{j+1}, b_{j+2}) (SURVEY.md Appendix B #6).
+    """
+    n_bins = n_fft // 2 + 1
+    mel_pts = np.linspace(hz_to_mel(low_hz), hz_to_mel(high_hz), n_mels + 2)
+    bins = np.floor((n_fft + 1) * mel_to_hz(mel_pts) / sample_rate).astype(np.int64)
+    fb = np.zeros((n_mels, n_bins), dtype=np.float64)
+    for j in range(n_mels):
+        for i in range(bins[j], bins[j + 1]):
+            fb[j, i] = (i - bins[j]) / (bins[j + 1] - bins[j])
+        for i in range(bins[j + 1], bins[j + 2]):
+            fb[j, i] = (bins[j + 2] - i) / (bins[j + 2] - bins[j + 1])
+    return fb.T  # [n_bins, n_mels]
+
+
+def mel_filterbank_tf(
+    n_mels: int, n_fft: int, sample_rate: int, low_hz: float, high_hz: float
+) -> np.ndarray:
+    """Continuous mel-domain triangles, DC bin excluded.
+
+    Same semantics as tf.signal.linear_to_mel_weight_matrix
+    (tf/signal/mel_ops.py:181-212): linear bin centers linspace(0, sr/2,
+    n_bins)[1:] mapped to mel, band edge triples from linspace(mel_lo,
+    mel_hi, n_mels+2), weight = max(0, min(up_slope, down_slope)); the DC
+    row is zero.
+    """
+    n_bins = n_fft // 2 + 1
+    spec_mel = hz_to_mel(np.linspace(0.0, sample_rate / 2.0, n_bins)[1:])  # [n_bins-1]
+    edges = np.linspace(hz_to_mel(low_hz), hz_to_mel(high_hz), n_mels + 2)
+    lower, center, upper = edges[:-2], edges[1:-1], edges[2:]
+    up = (spec_mel[:, None] - lower[None, :]) / (center - lower)[None, :]
+    down = (upper[None, :] - spec_mel[:, None]) / (upper - center)[None, :]
+    w = np.maximum(0.0, np.minimum(up, down))  # [n_bins-1, n_mels]
+    return np.concatenate([np.zeros((1, n_mels)), w], axis=0)  # [n_bins, n_mels]
+
+
+def mel_filterbank(cfg: FrontendConfig) -> np.ndarray:
+    build = mel_filterbank_psf if cfg.mel_variant == "psf_quantized" else mel_filterbank_tf
+    return build(cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.mel_low_hz, cfg.mel_high)
+
+
+# ---------------------------------------------------------------------------
+# DCT-II matrix, shape [n_mels, n_ceps]
+# ---------------------------------------------------------------------------
+
+
+def dct_matrix(n_mels: int, n_ceps: int, norm: str) -> np.ndarray:
+    """DCT-II basis D with cepstra = logmel @ D.
+
+    D[j, n] = s_n * cos(pi * n * (2j+1) / (2M)); ortho: s_0 = sqrt(1/M),
+    s_{n>0} = sqrt(2/M). HTK/TF variant scales bin 0 by an extra sqrt(2)
+    (verified equivalence, SURVEY.md Appendix A).
+    """
+    j = np.arange(n_mels, dtype=np.float64)[:, None]
+    n = np.arange(n_ceps, dtype=np.float64)[None, :]
+    d = np.cos(np.pi * n * (2.0 * j + 1.0) / (2.0 * n_mels))
+    scale = np.full(n_ceps, np.sqrt(2.0 / n_mels))
+    scale[0] = np.sqrt(1.0 / n_mels)
+    d = d * scale[None, :]
+    if norm == "htk":
+        d[:, 0] *= np.sqrt(2.0)
+    return d
+
+
+def lifter_vector(n_ceps: int, lifter: int) -> np.ndarray:
+    """Sinusoidal lifter: 1 + (L/2) sin(pi n / L); ones when lifter == 0."""
+    if lifter <= 0:
+        return np.ones(n_ceps, dtype=np.float64)
+    n = np.arange(n_ceps, dtype=np.float64)
+    return 1.0 + (lifter / 2.0) * np.sin(np.pi * n / lifter)
+
+
+# ---------------------------------------------------------------------------
+# DFT matrices for the GEMM-native path (Pallas kernel K1): real/imag parts
+# of exp(-2πi n k / K) for n < frame_length, k < n_bins. Zero-padding the
+# frame to n_fft is implicit (rows n >= L would multiply zeros).
+# ---------------------------------------------------------------------------
+
+
+def dft_matrices(frame_length: int, n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    n = np.arange(frame_length, dtype=np.float64)[:, None]
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * n * k / n_fft
+    return np.cos(ang), np.sin(ang)  # each [frame_length, n_bins]
+
+
+@functools.lru_cache(maxsize=32)
+def chain_constants(cfg: FrontendConfig) -> dict[str, np.ndarray]:
+    """All per-config constants, float64, cached by config hash."""
+    return {
+        "window": window_vector(cfg.window, cfg.frame_length),
+        "mel": mel_filterbank(cfg),
+        "dct": dct_matrix(cfg.n_mels, cfg.n_ceps, cfg.dct_norm),
+        "lifter": lifter_vector(cfg.n_ceps, cfg.lifter),
+    }

@@ -1,0 +1,171 @@
+"""The float64 NumPy acceptance oracle — implemented verbatim from
+SURVEY.md Appendix B (the self-contained stage spec).
+
+This module IS the spec: the jnp chain, the Pallas kernels and the batched
+pipeline must all match it to allclose(atol=1e-4) on log-mel/cepstra
+(BASELINE.json metric). It is deliberately simple, sequential and float64,
+with zero JAX dependency, so it runs anywhere and localizes any convention
+mismatch per stage.
+
+Certification against on-disk implementations of the same algorithms
+(scipy.fft.dct, scipy windows, tf.signal.stft/mel/mfcc) lives in
+tests/test_oracle_certification.py per SURVEY.md Appendix D step 2.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from mfcc_tpu.config import FrontendConfig
+from mfcc_tpu.ops import constants as C
+
+# ---------------------------------------------------------------------------
+# Per-stage functions (Appendix B numbering in comments)
+# ---------------------------------------------------------------------------
+
+
+def preemphasis(x: np.ndarray, coeff: float) -> np.ndarray:
+    """(1) y[0] = x[0]; y[t] = x[t] - coeff * x[t-1]."""
+    x = np.asarray(x, dtype=np.float64)
+    if coeff == 0.0:
+        return x.copy()
+    return np.concatenate([x[:1], x[1:] - coeff * x[:-1]])
+
+
+def frame_signal(x: np.ndarray, frame_length: int, frame_step: int, tail: str = "pad") -> np.ndarray:
+    """(2) F = 1 + ceil(max(0, N-L)/S) with zero-padded tail ("pad"), or the
+    drop-tail variant 1 + (N-L)//S ("drop"); frames[f, n] = x[f*S + n]."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if tail == "pad":
+        num = 1 + math.ceil(max(0, n - frame_length) / frame_step)
+        padded_len = (num - 1) * frame_step + frame_length
+        x = np.concatenate([x, np.zeros(padded_len - n)])
+    else:
+        num = max(0, 1 + (n - frame_length) // frame_step) if n >= frame_length else 0
+    idx = np.arange(frame_length)[None, :] + frame_step * np.arange(num)[:, None]
+    return x[idx]
+
+
+def power_spectrum(frames: np.ndarray, n_fft: int, scale_nfft: bool) -> np.ndarray:
+    """(4)+(5) rfft with zero-pad to n_fft; P = |X|^2 / NFFT (psf) or |X|^2."""
+    spec = np.fft.rfft(frames, n_fft)
+    p = np.abs(spec) ** 2
+    return p / n_fft if scale_nfft else p
+
+
+def frame_energy(pspec: np.ndarray, eps: float) -> np.ndarray:
+    """(5) E[f] = sum_k P[f, k], zero-clamped to eps."""
+    e = pspec.sum(axis=-1)
+    return np.where(e <= 0, eps, e)
+
+
+def apply_log(x: np.ndarray, kind: str, eps: float) -> np.ndarray:
+    """(7) log compression variants (Appendix C log row)."""
+    if kind == "ln":
+        return np.log(np.where(x <= 0, eps, x))
+    if kind == "ln_stab":
+        return np.log(x + 1e-6)
+    if kind == "db":
+        return 10.0 * np.log10(np.where(x <= 0, eps, x))
+    raise ValueError(kind)
+
+
+def delta(feat: np.ndarray, n: int) -> np.ndarray:
+    """(10) regression delta, edge-replicated padding:
+    d_t = sum_{i=1..n} i*(c_{t+i} - c_{t-i}) / (2 * sum i^2)."""
+    denom = 2.0 * sum(i * i for i in range(1, n + 1))
+    padded = np.pad(feat, ((n, n), (0, 0)), mode="edge")
+    out = np.zeros_like(feat)
+    for i in range(1, n + 1):
+        out += i * (padded[n + i : n + i + feat.shape[0]] - padded[n - i : n - i + feat.shape[0]])
+    return out / denom
+
+
+def cmvn_utterance(feat: np.ndarray, var_norm: bool, eps: float) -> np.ndarray:
+    """(11) per-utterance mean/variance normalization over the frame axis."""
+    mu = feat.mean(axis=0, keepdims=True)
+    out = feat - mu
+    if var_norm:
+        var = feat.var(axis=0, keepdims=True)
+        out = out / np.sqrt(var + eps)
+    return out
+
+
+def cmvn_from_moments(feat: np.ndarray, s1: np.ndarray, s2: np.ndarray, n: float,
+                      var_norm: bool, eps: float) -> np.ndarray:
+    """Global CMVN applied from corpus moment triples (Σx, Σx², n) — the
+    algebra the distributed psum reduction must reproduce."""
+    mu = s1 / n
+    out = feat - mu
+    if var_norm:
+        var = s2 / n - mu * mu
+        out = out / np.sqrt(var + eps)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Full chains
+# ---------------------------------------------------------------------------
+
+
+def logmel_chain(x: np.ndarray, cfg: FrontendConfig) -> dict[str, np.ndarray]:
+    """Run stages (1)-(7), returning every intermediate for per-stage goldens."""
+    k = C.chain_constants(cfg)
+    y = preemphasis(x, cfg.preemph)
+    frames = frame_signal(y, cfg.frame_length, cfg.frame_step, cfg.frame_tail)
+    windowed = frames * k["window"][None, :]
+    pspec = power_spectrum(windowed, cfg.n_fft, cfg.power_scale_nfft)
+    energy = frame_energy(pspec, cfg.log_eps)
+    melspec = pspec @ k["mel"]  # [F, n_mels]
+    logmel = apply_log(melspec, cfg.log_kind, cfg.log_eps)
+    return {
+        "preemph": y,
+        "frames": frames,
+        "windowed": windowed,
+        "pspec": pspec,
+        "energy": energy,
+        "melspec": melspec,
+        "logmel": logmel,
+    }
+
+
+def extract(x: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
+    """Full single-utterance chain -> [F, feat_dim] float64 features."""
+    return extract_stages(x, cfg)["features"]
+
+
+def extract_stages(x: np.ndarray, cfg: FrontendConfig) -> dict[str, np.ndarray]:
+    """Like `extract` but returns every intermediate stage (for goldens)."""
+    k = C.chain_constants(cfg)
+    stages = logmel_chain(x, cfg)
+    if cfg.features == "logmel":
+        base = stages["logmel"]
+    else:
+        ceps = stages["logmel"] @ k["dct"]  # (8) DCT-II slice to n_ceps
+        ceps = ceps * k["lifter"][None, :]  # (9) lifter...
+        if cfg.append_energy:  # ...then c0 <- ln(E)
+            ceps = ceps.copy()
+            ceps[:, 0] = np.log(stages["energy"])
+        base = ceps
+    stages["base"] = base
+
+    parts = [base]
+    if cfg.deltas >= 1:
+        d = delta(base, cfg.delta_window)
+        parts.append(d)
+        stages["delta"] = d
+        if cfg.deltas >= 2:
+            dd = delta(d, cfg.delta_window)
+            parts.append(dd)
+            stages["delta2"] = dd
+    feat = np.concatenate(parts, axis=1)
+
+    if cfg.cmvn == "utterance":
+        feat = cmvn_utterance(feat, cfg.cmvn_var_norm, cfg.cmvn_eps)
+    # cfg.cmvn == "global" is corpus-level; the oracle for it is
+    # cmvn_from_moments with numpy-reduced corpus moments (test_distributed).
+    stages["features"] = feat
+    return stages
