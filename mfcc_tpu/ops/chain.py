@@ -1,0 +1,316 @@
+"""The pure-jnp feature chain — the jittable twin of the float64 oracle.
+
+Every stage here is a small functional op on fixed-shape arrays, written so
+that the whole chain jits into one XLA program (static shapes, no Python
+control flow on traced values; all convention branches resolve at trace time
+from the static `FrontendConfig`).
+
+Design notes (SURVEY.md §7):
+  - Batch layout is `audio[B, T]` + `lengths[B]`; frames are derived with a
+    static frame count `F = num_frames(T)` and a per-utterance *traced* valid
+    frame count, so padding never changes the numbers on valid frames
+    (masking-invariance test, SURVEY.md §4.2 item 4).
+  - Pre-emphasis runs on the raw signal and is then re-zeroed beyond each
+    utterance's length: the oracle applies preemph *before* the zero-padded
+    framing tail, so pad samples must stay exactly zero.
+  - Framing is a static strided gather (`take` along time); the Pallas kernel
+    K1 (mfcc_tpu/kernels/stft.py) replaces frame+window+FFT+|.|^2 with an
+    MXU DFT-matmul — this module is its equivalence twin.
+  - Deltas use clipped-index gathers so the edge replication happens at each
+    utterance's *valid* boundary, not the pad boundary.
+
+Oracle parity: mfcc_tpu/ops/reference_numpy.py (the spec); tested against
+the frozen goldens in tests/test_jnp_chain.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfcc_tpu.config import FrontendConfig
+from mfcc_tpu.ops import constants as C
+
+# ---------------------------------------------------------------------------
+# Constants on device
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def device_constants(cfg: FrontendConfig, dtype_name: str | None = None):
+    """Chain constants cast once from host float64 to the compute dtype
+    (SURVEY.md §7.2 hard-part #1). Returned as *numpy* arrays: used inside a
+    jit trace they embed as XLA constants, so caching them is trace-safe
+    (caching jnp arrays here would leak tracers when first called under jit).
+    """
+    dtype = np.dtype(dtype_name or cfg.dtype)
+    host = C.chain_constants(cfg)
+    return {k: np.asarray(v, dtype=dtype) for k, v in host.items()}
+
+
+def compute_dtype(cfg: FrontendConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Frame-count algebra (traced-safe mirrors of FrontendConfig.num_frames)
+# ---------------------------------------------------------------------------
+
+
+def num_valid_frames(lengths: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """Per-utterance valid frame count; mirrors cfg.num_frames for traced n."""
+    L, S = cfg.frame_length, cfg.frame_step
+    if cfg.frame_tail == "pad":
+        # 1 + ceil(max(0, n - L) / S); ceil(a/S) = (a + S - 1) // S for a >= 0
+        a = jnp.maximum(0, lengths - L)
+        return 1 + (a + S - 1) // S
+    return jnp.where(lengths >= L, 1 + (lengths - L) // S, 0)
+
+
+# ---------------------------------------------------------------------------
+# Stages — all operate on [..., T] / [..., F, X] with leading batch dims
+# ---------------------------------------------------------------------------
+
+
+def preemphasis(x: jnp.ndarray, coeff: float) -> jnp.ndarray:
+    """(B1) y[0] = x[0]; y[t] = x[t] - coeff * x[t-1], along the last axis."""
+    if coeff == 0.0:
+        return x
+    return jnp.concatenate([x[..., :1], x[..., 1:] - coeff * x[..., :-1]], axis=-1)
+
+
+def zero_beyond(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Zero samples at t >= length (restores the oracle's zero pad tail)."""
+    t = jnp.arange(x.shape[-1])
+    mask = t[None, :] < lengths[:, None]
+    return x * mask.astype(x.dtype)
+
+
+def frame_signal(x: jnp.ndarray, num_frames: int, cfg: FrontendConfig) -> jnp.ndarray:
+    """(B2) static strided gather: frames[..., f, n] = x[..., f*S + n].
+
+    Requires x.shape[-1] >= (num_frames-1)*S + L (caller pads; see
+    mfcc_tpu.pipeline.batch.required_samples).
+    """
+    L, S = cfg.frame_length, cfg.frame_step
+    idx = np.arange(L)[None, :] + S * np.arange(num_frames)[:, None]  # [F, L]
+    return jnp.take(x, jnp.asarray(idx), axis=-1)
+
+
+def power_spectrum(windowed: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """(B4+B5) zero-pad to n_fft, rfft, |X|^2 (optionally / NFFT)."""
+    pad = cfg.n_fft - windowed.shape[-1]
+    if pad > 0:
+        widths = [(0, 0)] * (windowed.ndim - 1) + [(0, pad)]
+        windowed = jnp.pad(windowed, widths)
+    spec = jnp.fft.rfft(windowed, n=cfg.n_fft, axis=-1)
+    p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if cfg.power_scale_nfft:
+        p = p / cfg.n_fft
+    return p.astype(windowed.dtype)
+
+
+def apply_log(x: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """(B7) log compression variants (Appendix C log row)."""
+    eps = jnp.asarray(cfg.log_eps, x.dtype)
+    if cfg.log_kind == "ln":
+        return jnp.log(jnp.where(x <= 0, eps, x))
+    if cfg.log_kind == "ln_stab":
+        return jnp.log(x + 1e-6)
+    if cfg.log_kind == "db":
+        return 10.0 * jnp.log10(jnp.where(x <= 0, eps, x))
+    raise ValueError(cfg.log_kind)
+
+
+def delta(feat: jnp.ndarray, n_valid: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """(B10) regression delta with edge replication at the *valid* boundary.
+
+    feat: [..., F, D]; n_valid: broadcastable per-utterance valid frame count.
+    Uses clipped-index gathers: c[min(t+i, n_valid-1)] - c[max(t-i, 0)].
+    """
+    N = cfg.delta_window
+    F = feat.shape[-2]
+    denom = 2.0 * sum(i * i for i in range(1, N + 1))
+    t = jnp.arange(F)
+    hi = n_valid - 1  # [...] broadcast against t
+    out = jnp.zeros_like(feat)
+
+    def gather_rows(idx):  # idx: [..., F] -> feat rows [..., F, D]
+        full = jnp.broadcast_to(idx[..., None], feat.shape).astype(jnp.int32)
+        return jnp.take_along_axis(feat, full, axis=-2)
+
+    for i in range(1, N + 1):
+        plus = jnp.minimum(t + i, hi[..., None])  # [..., F]
+        minus = jnp.maximum(t - i, 0) * jnp.ones_like(plus)
+        out = out + i * (gather_rows(plus) - gather_rows(minus))
+    return out / jnp.asarray(denom, feat.dtype)
+
+
+def cmvn_utterance(
+    feat: jnp.ndarray, frame_mask: jnp.ndarray, cfg: FrontendConfig
+) -> jnp.ndarray:
+    """(B11) masked per-utterance mean/variance norm over valid frames.
+
+    feat: [..., F, D]; frame_mask: [..., F] in {0, 1}.
+    """
+    m = frame_mask[..., None].astype(feat.dtype)
+    n = jnp.maximum(m.sum(axis=-2, keepdims=True), 1.0)
+    mu = (feat * m).sum(axis=-2, keepdims=True) / n
+    out = feat - mu
+    if cfg.cmvn_var_norm:
+        var = (jnp.square(feat - mu) * m).sum(axis=-2, keepdims=True) / n
+        out = out / jnp.sqrt(var + cfg.cmvn_eps)
+    return out * m  # keep pad frames exactly zero
+
+
+def cmvn_apply_moments(
+    feat: jnp.ndarray, s1: jnp.ndarray, s2: jnp.ndarray, n, cfg: FrontendConfig
+) -> jnp.ndarray:
+    """Global CMVN from corpus moment triples (Σx, Σx², n) — the algebra the
+    psum reduction reproduces (mfcc_tpu/parallel/cmvn.py)."""
+    mu = s1 / n
+    out = feat - mu
+    if cfg.cmvn_var_norm:
+        var = s2 / n - mu * mu
+        out = out / jnp.sqrt(var + cfg.cmvn_eps)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Full batched chain
+# ---------------------------------------------------------------------------
+
+
+def logmel_stages(
+    audio: jnp.ndarray, lengths: jnp.ndarray, cfg: FrontendConfig
+) -> dict[str, jnp.ndarray]:
+    """Stages (B1)-(B7) on a padded batch. audio: [B, T]; lengths: [B].
+
+    Returns every intermediate (for per-stage golden tests) plus the
+    per-frame validity mask. T must be >= required_samples(T) framing span
+    (mfcc_tpu.pipeline.batch handles the padding).
+    """
+    k = device_constants(cfg)
+    dtype = compute_dtype(cfg)
+    audio = audio.astype(dtype)
+
+    F = cfg.num_frames(audio.shape[-1])
+    y = zero_beyond(preemphasis(audio, cfg.preemph), lengths)
+    # pad the time axis so the last frame's gather stays in bounds
+    span = (F - 1) * cfg.frame_step + cfg.frame_length
+    if span > y.shape[-1]:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, span - y.shape[-1])])
+    frames = frame_signal(y, F, cfg)  # [B, F, L]
+    windowed = frames * k["window"]
+    pspec = power_spectrum(windowed, cfg)  # [B, F, n_bins]
+    eps = jnp.asarray(cfg.log_eps, dtype)
+    energy_raw = pspec.sum(axis=-1)
+    energy = jnp.where(energy_raw <= 0, eps, energy_raw)  # [B, F]
+    melspec = jnp.matmul(pspec, k["mel"], preferred_element_type=dtype)
+    logmel = apply_log(melspec, cfg)
+
+    n_valid = num_valid_frames(lengths, cfg)  # [B]
+    frame_mask = (jnp.arange(F)[None, :] < n_valid[:, None]).astype(dtype)
+    return {
+        "frames": frames,
+        "windowed": windowed,
+        "pspec": pspec,
+        "energy": energy,
+        "melspec": melspec,
+        "logmel": logmel,
+        "n_valid": n_valid,
+        "frame_mask": frame_mask,
+    }
+
+
+def features_from_logmel(
+    stages: dict[str, jnp.ndarray], cfg: FrontendConfig
+) -> jnp.ndarray:
+    """Stages (B8)-(B11) minus global CMVN: cepstra, lifter, energy, deltas,
+    per-utterance CMVN. Returns [B, F, feat_dim] with pad frames zeroed."""
+    k = device_constants(cfg)
+    logmel, energy = stages["logmel"], stages["energy"]
+    n_valid, frame_mask = stages["n_valid"], stages["frame_mask"]
+
+    if cfg.features == "logmel":
+        base = logmel
+    else:
+        ceps = jnp.matmul(logmel, k["dct"], preferred_element_type=logmel.dtype)
+        ceps = ceps * k["lifter"]
+        if cfg.append_energy:
+            ceps = jnp.concatenate([jnp.log(energy)[..., None], ceps[..., 1:]], axis=-1)
+        base = ceps
+
+    parts = [base]
+    if cfg.deltas >= 1:
+        d = delta(base, n_valid, cfg)
+        parts.append(d)
+        if cfg.deltas >= 2:
+            parts.append(delta(d, n_valid, cfg))
+    feat = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else base
+
+    if cfg.cmvn == "utterance":
+        feat = cmvn_utterance(feat, frame_mask, cfg)
+    else:
+        feat = feat * frame_mask[..., None]
+    return feat
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
+def extract_batch(
+    audio: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: FrontendConfig,
+    backend: str = "jnp",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full batched chain: padded audio [B, T] + lengths [B] →
+    (features [B, F, feat_dim], frame_mask [B, F]).
+
+    Global CMVN (cfg.cmvn == "global") is a corpus-level operation and is
+    applied by the pipeline/parallel layer from psum-reduced moments; here
+    features are returned un-normalized in that mode.
+
+    backend: "jnp" (this module) or "pallas" (fused TPU kernels with this
+    chain as their equivalence twin — mfcc_tpu/kernels/).
+    """
+    if backend == "jnp":
+        stages = logmel_stages(audio, lengths, cfg)
+    elif backend == "pallas":
+        from mfcc_tpu.kernels import fused_logmel_stages
+
+        stages = fused_logmel_stages(audio, lengths, cfg)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    feat = features_from_logmel(stages, cfg)
+    return feat, stages["frame_mask"]
+
+
+# ---------------------------------------------------------------------------
+# Single-utterance convenience (golden tests, CLI one-shot path)
+# ---------------------------------------------------------------------------
+
+
+def extract_single(x: np.ndarray, cfg: FrontendConfig, backend: str = "jnp") -> np.ndarray:
+    """One utterance → [F_valid, feat_dim] numpy features (oracle layout)."""
+    n = int(np.asarray(x).shape[0])
+    audio = jnp.asarray(np.asarray(x), dtype=compute_dtype(cfg))[None, :]
+    lengths = jnp.asarray([n], dtype=jnp.int32)
+    feat, _ = extract_batch(audio, lengths, cfg, backend=backend)
+    f_valid = cfg.num_frames(n)
+    return np.asarray(feat[0, :f_valid])
+
+
+def logmel_single(x: np.ndarray, cfg: FrontendConfig) -> dict[str, np.ndarray]:
+    """One utterance → all intermediate stages, trimmed to valid frames."""
+    n = int(np.asarray(x).shape[0])
+    audio = jnp.asarray(np.asarray(x), dtype=compute_dtype(cfg))[None, :]
+    lengths = jnp.asarray([n], dtype=jnp.int32)
+    stages = logmel_stages(audio, lengths, cfg)
+    f_valid = cfg.num_frames(n)
+    return {
+        k: np.asarray(v[0, :f_valid] if v.ndim >= 2 else v[0])
+        for k, v in stages.items()
+    }

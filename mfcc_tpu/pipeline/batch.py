@@ -1,0 +1,105 @@
+"""Host-side batching: pad-to-bucket with length masks (SURVEY.md §7.1 #3).
+
+Utterances of arbitrary length are grouped into a small set of bucket
+lengths so XLA compiles one program per (bucket, batch-size) instead of one
+per utterance length. Lengths travel with the batch; every on-device stage
+is mask-aware, so the features of an utterance inside a padded batch equal
+the features of that utterance alone, bit-for-bit on valid frames
+(masking-invariance gate, SURVEY.md §4.2 item 4).
+
+Pad-occupancy (valid-sample fraction) is reported so feeding efficiency is
+observable (SURVEY.md §5 metrics row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from mfcc_tpu.config import FrontendConfig
+
+
+def required_samples(bucket_len: int, cfg: FrontendConfig) -> int:
+    """Samples the time axis must hold so the last frame's gather of a
+    bucket_len-sample utterance stays in bounds: (F-1)*S + L >= bucket_len."""
+    f = cfg.num_frames(bucket_len)
+    return max(bucket_len, cfg.padded_length(f))
+
+
+def make_buckets(
+    max_len_s: float, cfg: FrontendConfig, n_buckets: int = 4
+) -> tuple[int, ...]:
+    """Geometric bucket boundaries in samples, aligned to whole frame hops so
+    bucket edges land on frame boundaries (keeps F per bucket minimal)."""
+    sr = cfg.sample_rate
+    max_len = int(round(max_len_s * sr))
+    S = cfg.frame_step
+    ratio = (max_len / (0.5 * sr)) ** (1.0 / max(1, n_buckets - 1))
+    raw = [0.5 * sr * ratio**i for i in range(n_buckets)]
+    buckets = sorted({int(np.ceil(b / S)) * S for b in raw} | {int(np.ceil(max_len / S)) * S})
+    return tuple(buckets)
+
+
+def bucket_for(n_samples: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n_samples (clamps to the largest: caller truncates
+    or splits over-long audio upstream)."""
+    for b in buckets:
+        if n_samples <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclasses.dataclass
+class Batch:
+    """One padded batch ready for device transfer."""
+
+    audio: np.ndarray  # [B, T] compute dtype
+    lengths: np.ndarray  # [B] int32 valid sample counts
+    ids: list  # opaque per-utterance keys (paths, indices)
+
+    @property
+    def pad_occupancy(self) -> float:
+        """Fraction of the audio buffer holding real samples (1.0 = no waste)."""
+        return float(self.lengths.sum()) / float(self.audio.shape[0] * self.audio.shape[1])
+
+
+def pad_batch(
+    utterances: Iterable[np.ndarray],
+    cfg: FrontendConfig,
+    bucket_len: int | None = None,
+    ids: Sequence | None = None,
+    pad_batch_to: int | None = None,
+) -> Batch:
+    """Stack variable-length utterances into a zero-padded [B, T] buffer.
+
+    T = required_samples(bucket_len or max utterance length). Over-long
+    utterances (> bucket_len) are truncated with a loud error instead of
+    silently: callers pick buckets with make_buckets/bucket_for.
+    pad_batch_to: optionally right-pad the batch axis with zero-length rows
+    (lengths 0) so every batch in a stream shares one compiled shape.
+    """
+    utts = [np.asarray(u) for u in utterances]
+    if not utts:
+        raise ValueError("empty batch")
+    lengths = np.array([u.shape[0] for u in utts], dtype=np.int32)
+    blen = bucket_len if bucket_len is not None else int(lengths.max())
+    too_long = lengths > blen
+    if too_long.any():
+        raise ValueError(
+            f"{int(too_long.sum())} utterance(s) exceed bucket {blen}; "
+            "split or re-bucket upstream"
+        )
+    T = required_samples(blen, cfg)
+    B = len(utts)
+    rows = B if pad_batch_to is None else max(B, pad_batch_to)
+    dtype = np.dtype(cfg.dtype)
+    audio = np.zeros((rows, T), dtype=dtype)
+    for i, u in enumerate(utts):
+        audio[i, : u.shape[0]] = u.astype(dtype)
+    out_lengths = np.zeros(rows, dtype=np.int32)
+    out_lengths[:B] = lengths
+    out_ids = list(ids) if ids is not None else list(range(B))
+    out_ids += [None] * (rows - B)
+    return Batch(audio=audio, lengths=out_lengths, ids=out_ids)

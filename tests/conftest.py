@@ -6,12 +6,19 @@ driver's dryrun; numerics are platform-independent.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 # float64 support for oracle-vs-jnp comparisons that want it.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# start (overriding JAX_PLATFORMS), which would route every test through the
+# tunneled TPU. Override it back before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
