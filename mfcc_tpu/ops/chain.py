@@ -61,13 +61,20 @@ def compute_dtype(cfg: FrontendConfig):
 
 
 def num_valid_frames(lengths: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
-    """Per-utterance valid frame count; mirrors cfg.num_frames for traced n."""
+    """Per-utterance valid frame count; mirrors cfg.num_frames for traced n.
+
+    Deviation from cfg.num_frames: length 0 counts 0 frames, not 1 — a
+    zero-length row is batch padding, and its phantom ceil-frame must not
+    leak into masks or global CMVN moment counts.
+    """
     L, S = cfg.frame_length, cfg.frame_step
     if cfg.frame_tail == "pad":
         # 1 + ceil(max(0, n - L) / S); ceil(a/S) = (a + S - 1) // S for a >= 0
         a = jnp.maximum(0, lengths - L)
-        return 1 + (a + S - 1) // S
-    return jnp.where(lengths >= L, 1 + (lengths - L) // S, 0)
+        n = 1 + (a + S - 1) // S
+    else:
+        n = jnp.where(lengths >= L, 1 + (lengths - L) // S, 0)
+    return jnp.where(lengths > 0, n, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -125,27 +132,44 @@ def apply_log(x: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     raise ValueError(cfg.log_kind)
 
 
+def _tail_replicated(feat: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
+    """Copy row n_valid-1 into every row t >= n_valid (one tiny [B,1,D]
+    gather instead of a full-tensor gather — TPU gathers of [B,F,D] indices
+    were measured at ~9 ms each on v5e and dominated the whole chain)."""
+    F = feat.shape[-2]
+    idx = jnp.maximum(n_valid - 1, 0).astype(jnp.int32)
+    idx = jnp.broadcast_to(
+        idx[..., None, None], feat.shape[:-2] + (1, feat.shape[-1])
+    )
+    last = jnp.take_along_axis(feat, idx, axis=-2)  # [..., 1, D]
+    t = jnp.arange(F)
+    mask = (t[..., :, None] < n_valid[..., None, None]).astype(feat.dtype)
+    return feat * mask + last * (1.0 - mask)
+
+
 def delta(feat: jnp.ndarray, n_valid: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     """(B10) regression delta with edge replication at the *valid* boundary.
 
-    feat: [..., F, D]; n_valid: broadcastable per-utterance valid frame count.
-    Uses clipped-index gathers: c[min(t+i, n_valid-1)] - c[max(t-i, 0)].
+    feat: [..., F, D]; n_valid: per-utterance valid frame count [...].
+    Gather-free: the tail beyond n_valid is first overwritten with the last
+    valid row, after which the clipped-index semantics
+    c[min(t+i, n_valid-1)] / c[max(t-i, 0)] reduce to static shifts with
+    edge replication at the array bounds.
     """
     N = cfg.delta_window
     F = feat.shape[-2]
     denom = 2.0 * sum(i * i for i in range(1, N + 1))
-    t = jnp.arange(F)
-    hi = n_valid - 1  # [...] broadcast against t
-    out = jnp.zeros_like(feat)
-
-    def gather_rows(idx):  # idx: [..., F] -> feat rows [..., F, D]
-        full = jnp.broadcast_to(idx[..., None], feat.shape).astype(jnp.int32)
-        return jnp.take_along_axis(feat, full, axis=-2)
-
+    x = _tail_replicated(feat, n_valid)
+    out = jnp.zeros_like(x)
     for i in range(1, N + 1):
-        plus = jnp.minimum(t + i, hi[..., None])  # [..., F]
-        minus = jnp.maximum(t - i, 0) * jnp.ones_like(plus)
-        out = out + i * (gather_rows(plus) - gather_rows(minus))
+        k = min(i, F)  # utterances shorter than the window replicate fully
+        plus = jnp.concatenate(
+            [x[..., k:, :]] + [x[..., -1:, :]] * k, axis=-2
+        )
+        minus = jnp.concatenate(
+            [x[..., :1, :]] * k + [x[..., : F - k, :]], axis=-2
+        )
+        out = out + i * (plus - minus)
     return out / jnp.asarray(denom, feat.dtype)
 
 
@@ -209,7 +233,12 @@ def logmel_stages(
     eps = jnp.asarray(cfg.log_eps, dtype)
     energy_raw = pspec.sum(axis=-1)
     energy = jnp.where(energy_raw <= 0, eps, energy_raw)  # [B, F]
-    melspec = jnp.matmul(pspec, k["mel"], preferred_element_type=dtype)
+    # precision=HIGHEST: TPU matmuls default to bf16 multiplication, which
+    # breaks the 1e-4 oracle gate (CPU is unaffected either way).
+    melspec = jnp.matmul(
+        pspec, k["mel"], preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     logmel = apply_log(melspec, cfg)
 
     n_valid = num_valid_frames(lengths, cfg)  # [B]
@@ -238,7 +267,10 @@ def features_from_logmel(
     if cfg.features == "logmel":
         base = logmel
     else:
-        ceps = jnp.matmul(logmel, k["dct"], preferred_element_type=logmel.dtype)
+        ceps = jnp.matmul(
+            logmel, k["dct"], preferred_element_type=logmel.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         ceps = ceps * k["lifter"]
         if cfg.append_energy:
             ceps = jnp.concatenate([jnp.log(energy)[..., None], ceps[..., 1:]], axis=-1)

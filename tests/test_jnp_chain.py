@@ -148,8 +148,9 @@ def test_zero_length_rows_are_harmless():
     feat, mask = chain.extract_batch(batch.audio, batch.lengths, cfg)
     feat = np.asarray(feat)
     assert np.isfinite(feat).all()
-    # rows 1..3 are all-pad; mask row 0 frame 0 is always valid by ceil-framing
-    assert not np.asarray(mask)[1:, 1:].any()
+    # rows 1..3 are zero-length padding: no valid frames, all-zero features
+    assert not np.asarray(mask)[1:].any()
+    np.testing.assert_array_equal(feat[1:], 0.0)
 
 
 @pytest.mark.parametrize("config_name", JNP_CONFIGS)
@@ -173,5 +174,7 @@ def test_num_valid_frames_matches_config():
     cfg = NAMED_CONFIGS["classic13"]
     lens = [0, 1, 399, 400, 401, 560, 561, 16000, 40123]
     got = np.asarray(chain.num_valid_frames(jnp.asarray(lens), cfg))
-    want = np.array([cfg.num_frames(n) for n in lens])
+    # length 0 is batch padding: 0 valid frames (cfg.num_frames gives the
+    # static ceil-framing capacity of 1 — see num_valid_frames docstring)
+    want = np.array([0 if n == 0 else cfg.num_frames(n) for n in lens])
     np.testing.assert_array_equal(got, want)

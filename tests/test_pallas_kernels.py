@@ -1,0 +1,109 @@
+"""Fused Pallas kernel ≡ jnp twin ≡ golden oracle (SURVEY.md §4.2 item 5).
+
+Runs in Pallas interpreter mode on the CPU test mesh; the identical kernel
+code compiles for TPU (exercised by bench.py / the driver's entry check).
+Equivalence gates:
+  - kernel vs jnp twin: both fp32, only roundoff order differs (DFT-matmul
+    vs pocketfft rfft) → logmel gated at 2e-5 where loud, linear-domain
+    rel-to-rowmax 1e-5 elsewhere; energy rtol 1e-5.
+  - kernel vs float64 golden: same gates as the jnp chain.
+"""
+
+import numpy as np
+import pytest
+
+from mfcc_tpu.config import NAMED_CONFIGS
+from mfcc_tpu.kernels import fused_logmel_stages
+from mfcc_tpu.ops import chain
+from mfcc_tpu.pipeline import pad_batch
+from mfcc_tpu.testing.golden import golden_signals, load_golden
+from tests.test_jnp_chain import FEATURE_ATOL_FP32, FEATURE_RTOL, assert_logmel_close
+
+import jax.numpy as jnp
+
+CONFIGS = ["classic13", "classic13_deltas", "logmel80"]
+
+
+def _batch(cfg, names=("noise", "speechish", "short", "tone_offbin")):
+    sigs = golden_signals()
+    chosen = [sigs[n] for n in names]
+    b = pad_batch(chosen, cfg, bucket_len=max(s.shape[0] for s in chosen))
+    return b, names
+
+
+@pytest.mark.parametrize("config_name", CONFIGS)
+def test_kernel_matches_jnp_twin(config_name):
+    cfg = NAMED_CONFIGS[config_name]
+    b, _ = _batch(cfg)
+    audio = jnp.asarray(b.audio)
+    lengths = jnp.asarray(b.lengths)
+
+    twin = chain.logmel_stages(audio, lengths, cfg)
+    fused = fused_logmel_stages(audio, lengths, cfg, interpret=True)
+
+    lm_t = np.asarray(twin["logmel"], dtype=np.float64)
+    lm_f = np.asarray(fused["logmel"], dtype=np.float64)
+    lin_t, lin_f = np.exp(lm_t), np.exp(lm_f)
+    rowmax = lin_t.max(axis=-1, keepdims=True) + 1e-300
+    loud = lin_t > rowmax * 1e-4
+    assert (np.abs(lm_f - lm_t) * loud).max() < 2e-5
+    assert (np.abs(lin_f - lin_t) / rowmax).max() < 1e-5
+
+    np.testing.assert_allclose(
+        np.asarray(fused["energy"]), np.asarray(twin["energy"]), rtol=1e-5, atol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fused["frame_mask"]), np.asarray(twin["frame_mask"])
+    )
+
+
+@pytest.mark.parametrize("config_name", CONFIGS)
+def test_pallas_backend_matches_golden(config_name):
+    """Full extract_batch(backend='pallas') hits the oracle gates per row."""
+    cfg = NAMED_CONFIGS[config_name]
+    names = ("noise", "speechish", "short")
+    b, _ = _batch(cfg, names)
+    feat, mask = chain.extract_batch(
+        jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg, backend="pallas"
+    )
+    feat = np.asarray(feat)
+    for i, n in enumerate(names):
+        g = load_golden(config_name, n)
+        fv = cfg.num_frames(int(b.lengths[i]))
+        if cfg.features == "logmel":
+            assert_logmel_close(feat[i, :fv], g["features"], cfg)
+        else:
+            np.testing.assert_allclose(
+                feat[i, :fv], g["features"], atol=FEATURE_ATOL_FP32, rtol=FEATURE_RTOL
+            )
+
+
+def test_kernel_block_boundaries():
+    """Frame values must not depend on the frame-block size (halo-free by
+    construction, but guard the chunk-shift indexing)."""
+    cfg = NAMED_CONFIGS["classic13"]
+    sigs = golden_signals()
+    b = pad_batch([sigs["noise"]], cfg, bucket_len=sigs["noise"].shape[0])
+    audio, lengths = jnp.asarray(b.audio), jnp.asarray(b.lengths)
+    a = fused_logmel_stages(audio, lengths, cfg, interpret=True, block_frames=64)
+    c = fused_logmel_stages(audio, lengths, cfg, interpret=True, block_frames=256)
+    np.testing.assert_array_equal(np.asarray(a["logmel"]), np.asarray(c["logmel"]))
+
+
+def test_kernel_constants_structure():
+    from mfcc_tpu.kernels.frontend import kernel_constants
+
+    cfg = NAMED_CONFIGS["classic13"]
+    k = kernel_constants(cfg)
+    nc, S, kb, mp = k["dims"]
+    assert (nc, S) == (3, 160)
+    assert kb % 128 == 0 and mp % 128 == 0
+    dft = k["dft"].reshape(nc * S, 2 * kb)
+    # rows beyond the frame length and cols beyond n_bins are exactly zero
+    assert (dft[cfg.frame_length :] == 0).all()
+    assert (dft[:, cfg.n_bins : kb] == 0).all()
+    assert (dft[:, kb + cfg.n_bins :] == 0).all()
+    # energy column of the mel matrix is 1 over real bins, 0 over padding
+    mel = k["mel"]
+    assert (mel[: cfg.n_bins, cfg.n_mels] == 1.0).all()
+    assert (mel[cfg.n_bins :, :] == 0).all()
