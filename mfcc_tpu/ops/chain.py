@@ -308,6 +308,15 @@ def extract_batch(
     backend: "jnp" (this module) or "pallas" (fused TPU kernels with this
     chain as their equivalence twin — mfcc_tpu/kernels/).
     """
+    if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
+        from mfcc_tpu.ops import resample
+
+        audio = resample.resample_batch(
+            audio.astype(compute_dtype(cfg)), cfg.input_sample_rate, cfg.sample_rate
+        )
+        lengths = resample.output_lengths(
+            lengths, cfg.input_sample_rate, cfg.sample_rate
+        )
     if backend == "jnp":
         stages = logmel_stages(audio, lengths, cfg)
     elif backend == "pallas":
@@ -326,11 +335,17 @@ def extract_batch(
 
 
 def extract_single(x: np.ndarray, cfg: FrontendConfig, backend: str = "jnp") -> np.ndarray:
-    """One utterance → [F_valid, feat_dim] numpy features (oracle layout)."""
+    """One utterance → [F_valid, feat_dim] numpy features (oracle layout).
+
+    x is at cfg.input_sample_rate (== cfg.sample_rate unless resampling)."""
     n = int(np.asarray(x).shape[0])
     audio = jnp.asarray(np.asarray(x), dtype=compute_dtype(cfg))[None, :]
     lengths = jnp.asarray([n], dtype=jnp.int32)
     feat, _ = extract_batch(audio, lengths, cfg, backend=backend)
+    if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
+        from mfcc_tpu.ops import resample
+
+        n = resample.output_length(n, cfg.input_sample_rate, cfg.sample_rate)
     f_valid = cfg.num_frames(n)
     return np.asarray(feat[0, :f_valid])
 

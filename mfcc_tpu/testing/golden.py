@@ -59,14 +59,16 @@ def generate_goldens(configs: dict[str, FrontendConfig] | None = None) -> list[p
     for cname, cfg in configs.items():
         sr = cfg.input_sample_rate or cfg.sample_rate
         for sname, sig in golden_signals(sr).items():
+            sig_input = sig
             if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
-                # resampled configs get goldens after the resample stage is
-                # certified (mfcc_tpu/ops/resample.py); skip resample inside
-                # the oracle itself and feed the target-rate signal.
+                # the oracle chain is defined at the target rate; the
+                # resample oracle is scipy.resample_poly, which the jnp
+                # resampler matches to 1e-15 (tests/test_resample.py).
                 sig = _oracle_resample(sig, cfg.input_sample_rate, cfg.sample_rate)
             stages = ref.extract_stages(sig, cfg)
             payload = {k: stages[k] for k in _STAGES if k in stages}
             payload["signal"] = sig
+            payload["signal_input"] = sig_input  # at cfg.input_sample_rate
             payload["config_hash"] = np.array(cfg.config_hash())
             path = _golden_path(cname, sname)
             np.savez_compressed(path, **payload)

@@ -1,0 +1,96 @@
+"""Polyphase resampler vs scipy.signal.resample_poly (the on-disk ground
+truth, SP _signaltools.py:3866), plus the full 48 kHz end-to-end config."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mfcc_tpu.config import NAMED_CONFIGS
+from mfcc_tpu.ops import chain, resample
+from mfcc_tpu.pipeline import pad_batch
+from mfcc_tpu.testing.golden import load_golden
+from tests.test_jnp_chain import FEATURE_ATOL_FP32, FEATURE_RTOL
+
+
+@pytest.mark.parametrize(
+    "sr_in,sr_out,n",
+    [
+        (48000, 16000, 48123),  # BASELINE config #5 ratio
+        (8000, 16000, 8001),  # upsampling
+        (44100, 16000, 44100),  # fractional (160/441)
+        (22050, 16000, 10007),
+    ],
+)
+def test_matches_scipy_float64(sr_in, sr_out, n):
+    g = np.random.default_rng(3)
+    x = g.standard_normal(n)
+    want = resample.resample_numpy(x, sr_in, sr_out)
+    with jax.enable_x64(True):
+        got = np.asarray(resample.resample_batch(jnp.asarray(x), sr_in, sr_out))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_matches_scipy_float32():
+    g = np.random.default_rng(4)
+    x = g.standard_normal(48000)
+    want = resample.resample_numpy(x, 48000, 16000)
+    got = np.asarray(resample.resample_batch(jnp.asarray(x, jnp.float32), 48000, 16000))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_padded_batch_invariance():
+    """Rows of a zero-padded batch resample to the same values as alone."""
+    g = np.random.default_rng(5)
+    a = g.standard_normal(30000)
+    b = g.standard_normal(48000)
+    batch = np.zeros((2, 48000), dtype=np.float32)
+    batch[0, :30000] = a
+    batch[1] = b
+    out = np.asarray(resample.resample_batch(jnp.asarray(batch), 48000, 16000))
+    alone = np.asarray(
+        resample.resample_batch(jnp.asarray(np.pad(a, (0, 18000)), jnp.float32)[None],
+                                48000, 16000)
+    )
+    n_a = resample.output_length(30000, 48000, 16000)
+    np.testing.assert_array_equal(out[0], alone[0])
+    # valid region matches scipy on the un-padded signal
+    want = resample.resample_numpy(a, 48000, 16000)
+    np.testing.assert_allclose(out[0, :n_a], want, atol=1e-5)
+
+
+def test_output_lengths_traced_matches_host():
+    lens = jnp.asarray([0, 1, 3, 47999, 48000, 48001])
+    got = np.asarray(resample.output_lengths(lens, 48000, 16000))
+    want = [resample.output_length(int(n), 48000, 16000) for n in np.asarray(lens)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mfcc39_48k_end_to_end():
+    """Full 48 kHz chain (BASELINE config #5): 48 kHz audio in, 39-dim
+    MFCC+Δ+ΔΔ out, matching the golden (scipy-resample + fp64 oracle)."""
+    cfg = NAMED_CONFIGS["mfcc39_48k"]
+    for sname in ("speechish", "noise", "tone_offbin"):
+        g = load_golden("mfcc39_48k", sname)
+        feat = chain.extract_single(g["signal_input"], cfg)
+        assert feat.shape == g["features"].shape
+        np.testing.assert_allclose(
+            feat, g["features"], atol=FEATURE_ATOL_FP32, rtol=FEATURE_RTOL
+        )
+
+
+def test_mfcc39_48k_batched():
+    cfg = NAMED_CONFIGS["mfcc39_48k"]
+    gs = [load_golden("mfcc39_48k", n) for n in ("speechish", "short")]
+    sigs = [g["signal_input"] for g in gs]
+    b = pad_batch(sigs, cfg, bucket_len=max(s.shape[0] for s in sigs))
+    feat, mask = chain.extract_batch(jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg)
+    feat = np.asarray(feat)
+    for i, g in enumerate(gs):
+        fv = g["features"].shape[0]
+        np.testing.assert_allclose(
+            feat[i, :fv], g["features"], atol=FEATURE_ATOL_FP32, rtol=FEATURE_RTOL
+        )
+        assert int(np.asarray(mask)[i].sum()) == fv
