@@ -1,0 +1,98 @@
+"""Benchmark: audio-seconds/s per chip for the fused Pallas front-end
+(BASELINE.json metric), batch-64 × 10 s, classic13_deltas (13 MFCC + Δ + ΔΔ).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against the measured reference-chain CPU speed (341
+audio-s/s per core, BASELINE.md — the reference publishes no numbers).
+
+Timing method (see .claude/skills/verify/SKILL.md): the relay platform's
+block_until_ready does not wait, so steps are chained inside one jit via
+lax.scan with per-iteration input perturbation (prevents hoisting), forced
+by a scalar fetch, and timed as the slope between two iteration counts
+(cancels the ~40 ms fetch latency).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+CPU_BASELINE_AUDIO_S_PER_S = 341.0  # BASELINE.md measured reference chain
+B, SECONDS = 64, 10
+I1, I2 = 5, 55
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from mfcc_tpu.config import named_config
+    from mfcc_tpu.ops import chain
+    from mfcc_tpu.pipeline import pad_batch
+
+    cfg = named_config("classic13_deltas")
+    g = np.random.default_rng(0)
+    sr = cfg.sample_rate
+    bb = pad_batch(
+        [g.standard_normal(sr * SECONDS) for _ in range(B)],
+        cfg,
+        bucket_len=sr * SECONDS,
+    )
+    audio, lengths = jnp.asarray(bb.audio), jnp.asarray(bb.lengths)
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def chained(audio, lengths, iters):
+        def body(_, i):
+            a = audio * (1.0 + 1e-6 * i)
+            feat, _ = chain.extract_batch(a, lengths, cfg, backend=backend)
+            return 0, feat.sum()
+        _, outs = jax.lax.scan(body, 0, jnp.arange(iters, dtype=jnp.float32))
+        return outs.sum()
+
+    # warm both programs (first remote compile can take minutes; retry once)
+    for attempt in range(2):
+        try:
+            float(chained(audio, lengths, I1))
+            float(chained(audio, lengths, I2))
+            break
+        except Exception:
+            if attempt:
+                raise
+            time.sleep(5)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(chained(audio, lengths, I1))
+        ta = time.time() - t0
+        t0 = time.time()
+        float(chained(audio, lengths, I2))
+        tb = time.time() - t0
+        best = min(best, (tb - ta) / (I2 - I1))
+
+    value = B * SECONDS / best
+    print(
+        json.dumps(
+            {
+                "metric": "audio_seconds_per_s_per_chip",
+                "value": round(value, 1),
+                "unit": "audio-s/s",
+                "vs_baseline": round(value / CPU_BASELINE_AUDIO_S_PER_S, 2),
+                "platform": jax.default_backend(),
+                "backend": backend,
+                "ms_per_step": round(best * 1e3, 4),
+                "batch": B,
+                "utterance_s": SECONDS,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,226 @@
+"""mfcc_tpu CLI.
+
+Commands:
+  extract     wav files → feature shards (streaming, resumable, DP-sharded)
+  apply-cmvn  second pass: normalize existing shards with global stats
+  info        devices / mesh / config dump
+
+The reference's entire driver was `for wav in wavs: mfcc(wav)` (SURVEY.md
+§3.1); this is its production form: threaded decode → bucketed padded
+batches → pjit over the data mesh → trimmed shard writes with resume
+markers → global CMVN moments via the mesh collective.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globlib
+import logging
+import pathlib
+import sys
+
+import numpy as np
+
+log = logging.getLogger("mfcc_tpu.cli")
+
+
+def _expand_files(patterns) -> list[str]:
+    out = []
+    for p in patterns:
+        if any(ch in p for ch in "*?["):
+            out.extend(sorted(globlib.glob(p, recursive=True)))
+        elif pathlib.Path(p).is_dir():
+            out.extend(sorted(str(q) for q in pathlib.Path(p).rglob("*.wav")))
+        else:
+            out.append(p)
+    return out
+
+
+def cmd_extract(args) -> int:
+    import jax
+
+    from mfcc_tpu import named_config
+    from mfcc_tpu.io import DecodeStats, ShardWriter, shard_files, stream_batches, trim_batch
+    from mfcc_tpu.parallel import CmvnAccumulator, data_mesh, sharded_extract_batch
+    from mfcc_tpu.parallel.mesh import distributed_init, pad_batch_to_shards
+    from mfcc_tpu.utils import MetricsLogger
+
+    distributed_init()
+    cfg = named_config(args.config)
+    files = _expand_files(args.files)
+    if not files:
+        log.error("no input files matched")
+        return 2
+    files = shard_files(files, jax.process_index(), jax.process_count())
+    log.info(
+        "process %d/%d: %d files, config=%s (%s)",
+        jax.process_index(), jax.process_count(), len(files),
+        args.config, cfg.config_hash(),
+    )
+
+    mesh = data_mesh()
+    n_dev = mesh.shape["data"]
+    batch_size = pad_batch_to_shards(args.batch_size, mesh)
+
+    writer = ShardWriter(args.output_dir, cfg)
+    metrics = MetricsLogger(
+        args.metrics,
+        context={"process": jax.process_index(), "config": args.config},
+    )
+    stats = DecodeStats()
+    want_moments = cfg.cmvn == "global" or args.cmvn_stats is not None
+    acc = CmvnAccumulator(cfg.feat_dim) if want_moments else None
+    if acc is not None and args.cmvn_stats and pathlib.Path(args.cmvn_stats).exists() and args.resume:
+        acc = CmvnAccumulator.load(args.cmvn_stats)
+        log.info("resumed CMVN moments: n=%s", acc.n)
+
+    shard_idx = 0
+    host = f"h{jax.process_index()}"
+    backend = args.backend
+    for batch in stream_batches(
+        files, cfg, batch_size=batch_size, max_len_s=args.max_len_s,
+        num_threads=args.threads, stats=stats,
+    ):
+        shard_name = f"{host}-{shard_idx:06d}"
+        shard_idx += 1
+        real_ids = [i for i in batch.ids if i is not None]
+        if args.resume and writer.is_done(shard_name, real_ids):
+            metrics.add(shards_skipped=1, utterances=len(real_ids))
+            continue
+        feat, mask, moments = sharded_extract_batch(
+            batch.audio, batch.lengths, cfg, mesh,
+            backend=backend, with_moments=want_moments,
+        )
+        if acc is not None:
+            acc.add(*(np.asarray(m) for m in moments))
+        trimmed = trim_batch(feat, mask)[: len(real_ids)]
+        writer.write(shard_name, real_ids, trimmed)
+        metrics.add(
+            shards=1,
+            utterances=len(real_ids),
+            frames=sum(t.shape[0] for t in trimmed),
+            audio_seconds=float(batch.lengths.sum())
+            / (cfg.input_sample_rate or cfg.sample_rate),
+        )
+        metrics.set(pad_occupancy=batch.pad_occupancy, devices=n_dev)
+        if shard_idx % args.log_every == 0:
+            snap = metrics.emit()
+            log.info(
+                "%d shards, %.0f utt, %.1f audio-s/s",
+                snap.get("shards", 0), snap.get("utterances", 0),
+                snap.get("audio_s_per_s", 0.0),
+            )
+
+    metrics.set(
+        decode_errors=stats.errors, wrong_rate=stats.wrong_rate,
+        truncated=stats.truncated,
+    )
+    snap = metrics.emit("done")
+    if acc is not None and acc.n > 0:
+        stats_path = args.cmvn_stats or str(
+            pathlib.Path(args.output_dir) / f"cmvn_moments_{host}.npz"
+        )
+        acc.save(stats_path)
+        log.info("CMVN moments (n=%.0f frames) -> %s", acc.n, stats_path)
+        if cfg.cmvn == "global":
+            log.info(
+                "run `mfcc_tpu apply-cmvn %s --stats %s --config %s` to "
+                "normalize (merging per-host moment files first if multi-host)",
+                args.output_dir, stats_path, args.config,
+            )
+    log.info(
+        "done: %d utterances, %d decode errors, %d wrong-rate, %d truncated",
+        stats.decoded, stats.errors, stats.wrong_rate, stats.truncated,
+    )
+    return 0
+
+
+def cmd_apply_cmvn(args) -> int:
+    """Pass 2 of global CMVN: normalize every shard in place with the
+    finalized corpus stats (merged over all moment files given)."""
+    import jax.numpy as jnp
+
+    from mfcc_tpu import named_config
+    from mfcc_tpu.parallel import CmvnAccumulator
+
+    cfg = named_config(args.config)
+    acc = CmvnAccumulator(cfg.feat_dim)
+    for mpath in args.stats:
+        acc.merge(CmvnAccumulator.load(mpath))
+    stats = acc.finalize(cfg)
+    mean = stats.mean.astype(np.float32)
+    std = stats.std.astype(np.float32)
+    n = 0
+    for spath in sorted(pathlib.Path(args.shard_dir).glob("*.npz")):
+        with np.load(spath, allow_pickle=False) as z:
+            if "features" not in z.files:  # e.g. a cmvn moments checkpoint
+                continue
+            feats, offsets, ids = z["features"], z["offsets"], z["ids"]
+        feats = (feats - mean) / std if cfg.cmvn_var_norm else feats - mean
+        tmp = spath.with_name(spath.stem + ".tmp.npz")
+        np.savez_compressed(tmp, features=feats.astype(np.float32),
+                            offsets=offsets, ids=ids)
+        tmp.rename(spath)
+        n += 1
+    log.info("normalized %d shards with corpus stats (n=%.0f frames)", n, stats.n)
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from mfcc_tpu import NAMED_CONFIGS
+
+    print(f"jax {jax.__version__}  backend={jax.default_backend()}")
+    print(f"devices: {jax.devices()}")
+    print(f"process {jax.process_index()}/{jax.process_count()}")
+    print("named configs:")
+    for name, cfg in NAMED_CONFIGS.items():
+        print(
+            f"  {name:24s} sr={cfg.sample_rate} in_sr={cfg.input_sample_rate or '-'} "
+            f"mels={cfg.n_mels} feat={cfg.features}:{cfg.feat_dim} cmvn={cfg.cmvn} "
+            f"hash={cfg.config_hash()}"
+        )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mfcc_tpu", description=__doc__)
+    p.add_argument("-v", "--verbose", action="store_true")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    e = sub.add_parser("extract", help="extract features from wav files")
+    e.add_argument("files", nargs="+", help="wav paths, globs, or directories")
+    e.add_argument("--config", default="classic13")
+    e.add_argument("--output-dir", "-o", required=True)
+    e.add_argument("--backend", choices=["jnp", "pallas"], default="pallas")
+    e.add_argument("--batch-size", type=int, default=64)
+    e.add_argument("--max-len-s", type=float, default=10.0)
+    e.add_argument("--threads", type=int, default=4)
+    e.add_argument("--resume", action=argparse.BooleanOptionalAction, default=True)
+    e.add_argument("--cmvn-stats", default=None,
+                   help="path for global CMVN moment checkpoint")
+    e.add_argument("--metrics", default=None, help="JSON-lines metrics file")
+    e.add_argument("--log-every", type=int, default=10)
+    e.set_defaults(fn=cmd_extract)
+
+    a = sub.add_parser("apply-cmvn", help="normalize shards with global stats")
+    a.add_argument("shard_dir")
+    a.add_argument("--stats", nargs="+", required=True,
+                   help="one or more cmvn moment .npz files (merged)")
+    a.add_argument("--config", default="classic13")
+    a.set_defaults(fn=cmd_apply_cmvn)
+
+    i = sub.add_parser("info", help="show devices and configs")
+    i.set_defaults(fn=cmd_info)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        stream=sys.stderr,
+    )
+    return args.fn(args)

@@ -1,0 +1,171 @@
+// Fast RIFF/WAVE PCM decoder — the native host-side hot loop of the feed
+// pipeline (SURVEY.md §6: "the true end-to-end bottleneck is host I/O +
+// decode"). Parses the chunk structure, then converts PCM samples to
+// float32 with optional channel downmix, all in one pass.
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image). The Python
+// twin (mfcc_tpu/io/wav.py) implements identical semantics in numpy and is
+// the correctness reference; tests assert byte-identical float output.
+//
+// Supported: PCM 8/16/24/32-bit, IEEE float32/float64, WAVE_FORMAT_EXTENSIBLE
+// wrappers of those; arbitrary channel counts (mean-downmix or channel 0).
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Error codes (keep in sync with wav.py::_DECODE_ERRORS)
+enum : int32_t {
+  WAV_OK = 0,
+  WAV_ERR_TRUNCATED = -1,
+  WAV_ERR_NOT_RIFF = -2,
+  WAV_ERR_NO_FMT = -3,
+  WAV_ERR_BAD_FORMAT = -4,
+  WAV_ERR_NO_DATA = -5,
+  WAV_ERR_BAD_BITS = -6,
+  WAV_ERR_OUT_TOO_SMALL = -7,
+};
+
+struct WavInfo {
+  int32_t sample_rate;
+  int32_t channels;
+  int32_t bits_per_sample;
+  int32_t format;       // 1 = PCM, 3 = IEEE float
+  int64_t num_frames;   // samples per channel
+  int64_t data_offset;  // byte offset of sample data
+  int64_t data_size;    // bytes of sample data
+};
+
+static uint32_t rd_u32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;  // WAV is little-endian; so are our hosts
+}
+static uint16_t rd_u16(const uint8_t* p) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  return v;
+}
+
+// Parse the RIFF structure. Returns WAV_OK or an error code.
+int32_t wav_parse(const uint8_t* buf, int64_t len, WavInfo* info) {
+  if (len < 12) return WAV_ERR_TRUNCATED;
+  if (std::memcmp(buf, "RIFF", 4) != 0 || std::memcmp(buf + 8, "WAVE", 4) != 0)
+    return WAV_ERR_NOT_RIFF;
+  int64_t pos = 12;
+  bool have_fmt = false;
+  std::memset(info, 0, sizeof(*info));
+  while (pos + 8 <= len) {
+    const uint8_t* hdr = buf + pos;
+    uint32_t chunk_size = rd_u32(hdr + 4);
+    int64_t body = pos + 8;
+    if (std::memcmp(hdr, "fmt ", 4) == 0) {
+      if (body + 16 > len) return WAV_ERR_TRUNCATED;
+      uint16_t fmt = rd_u16(buf + body);
+      uint16_t channels = rd_u16(buf + body + 2);
+      uint32_t rate = rd_u32(buf + body + 4);
+      uint16_t bits = rd_u16(buf + body + 14);
+      if (fmt == 0xFFFE) {  // WAVE_FORMAT_EXTENSIBLE: real format in GUID
+        if (body + 26 > len) return WAV_ERR_TRUNCATED;
+        uint16_t cb = rd_u16(buf + body + 16);
+        if (cb >= 22 && body + 18 + 22 <= len)
+          fmt = rd_u16(buf + body + 18 + 6);
+        else
+          return WAV_ERR_BAD_FORMAT;
+      }
+      if (fmt != 1 && fmt != 3) return WAV_ERR_BAD_FORMAT;
+      if (channels == 0) return WAV_ERR_BAD_FORMAT;
+      info->format = fmt;
+      info->channels = channels;
+      info->sample_rate = (int32_t)rate;
+      info->bits_per_sample = bits;
+      have_fmt = true;
+    } else if (std::memcmp(hdr, "data", 4) == 0) {
+      info->data_offset = body;
+      int64_t avail = len - body;
+      info->data_size = (int64_t)chunk_size < avail ? (int64_t)chunk_size : avail;
+    }
+    pos = body + chunk_size + (chunk_size & 1);  // chunks are word-aligned
+  }
+  if (!have_fmt) return WAV_ERR_NO_FMT;
+  if (info->data_offset == 0) return WAV_ERR_NO_DATA;
+  int32_t bytes_per = info->bits_per_sample / 8;
+  if (info->format == 1 && !(info->bits_per_sample == 8 || info->bits_per_sample == 16 ||
+                             info->bits_per_sample == 24 || info->bits_per_sample == 32))
+    return WAV_ERR_BAD_BITS;
+  if (info->format == 3 && !(info->bits_per_sample == 32 || info->bits_per_sample == 64))
+    return WAV_ERR_BAD_BITS;
+  if (bytes_per == 0) return WAV_ERR_BAD_BITS;
+  info->num_frames = info->data_size / ((int64_t)bytes_per * info->channels);
+  return WAV_OK;
+}
+
+// Decode to float32. Scaling matches the numpy twin:
+//   int16  -> raw sample values (the tutorial/scipy convention: no /32768)
+//   int8   -> (v - 128) * 256        (centered, int16 range)
+//   int24  -> v / 256                (int16 range)
+//   int32  -> v / 65536              (int16 range)
+//   float  -> v * 32768              (int16 range)
+// downmix: 0 = channel 0, 1 = mean over channels.
+int32_t wav_decode_f32(const uint8_t* buf, int64_t len, int32_t downmix,
+                       float* out, int64_t out_cap, WavInfo* info) {
+  int32_t rc = wav_parse(buf, len, info);
+  if (rc != WAV_OK) return rc;
+  if (info->num_frames > out_cap) return WAV_ERR_OUT_TOO_SMALL;
+  const uint8_t* d = buf + info->data_offset;
+  const int64_t n = info->num_frames;
+  const int c = info->channels;
+  const float inv_c = 1.0f / (float)c;
+
+  auto emit = [&](auto read_one, int stride) {
+    if (c == 1) {
+      for (int64_t i = 0; i < n; ++i) out[i] = read_one(d + i * stride);
+    } else if (downmix == 0) {
+      for (int64_t i = 0; i < n; ++i) out[i] = read_one(d + i * stride * c);
+    } else {
+      for (int64_t i = 0; i < n; ++i) {
+        float acc = 0.f;
+        const uint8_t* p = d + i * (int64_t)stride * c;
+        for (int ch = 0; ch < c; ++ch) acc += read_one(p + ch * stride);
+        out[i] = acc * inv_c;
+      }
+    }
+  };
+
+  if (info->format == 1) {
+    switch (info->bits_per_sample) {
+      case 8:
+        emit([](const uint8_t* p) { return ((float)*p - 128.0f) * 256.0f; }, 1);
+        break;
+      case 16:
+        emit([](const uint8_t* p) {
+          int16_t v; std::memcpy(&v, p, 2); return (float)v; }, 2);
+        break;
+      case 24:
+        emit([](const uint8_t* p) {
+          int32_t v = (int32_t)((uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+                                ((uint32_t)p[2] << 16));
+          if (v & 0x800000) v |= (int32_t)0xFF000000;
+          return (float)v / 256.0f; }, 3);
+        break;
+      case 32:
+        emit([](const uint8_t* p) {
+          int32_t v; std::memcpy(&v, p, 4); return (float)v / 65536.0f; }, 4);
+        break;
+      default:
+        return WAV_ERR_BAD_BITS;
+    }
+  } else {  // IEEE float
+    if (info->bits_per_sample == 32) {
+      emit([](const uint8_t* p) {
+        float v; std::memcpy(&v, p, 4); return v * 32768.0f; }, 4);
+    } else {
+      emit([](const uint8_t* p) {
+        double v; std::memcpy(&v, p, 8); return (float)(v * 32768.0); }, 8);
+    }
+  }
+  return WAV_OK;
+}
+
+}  // extern "C"

@@ -1,0 +1,227 @@
+"""WAV decode: numpy reference implementation + ctypes binding to the C++
+fast path (io/csrc/wavdec.cpp), compiled on first use and cached.
+
+Scaling convention (both paths identical, tested byte-for-byte): samples are
+returned as float32 in the *int16 value range* — PCM16 values pass through
+raw, other widths are rescaled to it. This is the tutorial/psf lineage the
+reference belongs to (scipy.io.wavfile.read returns raw int16 [SP
+scipy/io/wavfile.py:615]; tutorials feed those values directly into the
+chain), and it keeps goldens independent of bit depth.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import pathlib
+import struct
+import subprocess
+import tempfile
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_CSRC = pathlib.Path(__file__).resolve().parent / "csrc" / "wavdec.cpp"
+
+_DECODE_ERRORS = {
+    -1: "truncated file",
+    -2: "not a RIFF/WAVE file",
+    -3: "missing fmt chunk",
+    -4: "unsupported format tag",
+    -5: "missing data chunk",
+    -6: "unsupported bits per sample",
+    -7: "output buffer too small",
+}
+
+
+class WavError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# C++ fast path
+# ---------------------------------------------------------------------------
+
+
+class _WavInfo(ctypes.Structure):
+    _fields_ = [
+        ("sample_rate", ctypes.c_int32),
+        ("channels", ctypes.c_int32),
+        ("bits_per_sample", ctypes.c_int32),
+        ("format", ctypes.c_int32),
+        ("num_frames", ctypes.c_int64),
+        ("data_offset", ctypes.c_int64),
+        ("data_size", ctypes.c_int64),
+    ]
+
+
+_lib = None
+_lib_tried = False
+
+
+def _build_library() -> ctypes.CDLL | None:
+    """Compile wavdec.cpp to a shared object in a cache dir; ctypes-load it."""
+    cache = pathlib.Path(
+        os.environ.get("MFCC_TPU_CACHE", tempfile.gettempdir())
+    ) / "mfcc_tpu_native"
+    cache.mkdir(parents=True, exist_ok=True)
+    so = cache / "libwavdec.so"
+    if not so.exists() or so.stat().st_mtime < _CSRC.stat().st_mtime:
+        cmd = [
+            os.environ.get("CXX", "g++"), "-O3", "-march=native", "-shared",
+            "-fPIC", "-std=c++17", str(_CSRC), "-o", str(so),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, FileNotFoundError) as e:
+            log.warning("wavdec C++ build failed (%s); using numpy decoder", e)
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError as e:  # pragma: no cover
+        log.warning("wavdec load failed (%s); using numpy decoder", e)
+        return None
+    lib.wav_decode_f32.restype = ctypes.c_int32
+    lib.wav_decode_f32.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.POINTER(_WavInfo),
+    ]
+    lib.wav_parse.restype = ctypes.c_int32
+    lib.wav_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(_WavInfo)]
+    return lib
+
+
+def _native():
+    global _lib, _lib_tried
+    if not _lib_tried:
+        _lib_tried = True
+        _lib = _build_library()
+    return _lib
+
+
+def _decode_native(data: bytes, downmix: str) -> tuple[int, np.ndarray] | None:
+    lib = _native()
+    if lib is None:
+        return None
+    info = _WavInfo()
+    rc = lib.wav_parse(data, len(data), ctypes.byref(info))
+    if rc != 0:
+        raise WavError(_DECODE_ERRORS.get(rc, f"decode error {rc}"))
+    out = np.empty(info.num_frames, dtype=np.float32)
+    rc = lib.wav_decode_f32(
+        data, len(data), 1 if downmix == "mean" else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out.shape[0],
+        ctypes.byref(info),
+    )
+    if rc != 0:
+        raise WavError(_DECODE_ERRORS.get(rc, f"decode error {rc}"))
+    return int(info.sample_rate), out
+
+
+# ---------------------------------------------------------------------------
+# numpy reference path (identical semantics)
+# ---------------------------------------------------------------------------
+
+
+def _decode_numpy(data: bytes, downmix: str) -> tuple[int, np.ndarray]:
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavError("not a RIFF/WAVE file" if len(data) >= 12 else "truncated file")
+    pos, fmt = 12, None
+    d_off = d_size = 0
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            if body + 16 > len(data):
+                raise WavError("truncated file")
+            tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", data, body)
+            if tag == 0xFFFE:
+                (cb,) = struct.unpack_from("<H", data, body + 16)
+                if cb < 22:
+                    raise WavError("unsupported format tag")
+                (tag,) = struct.unpack_from("<H", data, body + 24)
+            if tag not in (1, 3) or ch == 0:
+                raise WavError("unsupported format tag")
+            fmt = (tag, ch, rate, bits)
+        elif cid == b"data":
+            d_off, d_size = body, min(csize, len(data) - body)
+        pos = body + csize + (csize & 1)
+    if fmt is None:
+        raise WavError("missing fmt chunk")
+    if d_off == 0:
+        raise WavError("missing data chunk")
+    tag, ch, rate, bits = fmt
+    raw = data[d_off : d_off + d_size]
+    if tag == 1:
+        if bits == 8:
+            x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) * 256.0
+        elif bits == 16:
+            x = np.frombuffer(raw[: len(raw) // 2 * 2], "<i2").astype(np.float32)
+        elif bits == 24:
+            b = np.frombuffer(raw[: len(raw) // 3 * 3], np.uint8).reshape(-1, 3)
+            v = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            v = np.where(v & 0x800000, v | ~0xFFFFFF, v)
+            x = v.astype(np.float32) / 256.0
+        elif bits == 32:
+            x = np.frombuffer(raw[: len(raw) // 4 * 4], "<i4").astype(np.float32) / 65536.0
+        else:
+            raise WavError("unsupported bits per sample")
+    else:
+        if bits == 32:
+            x = np.frombuffer(raw[: len(raw) // 4 * 4], "<f4").astype(np.float32) * 32768.0
+        elif bits == 64:
+            x = (np.frombuffer(raw[: len(raw) // 8 * 8], "<f8") * 32768.0).astype(np.float32)
+        else:
+            raise WavError("unsupported bits per sample")
+    n = x.shape[0] // ch
+    x = x[: n * ch].reshape(n, ch)
+    x = x.mean(axis=1) if (downmix == "mean" and ch > 1) else x[:, 0]
+    return int(rate), np.ascontiguousarray(x, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def decode_wav_bytes(
+    data: bytes, downmix: str = "first", native: bool | None = None
+) -> tuple[int, np.ndarray]:
+    """bytes → (sample_rate, float32 mono samples in int16 range).
+
+    downmix: "first" (channel 0) or "mean". native=None tries the C++
+    decoder and falls back to numpy; True/False force a path.
+    """
+    if downmix not in ("first", "mean"):
+        raise ValueError(f"downmix={downmix!r}")
+    if native is not False:
+        got = _decode_native(data, downmix)
+        if got is not None:
+            return got
+        if native is True:
+            raise RuntimeError("native wav decoder unavailable")
+    return _decode_numpy(data, downmix)
+
+
+def read_wav(path, downmix: str = "first", native: bool | None = None):
+    with open(path, "rb") as f:
+        return decode_wav_bytes(f.read(), downmix=downmix, native=native)
+
+
+def write_wav(path, sample_rate: int, samples: np.ndarray) -> None:
+    """Minimal PCM16 writer (tests/fixtures only). Values clipped to int16."""
+    x = np.clip(np.asarray(samples), -32768, 32767).astype("<i2")
+    data = x.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                 sample_rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    with open(path, "wb") as f:
+        f.write(hdr + data)

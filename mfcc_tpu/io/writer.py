@@ -1,0 +1,104 @@
+"""Shard output writing + resume manifests (SURVEY.md §5 checkpoint row).
+
+Each processed shard writes one `<name>.npz` holding the trimmed features of
+its utterances (ragged storage: one concatenated [ΣF_i, D] array + offsets +
+ids) and a `done/<name>.json` marker recording the config hash and an input
+fingerprint. A restarted run skips shards whose marker matches — extraction
+is idempotent and resumable per shard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import pathlib
+import time
+
+import numpy as np
+
+from mfcc_tpu.config import FrontendConfig
+
+
+def input_fingerprint(ids: list) -> str:
+    h = hashlib.sha256()
+    for i in ids:
+        h.update(str(i).encode())
+        h.update(b"\0")
+    return h.hexdigest()[:16]
+
+
+class ShardWriter:
+    def __init__(self, out_dir, cfg: FrontendConfig):
+        self.out_dir = pathlib.Path(out_dir)
+        self.done_dir = self.out_dir / "done"
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.done_dir.mkdir(parents=True, exist_ok=True)
+        self.cfg = cfg
+
+    def _marker(self, shard_name: str) -> pathlib.Path:
+        return self.done_dir / f"{shard_name}.json"
+
+    def is_done(self, shard_name: str, ids: list) -> bool:
+        """True iff the shard was fully written for the same inputs+config."""
+        marker = self._marker(shard_name)
+        if not marker.exists():
+            return False
+        try:
+            meta = json.loads(marker.read_text())
+        except (OSError, json.JSONDecodeError):
+            return False
+        return (
+            meta.get("config_hash") == self.cfg.config_hash()
+            and meta.get("input_fingerprint") == input_fingerprint(ids)
+            and (self.out_dir / f"{shard_name}.npz").exists()
+        )
+
+    def write(self, shard_name: str, ids: list, features: list[np.ndarray]) -> pathlib.Path:
+        """features: per-utterance [F_i, D] arrays (already mask-trimmed)."""
+        if len(ids) != len(features):
+            raise ValueError("ids/features length mismatch")
+        lengths = np.array([f.shape[0] for f in features], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
+        flat = (
+            np.concatenate(features, axis=0)
+            if features
+            else np.zeros((0, self.cfg.feat_dim), dtype=np.float32)
+        )
+        path = self.out_dir / f"{shard_name}.npz"
+        # np.savez appends ".npz" unless the name already ends with it
+        tmp = self.out_dir / f"{shard_name}.tmp.npz"
+        np.savez_compressed(
+            tmp,
+            features=flat.astype(np.float32),
+            offsets=offsets,
+            ids=np.array([str(i) for i in ids]),
+        )
+        tmp.rename(path)  # atomic: readers never see partial shards
+        self._marker(shard_name).write_text(
+            json.dumps(
+                {
+                    "config_hash": self.cfg.config_hash(),
+                    "input_fingerprint": input_fingerprint(ids),
+                    "num_utterances": len(ids),
+                    "num_frames": int(lengths.sum()),
+                    "written_at": time.time(),
+                }
+            )
+        )
+        return path
+
+
+def read_shard(path) -> dict:
+    """Load a shard back into {id: [F, D]} (consumer-side convenience)."""
+    with np.load(path, allow_pickle=False) as z:
+        feats, offsets, ids = z["features"], z["offsets"], z["ids"]
+    return {
+        str(ids[i]): feats[offsets[i] : offsets[i + 1]] for i in range(len(ids))
+    }
+
+
+def trim_batch(features, frame_mask) -> list[np.ndarray]:
+    """[B, F, D] + [B, F] → list of [F_i, D] valid-frame arrays."""
+    features = np.asarray(features)
+    n_valid = np.asarray(frame_mask).sum(axis=1).astype(int)
+    return [features[i, : n_valid[i]] for i in range(features.shape[0])]

@@ -1,0 +1,105 @@
+"""CLI end-to-end on the CPU mesh: extract → shards match the oracle,
+resume skips, global CMVN two-pass normalizes (SURVEY.md §3.4 pipeline)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mfcc_tpu.cli import main as cli_entry
+from mfcc_tpu.config import NAMED_CONFIGS
+from mfcc_tpu.io import read_shard, write_wav
+from mfcc_tpu.ops import reference_numpy as ref
+from tests.test_jnp_chain import FEATURE_ATOL_FP32, FEATURE_RTOL
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    g = np.random.default_rng(11)
+    paths, sigs = [], {}
+    for i, n in enumerate([8000, 23000, 5000, 41000, 16000, 2000, 31000]):
+        x = (g.standard_normal(n) * 3000.0).astype(np.int16)
+        p = tmp_path / f"utt{i}.wav"
+        write_wav(p, 16000, x)
+        paths.append(str(p))
+        sigs[str(p)] = x.astype(np.float64)
+    return paths, sigs
+
+
+def run_cli(*argv):
+    return cli_entry(list(argv))
+
+
+def test_extract_matches_oracle(corpus, tmp_path):
+    paths, sigs = corpus
+    out = tmp_path / "feats"
+    rc = run_cli(
+        "extract", *paths, "--config", "classic13", "-o", str(out),
+        "--backend", "jnp", "--batch-size", "4", "--threads", "2",
+        "--metrics", str(tmp_path / "m.jsonl"),
+    )
+    assert rc == 0
+    shards = sorted(out.glob("*.npz"))
+    assert shards
+    got = {}
+    for s in shards:
+        got.update(read_shard(s))
+    assert sorted(got) == sorted(paths)
+    cfg = NAMED_CONFIGS["classic13"]
+    for p in paths:
+        want = ref.extract(sigs[p], cfg)
+        np.testing.assert_allclose(
+            got[p], want, atol=FEATURE_ATOL_FP32, rtol=FEATURE_RTOL
+        )
+    # metrics file has progress lines with counters
+    lines = [json.loads(l) for l in (tmp_path / "m.jsonl").read_text().splitlines()]
+    assert lines[-1]["event"] == "done"
+    assert lines[-1]["utterances"] == len(paths)
+
+
+def test_extract_resume_skips(corpus, tmp_path, caplog):
+    paths, _ = corpus
+    out = tmp_path / "feats"
+    args = ("extract", *paths, "--config", "classic13", "-o", str(out),
+            "--backend", "jnp", "--batch-size", "4", "--threads", "1",
+            "--metrics", str(tmp_path / "m.jsonl"))
+    assert run_cli(*args) == 0
+    mtimes = {p: p.stat().st_mtime_ns for p in out.glob("*.npz")}
+    assert run_cli(*args) == 0  # second run: every shard skipped
+    for p in out.glob("*.npz"):
+        assert p.stat().st_mtime_ns == mtimes[p], "resume rewrote a shard"
+    lines = [json.loads(l) for l in (tmp_path / "m.jsonl").read_text().splitlines()]
+    assert lines[-1].get("shards_skipped", 0) == len(mtimes)
+
+
+def test_global_cmvn_two_pass(corpus, tmp_path):
+    paths, sigs = corpus
+    out = tmp_path / "feats"
+    # stats INSIDE the shard dir: apply-cmvn must skip non-shard npz files
+    stats = out / "cmvn.npz"
+    rc = run_cli(
+        "extract", *paths, "--config", "classic13_deltas_gcmvn", "-o", str(out),
+        "--backend", "jnp", "--batch-size", "4", "--threads", "2",
+        "--cmvn-stats", str(stats), "--no-resume",
+    )
+    assert rc == 0
+    assert stats.exists()
+    rc = run_cli("apply-cmvn", str(out), "--stats", str(stats),
+                 "--config", "classic13_deltas_gcmvn")
+    assert rc == 0
+    feats = {}
+    for s in sorted(out.glob("h0-*.npz")):
+        feats.update(read_shard(s))
+    allf = np.concatenate(list(feats.values()), axis=0)
+    np.testing.assert_allclose(allf.mean(axis=0), 0.0, atol=1e-3)
+    np.testing.assert_allclose(allf.var(axis=0), 1.0, atol=2e-2)
+
+
+def test_info_runs(capsys):
+    assert run_cli("info") == 0
+    out = capsys.readouterr().out
+    assert "classic13" in out and "devices" in out
+
+
+def test_extract_no_files(tmp_path):
+    assert run_cli("extract", str(tmp_path / "none*.wav"), "-o", str(tmp_path)) == 2

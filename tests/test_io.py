@@ -1,0 +1,197 @@
+"""I/O layer: C++ decoder == numpy twin byte-for-byte, scipy agreement,
+corrupt-file resilience, bucketed streaming, shard write/resume."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from mfcc_tpu.config import NAMED_CONFIGS
+from mfcc_tpu.io import (
+    DecodeStats,
+    ShardWriter,
+    WavError,
+    decode_wav_bytes,
+    read_shard,
+    read_wav,
+    shard_files,
+    stream_batches,
+    trim_batch,
+    write_wav,
+)
+from mfcc_tpu.io.wav import _decode_numpy, _native
+
+
+def _pcm16_bytes(sr, samples, channels=1):
+    x = np.asarray(samples).astype("<i2")
+    data = x.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sr, sr * 2 * channels, 2 * channels, 16
+    )
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def test_native_available():
+    assert _native() is not None, "C++ wav decoder failed to build"
+
+
+def test_pcm16_native_equals_numpy_and_scipy(tmp_path):
+    import scipy.io.wavfile
+
+    g = np.random.default_rng(0)
+    x = (g.standard_normal(12345) * 8000).astype(np.int16)
+    p = tmp_path / "x.wav"
+    scipy.io.wavfile.write(p, 16000, x)
+    sr_n, a = read_wav(p, native=True)
+    sr_p, b = read_wav(p, native=False)
+    assert sr_n == sr_p == 16000
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, x.astype(np.float32))  # raw int16 values
+
+
+@pytest.mark.parametrize("bits,dtype_write", [(32, "<i4"), (8, "u1")])
+def test_other_pcm_widths(bits, dtype_write):
+    g = np.random.default_rng(1)
+    n = 1000
+    if bits == 32:
+        raw = (g.standard_normal(n) * 2**28).astype("<i4")
+        body = raw.tobytes()
+        want = raw.astype(np.float32) / 65536.0
+    else:
+        raw = g.integers(0, 256, n).astype("u1")
+        body = raw.tobytes()
+        want = (raw.astype(np.float32) - 128.0) * 256.0
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, 16000, 16000 * bits // 8, bits // 8, bits
+    )
+    hdr += b"data" + struct.pack("<I", len(body))
+    for native in (True, False):
+        sr, x = decode_wav_bytes(hdr + body, native=native)
+        np.testing.assert_array_equal(x, want)
+
+
+def test_float32_wav_and_stereo_downmix():
+    g = np.random.default_rng(2)
+    x = g.standard_normal((500, 2)).astype("<f4") * 0.5
+    body = x.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 2, 16000, 16000 * 8, 8, 32)
+    hdr += b"data" + struct.pack("<I", len(body))
+    for native in (True, False):
+        sr, first = decode_wav_bytes(hdr + body, downmix="first", native=native)
+        sr, mean = decode_wav_bytes(hdr + body, downmix="mean", native=native)
+        np.testing.assert_allclose(first, x[:, 0] * 32768.0, rtol=1e-6)
+        np.testing.assert_allclose(mean, x.mean(axis=1) * 32768.0, rtol=1e-5)
+
+
+def test_pcm24():
+    vals = np.array([0, 1, -1, 8388607, -8388608, 123456], dtype=np.int64)
+    body = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 44100, 44100 * 3, 3, 24)
+    hdr += b"data" + struct.pack("<I", len(body))
+    want = vals.astype(np.float32) / 256.0
+    for native in (True, False):
+        sr, x = decode_wav_bytes(hdr + body, native=native)
+        assert sr == 44100
+        np.testing.assert_array_equal(x, want)
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"RIFFxxxx",
+        b"NOPE" + b"\0" * 100,
+        b"RIFF" + struct.pack("<I", 4) + b"WAVE",  # no chunks
+        _pcm16_bytes(16000, np.zeros(4))[:30],  # truncated mid-fmt
+    ],
+)
+def test_corrupt_raises_both_paths(data):
+    for native in (True, False):
+        with pytest.raises((WavError, ValueError)):
+            decode_wav_bytes(data, native=native)
+
+
+def test_write_read_roundtrip(tmp_path):
+    g = np.random.default_rng(3)
+    x = (g.standard_normal(4567) * 5000).astype(np.int16)
+    p = tmp_path / "rt.wav"
+    write_wav(p, 8000, x)
+    sr, back = read_wav(p)
+    assert sr == 8000
+    np.testing.assert_array_equal(back, x.astype(np.float32))
+
+
+def test_stream_batches_with_corrupt_files(tmp_path):
+    cfg = NAMED_CONFIGS["classic13"]
+    g = np.random.default_rng(4)
+    paths = []
+    for i, n in enumerate([4000, 50000, 120000, 9000, 70000]):
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, 16000, (g.standard_normal(n) * 1000).astype(np.int16))
+        paths.append(p)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFF garbage not a wav")
+    paths.insert(2, bad)
+    missing = tmp_path / "missing.wav"
+    paths.append(missing)
+
+    stats = DecodeStats()
+    batches = list(
+        stream_batches(paths, cfg, batch_size=4, max_len_s=10.0, stats=stats)
+    )
+    got_ids = [i for b in batches for i in b.ids if i is not None]
+    assert sorted(str(p) for p in got_ids) == sorted(
+        str(p) for p in paths if p not in (bad, missing)
+    )
+    assert stats.errors == 2
+    assert stats.decoded == 5
+    # batch rows are padded to batch_size for shape stability
+    assert all(b.audio.shape[0] == 4 for b in batches)
+
+
+def test_stream_batches_truncates_overlong(tmp_path):
+    cfg = NAMED_CONFIGS["classic13"]
+    p = tmp_path / "long.wav"
+    write_wav(p, 16000, np.zeros(16000 * 13, dtype=np.int16))
+    stats = DecodeStats()
+    batches = list(stream_batches([p], cfg, batch_size=1, max_len_s=10.0, stats=stats))
+    assert stats.truncated == 1
+    assert batches[0].lengths[0] <= 10.1 * 16000
+
+
+def test_shard_files_partition():
+    files = list(range(10))
+    parts = [shard_files(files, i, 3) for i in range(3)]
+    assert sorted(x for p in parts for x in p) == files
+    assert all(abs(len(p) - 10 / 3) < 1.5 for p in parts)
+
+
+def test_shard_writer_resume(tmp_path):
+    cfg = NAMED_CONFIGS["classic13"]
+    w = ShardWriter(tmp_path / "out", cfg)
+    ids = ["a.wav", "b.wav"]
+    feats = [np.ones((5, 13), np.float32), np.zeros((3, 13), np.float32)]
+    assert not w.is_done("shard0", ids)
+    path = w.write("shard0", ids, feats)
+    assert w.is_done("shard0", ids)
+    back = read_shard(path)
+    np.testing.assert_array_equal(back["a.wav"], feats[0])
+    np.testing.assert_array_equal(back["b.wav"], feats[1])
+    # different inputs or config -> not done
+    assert not w.is_done("shard0", ["a.wav", "c.wav"])
+    w2 = ShardWriter(tmp_path / "out", cfg.replace(n_mels=40))
+    assert not w2.is_done("shard0", ids)
+
+
+def test_trim_batch():
+    feat = np.arange(2 * 4 * 3, dtype=np.float32).reshape(2, 4, 3)
+    mask = np.array([[1, 1, 0, 0], [1, 1, 1, 1]], np.float32)
+    out = trim_batch(feat, mask)
+    assert out[0].shape == (2, 3) and out[1].shape == (4, 3)
+    np.testing.assert_array_equal(out[0], feat[0, :2])
