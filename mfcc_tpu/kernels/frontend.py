@@ -61,19 +61,25 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=32)
 def kernel_constants(cfg: FrontendConfig):
-    """Float64-folded, fp32-cast kernel matrices.
+    """Float64-folded, fp32-cast kernel matrices in the packed 2*n_bins
+    layout.
 
     Returns dict with:
-      dft:  [nc, S, 2*KB]  — per-chunk-shift rows of the windowed, scaled
-                             DFT matrix; lanes [0:KB] = cos, [KB:2KB] = -sin.
-      mel:  [2*KB? no, KB, MP] — mel filterbank (cols [0:M]) + energy column
-                             (col M) + zero padding.
-      dims: (nc, S, KB, MP)
+      dft:   [KW, K2] — windowed, scaled DFT matrix; lanes [0:NB] = cos,
+             [NB:2NB] = sin, rest zero; rows >= frame_length zero (so the
+             chunk tail beyond the frame contributes nothing). KW = nc*S.
+      dft_h/dft_l: bf16 hi/lo split of dft for the 3-pass path.
+      mel:   [K2, MP] — mel filterbank rows DUPLICATED over the cos and sin
+             blocks, so melspec = (re·re+im·im)@mel happens without ever
+             slicing re/im apart: pspec-equivalent = reim² @ mel_dup.
+             Column n_mels is all-ones over both blocks => frame energy.
+      dims: (nc, S, K2, MP)
     """
     L, S = cfg.frame_length, cfg.frame_step
     nc = max(1, -(-L // S))  # ceil(L/S) chunk shifts cover one frame
     KW = nc * S  # samples the kernel "sees" per frame (>= L; tail zeroed)
-    KB = _round_up(cfg.n_bins, LANE)
+    NB = cfg.n_bins
+    K2 = _round_up(2 * NB, LANE)  # 640 for 257 bins (vs 768 if padded apart)
     if cfg.n_mels + 1 > LANE:
         mp = _round_up(cfg.n_mels + 1, LANE)
     else:
@@ -82,25 +88,35 @@ def kernel_constants(cfg: FrontendConfig):
     host = C.chain_constants(cfg)
     w = host["window"]  # [L] float64
     n = np.arange(L, dtype=np.float64)[:, None]
-    k = np.arange(cfg.n_bins, dtype=np.float64)[None, :]
+    k = np.arange(NB, dtype=np.float64)[None, :]
     ang = -2.0 * np.pi * n * k / cfg.n_fft
     scale = (1.0 / np.sqrt(cfg.n_fft)) if cfg.power_scale_nfft else 1.0
-    cos = w[:, None] * np.cos(ang) * scale  # [L, n_bins]
+    cos = w[:, None] * np.cos(ang) * scale  # [L, NB]
     sin = w[:, None] * np.sin(ang) * scale
 
-    dft = np.zeros((KW, 2 * KB), dtype=np.float64)
-    dft[:L, : cfg.n_bins] = cos
-    dft[:L, KB : KB + cfg.n_bins] = sin
-    dft = dft.reshape(nc, S, 2 * KB)
+    dft = np.zeros((KW, K2), dtype=np.float64)
+    dft[:L, :NB] = cos
+    dft[:L, NB : 2 * NB] = sin
 
-    mel = np.zeros((KB, mp), dtype=np.float64)
-    mel[: cfg.n_bins, : cfg.n_mels] = host["mel"]
-    mel[: cfg.n_bins, cfg.n_mels] = 1.0  # energy column
+    mel = np.zeros((K2, mp), dtype=np.float64)
+    mel[:NB, : cfg.n_mels] = host["mel"]
+    mel[NB : 2 * NB, : cfg.n_mels] = host["mel"]
+    mel[: 2 * NB, cfg.n_mels] = 1.0  # energy column (sums re² and im²)
+
+    # bf16 hi/lo split of the DFT matrix for the 3-pass path (precomputed so
+    # the kernel splits only the audio operand at runtime).
+    import ml_dtypes
+
+    dft32 = dft.astype(np.float32)
+    dft_h = dft32.astype(ml_dtypes.bfloat16)
+    dft_l = (dft32 - dft_h.astype(np.float32)).astype(ml_dtypes.bfloat16)
 
     return {
-        "dft": dft.astype(np.float32),
+        "dft": dft32,
+        "dft_h": dft_h,
+        "dft_l": dft_l,
         "mel": mel.astype(np.float32),
-        "dims": (nc, S, KB, mp),
+        "dims": (nc, S, K2, mp),
     }
 
 
@@ -109,33 +125,52 @@ def kernel_constants(cfg: FrontendConfig):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(cfg: FrontendConfig, nc: int, kb: int, mp: int, block_frames: int):
+def _make_kernel(
+    cfg: FrontendConfig, nc: int, k2: int, mp: int, block_frames: int,
+    dft_passes: str,
+):
     eps = float(cfg.log_eps)
     n_mels = cfg.n_mels
     log_kind = cfg.log_kind
 
     def kernel(*refs):
-        # refs: nc chunk refs [1, FBLK, S], dft ref [nc, S, 2KB],
-        #       mel ref [KB, MP], out ref [1, FBLK, MP]
+        # refs: nc chunk refs [1, FBLK, S], then one fp32 dft ref [KW, K2]
+        #       (fp32 path) or hi/lo bf16 dft refs (bf16x3), then mel ref
+        #       [K2, MP], out ref [1, FBLK, MP]
         chunk_refs = refs[:nc]
-        dft_ref, mel_ref, out_ref = refs[nc], refs[nc + 1], refs[nc + 2]
-
-        # precision=HIGHEST: the TPU MXU multiplies in bf16 by default, which
-        # costs ~3 decimal digits and breaks the 1e-4 gate; HIGHEST selects
-        # the multi-pass fp32 algorithm (measured: default gave 1.4e-3 rel
-        # error on energy vs the fp32 twin; HIGHEST restores 1e-6 agreement).
         hi = jax.lax.Precision.HIGHEST
-        reim = jnp.zeros((block_frames, 2 * kb), dtype=jnp.float32)
-        for i in range(nc):
-            reim = reim + jnp.dot(
-                chunk_refs[i][0], dft_ref[i],
-                preferred_element_type=jnp.float32, precision=hi,
+        # One wide matmul beats nc narrow ones: K=KW=480 uses 94% of the
+        # MXU's K-tiling vs 62% for three K=160 passes (measured 1.3x).
+        frames = jnp.concatenate([c[0] for c in chunk_refs], axis=-1)
+        if dft_passes == "bf16x3":
+            # 3-pass compensated matmul: both operands split into bf16
+            # hi+lo; the al@bl term (~2^-16 relative) is dropped. ~1.9x
+            # faster than precision=HIGHEST (bf16x6) but its ~1e-4 loud-bin
+            # log-mel error fails the strict oracle gate — offered for
+            # throughput-first log-mel extraction, not default.
+            dft_h, dft_l = refs[nc], refs[nc + 1]
+            mel_ref, out_ref = refs[nc + 2], refs[nc + 3]
+            ah = frames.astype(jnp.bfloat16)
+            al = (frames - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            reim = jnp.dot(ah, dft_h[:], preferred_element_type=jnp.float32)
+            reim = reim + jnp.dot(al, dft_h[:], preferred_element_type=jnp.float32)
+            reim = reim + jnp.dot(ah, dft_l[:], preferred_element_type=jnp.float32)
+        else:
+            # precision=HIGHEST: the TPU MXU multiplies in bf16 by default,
+            # which costs ~3 decimal digits and breaks the 1e-4 gate;
+            # HIGHEST selects the 6-pass fp32 algorithm.
+            dft_ref = refs[nc]
+            mel_ref, out_ref = refs[nc + 1], refs[nc + 2]
+            reim = jnp.dot(
+                frames, dft_ref[:], preferred_element_type=jnp.float32,
+                precision=hi,
             )
-        re = reim[:, :kb]
-        im = reim[:, kb:]
-        pspec = re * re + im * im  # lanes >= n_bins are exactly zero
+        # packed layout: lanes [0:NB]=re, [NB:2NB]=im, rest 0. The mel rows
+        # are duplicated over both blocks, so reim² @ mel == pspec @ mel_fb
+        # without ever slicing re/im apart (no relayout).
+        pspec2 = reim * reim
         proj = jnp.dot(
-            pspec, mel_ref[:], preferred_element_type=jnp.float32, precision=hi
+            pspec2, mel_ref[:], preferred_element_type=jnp.float32, precision=hi
         )
 
         clamped = jnp.where(proj <= 0.0, eps, proj)
@@ -164,12 +199,12 @@ def _make_kernel(cfg: FrontendConfig, nc: int, kb: int, mp: int, block_frames: i
 
 def _fused_logmel_energy(
     y: jnp.ndarray, cfg: FrontendConfig, num_frames: int, block_frames: int,
-    interpret: bool,
+    interpret: bool, dft_passes: str,
 ) -> jnp.ndarray:
     """y: preemphasized, tail-zeroed audio [B, T] → [B, num_frames, MP] where
     lanes [0:M] are log-mel, lane M is (clamped, unlogged) frame energy."""
     k = kernel_constants(cfg)
-    nc, S, kb, mp = k["dims"]
+    nc, S, k2, mp = k["dims"]
     B = y.shape[0]
 
     # Shrink the block for short batches so a 1-s utterance doesn't pay for
@@ -188,17 +223,25 @@ def _fused_logmel_energy(
     chunk_spec = pl.BlockSpec(
         (1, block_frames, S), lambda b, f: (b, f, 0), memory_space=pltpu.VMEM
     )
-    in_specs = [chunk_spec] * nc + [
-        pl.BlockSpec((nc, S, 2 * kb), lambda b, f: (0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((kb, mp), lambda b, f: (0, 0), memory_space=pltpu.VMEM),
-    ]
+    dft_spec = pl.BlockSpec(
+        (nc * S, k2), lambda b, f: (0, 0), memory_space=pltpu.VMEM
+    )
+    mel_spec = pl.BlockSpec((k2, mp), lambda b, f: (0, 0), memory_space=pltpu.VMEM)
+    if dft_passes == "bf16x3":
+        consts = [jnp.asarray(k["dft_h"]), jnp.asarray(k["dft_l"]), jnp.asarray(k["mel"])]
+        in_specs = [chunk_spec] * nc + [dft_spec, dft_spec, mel_spec]
+        n_passes = 3
+    else:
+        consts = [jnp.asarray(k["dft"]), jnp.asarray(k["mel"])]
+        in_specs = [chunk_spec] * nc + [dft_spec, mel_spec]
+        n_passes = 6
     out_spec = pl.BlockSpec(
         (1, block_frames, mp), lambda b, f: (b, f, 0), memory_space=pltpu.VMEM
     )
 
-    flops_per_block = 2 * block_frames * (nc * S * 2 * kb + kb * mp)
+    flops_per_block = 2 * block_frames * (nc * S * k2 * n_passes // 2 + k2 * mp)
     out = pl.pallas_call(
-        _make_kernel(cfg, nc, kb, mp, block_frames),
+        _make_kernel(cfg, nc, k2, mp, block_frames, dft_passes),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -209,7 +252,7 @@ def _fused_logmel_energy(
             transcendentals=B * fp * mp,
         ),
         interpret=interpret,
-    )(*views, jnp.asarray(k["dft"]), jnp.asarray(k["mel"]))
+    )(*views, *consts)
     return out[:, :num_frames]
 
 
@@ -220,6 +263,7 @@ def fused_logmel_stages(
     *,
     block_frames: int = 256,
     interpret: bool | None = None,
+    dft_passes: str = "fp32",
 ) -> dict[str, jnp.ndarray]:
     """Drop-in fused replacement for ops.chain.logmel_stages.
 
@@ -238,10 +282,12 @@ def fused_logmel_stages(
             f"dtype={cfg.dtype!r}"
         )
 
+    if dft_passes not in ("bf16x3", "fp32"):
+        raise ValueError(f"dft_passes={dft_passes!r} not in ('bf16x3', 'fp32')")
     F = cfg.num_frames(audio.shape[-1])
     audio = audio.astype(jnp.float32)
     y = chain.zero_beyond(chain.preemphasis(audio, cfg.preemph), lengths)
-    out = _fused_logmel_energy(y, cfg, F, block_frames, interpret)
+    out = _fused_logmel_energy(y, cfg, F, block_frames, interpret, dft_passes)
 
     logmel = out[..., : cfg.n_mels]
     energy = out[..., cfg.n_mels]

@@ -95,15 +95,21 @@ def test_kernel_constants_structure():
 
     cfg = NAMED_CONFIGS["classic13"]
     k = kernel_constants(cfg)
-    nc, S, kb, mp = k["dims"]
+    nc, S, k2, mp = k["dims"]
     assert (nc, S) == (3, 160)
-    assert kb % 128 == 0 and mp % 128 == 0
-    dft = k["dft"].reshape(nc * S, 2 * kb)
-    # rows beyond the frame length and cols beyond n_bins are exactly zero
+    assert k2 % 128 == 0 and mp % 128 == 0
+    assert k2 == 640  # packed [cos|sin] layout: round_up(2*257, 128)
+    dft = k["dft"]
+    nb = cfg.n_bins
+    # rows beyond the frame length and lanes beyond 2*n_bins exactly zero
+    assert dft.shape == (nc * S, k2)
     assert (dft[cfg.frame_length :] == 0).all()
-    assert (dft[:, cfg.n_bins : kb] == 0).all()
-    assert (dft[:, kb + cfg.n_bins :] == 0).all()
-    # energy column of the mel matrix is 1 over real bins, 0 over padding
+    assert (dft[:, 2 * nb :] == 0).all()
+    # bf16 split reconstructs fp32 exactly to lo precision
+    rec = k["dft_h"].astype(np.float32) + k["dft_l"].astype(np.float32)
+    assert np.abs(rec - dft).max() < 2e-5
+    # mel rows duplicated over cos and sin blocks; energy col all-ones there
     mel = k["mel"]
-    assert (mel[: cfg.n_bins, cfg.n_mels] == 1.0).all()
-    assert (mel[cfg.n_bins :, :] == 0).all()
+    np.testing.assert_array_equal(mel[:nb, : cfg.n_mels], mel[nb : 2 * nb, : cfg.n_mels])
+    assert (mel[: 2 * nb, cfg.n_mels] == 1.0).all()
+    assert (mel[2 * nb :, :] == 0).all()
