@@ -44,9 +44,14 @@ def cmd_extract(args) -> int:
     from mfcc_tpu.parallel import CmvnAccumulator, data_mesh, sharded_extract_batch
     from mfcc_tpu.parallel.mesh import distributed_init, pad_batch_to_shards
     from mfcc_tpu.utils import MetricsLogger
+    from mfcc_tpu.utils import trace as trace_mod
 
     distributed_init()
-    cfg = named_config(args.config)
+    try:
+        cfg = named_config(args.config)
+    except KeyError as e:
+        log.error("%s", e.args[0])
+        return 2
     files = _expand_files(args.files)
     if not files:
         log.error("no input files matched")
@@ -77,24 +82,17 @@ def cmd_extract(args) -> int:
     shard_idx = 0
     host = f"h{jax.process_index()}"
     backend = args.backend
-    for batch in stream_batches(
-        files, cfg, batch_size=batch_size, max_len_s=args.max_len_s,
-        num_threads=args.threads, stats=stats,
-    ):
-        shard_name = f"{host}-{shard_idx:06d}"
-        shard_idx += 1
-        real_ids = [i for i in batch.ids if i is not None]
-        if args.resume and writer.is_done(shard_name, real_ids):
-            metrics.add(shards_skipped=1, utterances=len(real_ids))
-            continue
-        feat, mask, moments = sharded_extract_batch(
-            batch.audio, batch.lengths, cfg, mesh,
-            backend=backend, with_moments=want_moments,
-        )
+    in_flight = None  # (shard_name, real_ids, batch, feat, mask, moments)
+
+    def complete(entry) -> None:
+        """Finish one dispatched batch: pull arrays, trim, write, count.
+        Runs while the NEXT batch computes on device (async dispatch)."""
+        shard_name, real_ids, batch, feat, mask, moments = entry
         if acc is not None:
             acc.add(*(np.asarray(m) for m in moments))
-        trimmed = trim_batch(feat, mask)[: len(real_ids)]
-        writer.write(shard_name, real_ids, trimmed)
+        with trace_mod.annotate("shard_write"):
+            trimmed = trim_batch(feat, mask)[: len(real_ids)]
+            writer.write(shard_name, real_ids, trimmed)
         metrics.add(
             shards=1,
             utterances=len(real_ids),
@@ -110,6 +108,29 @@ def cmd_extract(args) -> int:
                 snap.get("shards", 0), snap.get("utterances", 0),
                 snap.get("audio_s_per_s", 0.0),
             )
+
+    with trace_mod.trace(args.profile_dir):
+        for batch in stream_batches(
+            files, cfg, batch_size=batch_size, max_len_s=args.max_len_s,
+            num_threads=args.threads, stats=stats,
+        ):
+            shard_name = f"{host}-{shard_idx:06d}"
+            shard_idx += 1
+            real_ids = [i for i in batch.ids if i is not None]
+            if args.resume and writer.is_done(shard_name, real_ids):
+                metrics.add(shards_skipped=1, utterances=len(real_ids))
+                continue
+            with trace_mod.annotate("dispatch"):
+                feat, mask, moments = sharded_extract_batch(
+                    batch.audio, batch.lengths, cfg, mesh,
+                    backend=backend, with_moments=want_moments,
+                )
+            # one batch in flight: write shard N-1 while N computes
+            if in_flight is not None:
+                complete(in_flight)
+            in_flight = (shard_name, real_ids, batch, feat, mask, moments)
+        if in_flight is not None:
+            complete(in_flight)
 
     metrics.set(
         decode_errors=stats.errors, wrong_rate=stats.wrong_rate,
@@ -202,6 +223,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="path for global CMVN moment checkpoint")
     e.add_argument("--metrics", default=None, help="JSON-lines metrics file")
     e.add_argument("--log-every", type=int, default=10)
+    e.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler (xprof) trace here")
     e.set_defaults(fn=cmd_extract)
 
     a = sub.add_parser("apply-cmvn", help="normalize shards with global stats")

@@ -49,30 +49,44 @@ def _decode_worker(
     work: "queue.Queue", out: "queue.Queue", expect_sr: int,
     downmix: str, native: bool | None, stats: DecodeStats, lock: threading.Lock,
 ):
-    while True:
-        item = work.get()
-        if item is _SENTINEL:
-            out.put(_SENTINEL)
-            return
-        idx, path = item
-        try:
-            sr, samples = wav.read_wav(path, downmix=downmix, native=native)
-        except (OSError, ValueError) as e:
-            log.warning("skipping %s: %s", path, e)
+    # The finally guarantees the sentinel even if this thread dies on an
+    # unexpected exception — otherwise the consumer would wait for a
+    # sentinel that never comes (fault-injection test in test_structure.py).
+    try:
+        while True:
+            item = work.get()
+            if item is _SENTINEL:
+                return
+            idx, path = item
+            try:
+                sr, samples = wav.read_wav(path, downmix=downmix, native=native)
+            except (OSError, ValueError) as e:
+                log.warning("skipping %s: %s", path, e)
+                with lock:
+                    stats.errors += 1
+                out.put((idx, None, None))
+                continue
+            except BaseException:
+                # unexpected: report the gap before propagating, so the
+                # reorder buffer never waits on this index
+                with lock:
+                    stats.errors += 1
+                out.put((idx, None, None))
+                raise
+            if sr != expect_sr:
+                log.warning(
+                    "skipping %s: sample rate %d != expected %d", path, sr, expect_sr
+                )
+                with lock:
+                    stats.wrong_rate += 1
+                out.put((idx, None, None))
+                continue
             with lock:
-                stats.errors += 1
-            out.put((idx, None, None))
-            continue
-        if sr != expect_sr:
-            log.warning("skipping %s: sample rate %d != expected %d", path, sr, expect_sr)
-            with lock:
-                stats.wrong_rate += 1
-            out.put((idx, None, None))
-            continue
-        with lock:
-            stats.decoded += 1
-            stats.audio_seconds += samples.shape[0] / sr
-        out.put((idx, path, samples))
+                stats.decoded += 1
+                stats.audio_seconds += samples.shape[0] / sr
+            out.put((idx, path, samples))
+    finally:
+        out.put(_SENTINEL)
 
 
 def decode_stream(
@@ -110,14 +124,30 @@ def decode_stream(
     done = 0
     next_idx = 0
     held: dict[int, tuple] = {}
-    while done < num_threads or held or next_idx < len(paths):
+    while next_idx < len(paths):
         if next_idx in held:
             path, samples = held.pop(next_idx)
             next_idx += 1
             if path is not None:
                 yield path, samples
             continue
-        if done == num_threads and next_idx >= len(paths) and not held:
+        if done >= num_threads:
+            # every worker has exited: drain stragglers, then release the
+            # rest in order treating still-missing indices as skipped
+            # (possible only if workers died with unprocessed work items)
+            while True:
+                try:
+                    item = out.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not _SENTINEL:
+                    idx, path, samples = item
+                    held[idx] = (path, samples)
+            while next_idx < len(paths):
+                entry = held.pop(next_idx, None)
+                next_idx += 1
+                if entry is not None and entry[0] is not None:
+                    yield entry[0], entry[1]
             break
         item = out.get()
         if item is _SENTINEL:

@@ -1,9 +1,14 @@
-"""Sharded batch extraction: pjit of the feature chain over the data mesh.
+"""Sharded batch extraction: shard_map of the feature chain over the data
+mesh.
 
 The chain has no cross-utterance coupling (except global CMVN moments), so
-sharding is pure DP: in_shardings split the batch axis, every stage runs
-locally, and only `batch_moments` (when requested) reduces across chips
-(SURVEY.md §3.4 planned call stack).
+sharding is pure DP — and it is made *explicit* with shard_map rather than
+left to the pjit partitioner: XLA's FFT partitioning rule all-gathers the
+full batch onto every device (observed in the compiled HLO on the 8-device
+test mesh — a total scaling collapse for the rfft backend). Under
+shard_map every stage runs on its local shard by construction, and the only
+collective is the psum of the CMVN moment triple (SURVEY.md §2.3); the HLO
+is asserted collective-free in tests/test_structure.py.
 """
 
 from __future__ import annotations
@@ -24,12 +29,33 @@ from mfcc_tpu.parallel.mesh import DATA_AXIS
     jax.jit, static_argnames=("cfg", "backend", "mesh", "with_moments")
 )
 def _sharded_extract(audio, lengths, cfg, backend, mesh, with_moments):
-    feat, mask = chain.extract_batch(audio, lengths, cfg, backend=backend)
-    shard = NamedSharding(mesh, P(DATA_AXIS))
-    feat = jax.lax.with_sharding_constraint(feat, shard)
+    def local_step(a, l):
+        feat, mask = chain.extract_batch(a, l, cfg, backend=backend)
+        if with_moments:
+            s1, s2, n = cmvn_mod.batch_moments(feat, mask)
+            s1 = jax.lax.psum(s1, DATA_AXIS)
+            s2 = jax.lax.psum(s2, DATA_AXIS)
+            n = jax.lax.psum(n, DATA_AXIS)
+            return feat, mask, s1, s2, n
+        return feat, mask
+
+    data, rep = P(DATA_AXIS), P()
     if with_moments:
-        s1, s2, n = cmvn_mod.batch_moments(feat, mask)
+        out_specs = (data, data, rep, rep, rep)
+    else:
+        out_specs = (data, data)
+    # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no vma
+    # annotation, which the shard_map varying-axis checker rejects; the
+    # specs above are the full truth (batch-sharded outputs, replicated
+    # moments) so the check adds nothing here.
+    out = jax.shard_map(
+        local_step, mesh=mesh, in_specs=(data, data), out_specs=out_specs,
+        check_vma=False,
+    )(audio, lengths)
+    if with_moments:
+        feat, mask, s1, s2, n = out
         return feat, mask, (s1, s2, n)
+    feat, mask = out
     return feat, mask, None
 
 
