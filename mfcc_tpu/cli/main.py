@@ -63,7 +63,9 @@ def cmd_extract(args) -> int:
         args.config, cfg.config_hash(),
     )
 
-    mesh = data_mesh()
+    # local mesh: per-host batch counts differ, so no cross-host collective
+    # may appear in the per-batch step (see parallel.mesh.data_mesh)
+    mesh = data_mesh(local=True)
     n_dev = mesh.shape["data"]
     batch_size = pad_batch_to_shards(args.batch_size, mesh)
 

@@ -46,9 +46,20 @@ def distributed_init(
         )
 
 
-def data_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D data-parallel mesh over all (or the first n) global devices."""
-    devices = jax.devices()
+def data_mesh(n_devices: int | None = None, local: bool = False) -> Mesh:
+    """1-D data-parallel mesh over all (or the first n) devices.
+
+    local=True uses only this process's devices. The streaming CLI MUST use
+    a local mesh: per-host file shards produce different batch counts per
+    host, so any cross-host collective inside the per-batch step would
+    deadlock the lockstep pjit semantics. Global-CMVN moments therefore
+    reduce across chips *within* a host per batch (psum over the local
+    mesh) and across hosts via the per-host moment checkpoints merged by
+    `apply-cmvn` — one deterministic merge instead of a per-batch DCN
+    collective. Use the global mesh (local=False) only for lockstep
+    workloads where every process executes identical steps.
+    """
+    devices = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
