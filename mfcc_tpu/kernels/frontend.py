@@ -120,6 +120,116 @@ def kernel_constants(cfg: FrontendConfig):
     }
 
 
+def radix4_applicable(cfg: FrontendConfig) -> bool:
+    """The factorized DFT needs n_fft = 4*N2 with N2 a lane multiple (so the
+    stage-1 butterflies are 128-aligned lane slices) and the frame inside
+    n_fft. Covers every standard config (512, 1024, 2048-point FFTs)."""
+    n2 = cfg.n_fft // 4
+    return (
+        cfg.n_fft % 4 == 0
+        and n2 % LANE == 0
+        and cfg.frame_length <= cfg.n_fft
+        and cfg.n_bins <= cfg.n_fft // 2 + 1
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def radix4_constants(cfg: FrontendConfig):
+    """Constants for the radix-4 DIF factorized real DFT.
+
+    X[4q+s] = DFT_{N2}(z_s)[q] with z_s[n] = W_N^{ns} * Σ_{a<4} x[n+a*N2] W_4^{as}
+    (N = n_fft, N2 = N/4). Real input ⇒ s=3 is the conjugate mirror of s=1
+    (|X| equal), so only s ∈ {0,1,2} are computed: stage 1 is pure VPU work
+    on 128-aligned lane blocks (window fold + butterflies + twiddles), stage
+    2 is three dense MXU matmuls totalling 2.3x fewer MACs than the direct
+    [KW, 2NB] DFT matmul. The scrambled output ordering is absorbed by
+    permuting the mel-matrix rows (bin k's weights land on the lanes that
+    carry |X[k]|; conjugate-duplicate lanes get zero weight).
+
+    Returns: win4 [4, N2] (window slices, zero beyond frame_length),
+    tw [4, N2] (c1, d1, c2, d2 of W_N^{ns}), f0 [N2, 2N2], f1 [2N2, 2N2],
+    f2 [2N2, N2], mel [5N2, MP] (+ energy column), dims (nc, S, N2, MP).
+    """
+    assert radix4_applicable(cfg)
+    L, S = cfg.frame_length, cfg.frame_step
+    N = cfg.n_fft
+    N2 = N // 4
+    NB = cfg.n_bins
+    nc = -(-N // S)  # chunk views needed to cover n_fft samples (4 for 512/160)
+    if cfg.n_mels + 1 > LANE:
+        mp = _round_up(cfg.n_mels + 1, LANE)
+    else:
+        mp = LANE
+
+    host = C.chain_constants(cfg)
+    win4 = np.zeros((4, N2), dtype=np.float64)
+    wfull = np.zeros(N, dtype=np.float64)
+    wfull[:L] = host["window"]
+    win4[:] = wfull.reshape(4, N2)
+
+    n = np.arange(N2, dtype=np.float64)
+    tw = np.stack([
+        np.cos(2 * np.pi * n * 1 / N), np.sin(2 * np.pi * n * 1 / N),
+        np.cos(2 * np.pi * n * 2 / N), np.sin(2 * np.pi * n * 2 / N),
+    ])  # [4, N2]: c1, d1, c2, d2
+
+    scale = (1.0 / np.sqrt(N)) if cfg.power_scale_nfft else 1.0
+    q = np.arange(N2, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * n[:, None] * q / N2
+    Cm = np.cos(ang) * scale  # [N2, N2]
+    Sm = np.sin(ang) * scale  # the IMAG part of W_{N2}^{nq} (already negative)
+
+    # s=0: real input -> [zr] @ [C | S] = [Xre | Xim]
+    f0 = np.concatenate([Cm, Sm], axis=1)  # [N2, 2N2]
+    # s=1: complex input [zr|zi] @ [[C, S], [-S, C]] = [Xre | Xim]
+    f1 = np.block([[Cm, Sm], [-Sm, Cm]])  # [2N2, 2N2]
+    # s=2: only q < N2/2 needed (bins 4q+2 <= N/2); trim columns
+    h = N2 // 2
+    f2 = np.block([[Cm[:, :h], Sm[:, :h]], [-Sm[:, :h], Cm[:, :h]]])  # [2N2, N2]
+
+    # mel rows permuted to the scrambled lane order:
+    # lanes [0,2N2):   s=0, Xre q<N2 then Xim q<N2
+    # lanes [2N2,4N2): s=1, Xre then Xim
+    # lanes [4N2,5N2): s=2, Xre q<h then Xim q<h
+    melfb = host["mel"]  # [NB, n_mels]
+    mel = np.zeros((5 * N2, mp), dtype=np.float64)
+    covered = set()
+
+    def bin_of(s, qq):
+        k = 4 * qq + s
+        if k < NB:
+            return k
+        kc = N - k
+        return kc if 0 <= kc < NB else None
+
+    def assign(lane_re, lane_im, s, qq):
+        k = bin_of(s, qq)
+        if k is None or k in covered:
+            return
+        covered.add(k)
+        for lane in (lane_re, lane_im):
+            mel[lane, : cfg.n_mels] = melfb[k]
+            mel[lane, cfg.n_mels] = 1.0  # energy column
+
+    for qq in range(N2):
+        assign(qq, N2 + qq, 0, qq)
+    for qq in range(N2):
+        assign(2 * N2 + qq, 3 * N2 + qq, 1, qq)
+    for qq in range(h):
+        assign(4 * N2 + qq, 4 * N2 + h + qq, 2, qq)
+    assert len(covered) == NB, (len(covered), NB)
+
+    return {
+        "win4": win4.astype(np.float32),
+        "tw": tw.astype(np.float32),
+        "f0": f0.astype(np.float32),
+        "f1": f1.astype(np.float32),
+        "f2": f2.astype(np.float32),
+        "mel": mel.astype(np.float32),
+        "dims": (nc, S, N2, mp),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Kernel body
 # ---------------------------------------------------------------------------
@@ -197,14 +307,68 @@ def _make_kernel(
 # ---------------------------------------------------------------------------
 
 
+def _make_radix4_kernel(cfg: FrontendConfig, n2: int, mp: int, block_frames: int):
+    eps = float(cfg.log_eps)
+    n_mels = cfg.n_mels
+    log_kind = cfg.log_kind
+    hi = jax.lax.Precision.HIGHEST
+
+    def kernel(c0, c1, c2, c3, win_ref, tw_ref, f0_ref, f1_ref, f2_ref,
+               mel_ref, out_ref):
+        frames = jnp.concatenate([c0[0], c1[0], c2[0], c3[0]], axis=-1)
+        # stage 1 (VPU): windowed 128-aligned quarter blocks, radix-4
+        # butterflies, twiddles. s=3 skipped: real input makes it the
+        # conjugate mirror of s=1.
+        x = [frames[:, a * n2 : (a + 1) * n2] * win_ref[a] for a in range(4)]
+        s0 = x[0] + x[1] + x[2] + x[3]
+        s1r = x[0] - x[2]
+        s1i = x[3] - x[1]
+        s2 = x[0] - x[1] + x[2] - x[3]
+        c1t, d1t, c2t, d2t = tw_ref[0], tw_ref[1], tw_ref[2], tw_ref[3]
+        z1r = c1t * s1r + d1t * s1i
+        z1i = c1t * s1i - d1t * s1r
+        z2r = c2t * s2
+        z2i = -d2t * s2
+        # stage 2 (MXU): three dense DFT_{N2} matmuls
+        x0 = jnp.dot(s0, f0_ref[:], preferred_element_type=jnp.float32,
+                     precision=hi)
+        x1 = jnp.dot(jnp.concatenate([z1r, z1i], axis=-1), f1_ref[:],
+                     preferred_element_type=jnp.float32, precision=hi)
+        x2 = jnp.dot(jnp.concatenate([z2r, z2i], axis=-1), f2_ref[:],
+                     preferred_element_type=jnp.float32, precision=hi)
+        y = jnp.concatenate([x0, x1, x2], axis=-1)  # [FBLK, 5*N2]
+        proj = jnp.dot(y * y, mel_ref[:], preferred_element_type=jnp.float32,
+                       precision=hi)
+
+        clamped = jnp.where(proj <= 0.0, eps, proj)
+        if log_kind == "ln":
+            logged = jnp.log(clamped)
+        elif log_kind == "ln_stab":
+            logged = jnp.log(proj + 1e-6)
+        elif log_kind == "db":
+            logged = 10.0 * jnp.log10(clamped)
+        else:  # pragma: no cover - config validates
+            raise ValueError(log_kind)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (block_frames, mp), 1)
+        out_ref[0] = jnp.where(
+            lane < n_mels, logged, jnp.where(lane == n_mels, clamped, 0.0)
+        )
+
+    return kernel
+
+
 def _fused_logmel_energy(
     y: jnp.ndarray, cfg: FrontendConfig, num_frames: int, block_frames: int,
     interpret: bool, dft_passes: str,
 ) -> jnp.ndarray:
     """y: preemphasized, tail-zeroed audio [B, T] → [B, num_frames, MP] where
     lanes [0:M] are log-mel, lane M is (clamped, unlogged) frame energy."""
-    k = kernel_constants(cfg)
-    nc, S, k2, mp = k["dims"]
+    if dft_passes == "radix4":
+        k = radix4_constants(cfg)
+        nc, S, n2, mp = k["dims"]
+    else:
+        k = kernel_constants(cfg)
+        nc, S, k2, mp = k["dims"]
     B = y.shape[0]
 
     # Shrink the block for short batches so a 1-s utterance doesn't pay for
@@ -223,31 +387,40 @@ def _fused_logmel_energy(
     chunk_spec = pl.BlockSpec(
         (1, block_frames, S), lambda b, f: (b, f, 0), memory_space=pltpu.VMEM
     )
-    dft_spec = pl.BlockSpec(
-        (nc * S, k2), lambda b, f: (0, 0), memory_space=pltpu.VMEM
-    )
-    mel_spec = pl.BlockSpec((k2, mp), lambda b, f: (0, 0), memory_space=pltpu.VMEM)
-    if dft_passes == "bf16x3":
-        consts = [jnp.asarray(k["dft_h"]), jnp.asarray(k["dft_l"]), jnp.asarray(k["mel"])]
-        in_specs = [chunk_spec] * nc + [dft_spec, dft_spec, mel_spec]
-        n_passes = 3
-    else:
-        consts = [jnp.asarray(k["dft"]), jnp.asarray(k["mel"])]
-        in_specs = [chunk_spec] * nc + [dft_spec, mel_spec]
-        n_passes = 6
+
+    def full_spec(arr):
+        nd = arr.ndim
+        return pl.BlockSpec(
+            arr.shape, lambda b, f, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
+        )
+
     out_spec = pl.BlockSpec(
         (1, block_frames, mp), lambda b, f: (b, f, 0), memory_space=pltpu.VMEM
     )
 
-    flops_per_block = 2 * block_frames * (nc * S * k2 * n_passes // 2 + k2 * mp)
+    if dft_passes == "radix4":
+        consts = [jnp.asarray(k[name]) for name in ("win4", "tw", "f0", "f1", "f2", "mel")]
+        kernel = _make_radix4_kernel(cfg, n2, mp, block_frames)
+        # stage-2 MACs: N2*2N2 + 2N2*2N2 + 2N2*N2 = 8*N2^2, x6 fp32 passes
+        mac_per_frame = 8 * n2 * n2 * 6 + 5 * n2 * mp
+    elif dft_passes == "bf16x3":
+        consts = [jnp.asarray(k["dft_h"]), jnp.asarray(k["dft_l"]), jnp.asarray(k["mel"])]
+        kernel = _make_kernel(cfg, nc, k2, mp, block_frames, dft_passes)
+        mac_per_frame = nc * S * k2 * 3 + k2 * mp
+    else:
+        consts = [jnp.asarray(k["dft"]), jnp.asarray(k["mel"])]
+        kernel = _make_kernel(cfg, nc, k2, mp, block_frames, dft_passes)
+        mac_per_frame = nc * S * k2 * 6 + k2 * mp
+    in_specs = [chunk_spec] * nc + [full_spec(c) for c in consts]
+
     out = pl.pallas_call(
-        _make_kernel(cfg, nc, k2, mp, block_frames, dft_passes),
+        kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, fp, mp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_block * B * (fp // block_frames),
+            flops=2 * mac_per_frame * B * fp,
             bytes_accessed=(B * fp * S * nc + B * fp * mp) * 4,
             transcendentals=B * fp * mp,
         ),
@@ -263,7 +436,7 @@ def fused_logmel_stages(
     *,
     block_frames: int = 256,
     interpret: bool | None = None,
-    dft_passes: str = "fp32",
+    dft_passes: str = "radix4",
 ) -> dict[str, jnp.ndarray]:
     """Drop-in fused replacement for ops.chain.logmel_stages.
 
@@ -282,8 +455,12 @@ def fused_logmel_stages(
             f"dtype={cfg.dtype!r}"
         )
 
-    if dft_passes not in ("bf16x3", "fp32"):
-        raise ValueError(f"dft_passes={dft_passes!r} not in ('bf16x3', 'fp32')")
+    if dft_passes not in ("radix4", "bf16x3", "fp32"):
+        raise ValueError(
+            f"dft_passes={dft_passes!r} not in ('radix4', 'bf16x3', 'fp32')"
+        )
+    if dft_passes == "radix4" and not radix4_applicable(cfg):
+        dft_passes = "fp32"  # generic fallback for exotic n_fft
     F = cfg.num_frames(audio.shape[-1])
     audio = audio.astype(jnp.float32)
     y = chain.zero_beyond(chain.preemphasis(audio, cfg.preemph), lengths)

@@ -78,6 +78,43 @@ def test_pallas_backend_matches_golden(config_name):
             )
 
 
+@pytest.mark.parametrize("config_name", ["classic13", "logmel80"])
+def test_radix4_matches_direct_fp32(config_name):
+    """The factorized radix-4 DFT must agree with the direct DFT matmul to
+    fp32 roundoff (both exact algorithms, different summation orders)."""
+    cfg = NAMED_CONFIGS[config_name]
+    b, _ = _batch(cfg)
+    audio, lengths = jnp.asarray(b.audio), jnp.asarray(b.lengths)
+    direct = fused_logmel_stages(audio, lengths, cfg, interpret=True, dft_passes="fp32")
+    r4 = fused_logmel_stages(audio, lengths, cfg, interpret=True, dft_passes="radix4")
+    lm_d = np.asarray(direct["logmel"], np.float64)
+    lm_r = np.asarray(r4["logmel"], np.float64)
+    lin_d = np.exp(lm_d)
+    rowmax = lin_d.max(axis=-1, keepdims=True) + 1e-300
+    loud = lin_d > rowmax * 1e-4
+    assert (np.abs(lm_r - lm_d) * loud).max() < 2e-5
+    np.testing.assert_allclose(
+        np.asarray(r4["energy"]), np.asarray(direct["energy"]), rtol=1e-5
+    )
+
+
+def test_radix4_bin_permutation_covers_all_bins():
+    """Every FFT bin's mel weight appears exactly once in the permuted mel
+    matrix (conjugate-duplicate lanes get zero weight)."""
+    from mfcc_tpu.kernels.frontend import radix4_constants
+    from mfcc_tpu.ops import constants as C
+
+    cfg = NAMED_CONFIGS["classic13"]
+    k = radix4_constants(cfg)
+    mel = k["mel"][:, : cfg.n_mels]
+    fb = C.mel_filterbank(cfg)  # [n_bins, n_mels]
+    # column sums: each bin contributes its weights on exactly 2 lanes
+    # (re+im), so total mass is 2x the filterbank's
+    np.testing.assert_allclose(mel.sum(axis=0), 2 * fb.sum(axis=0), rtol=1e-6)
+    # energy column counts every bin twice (re+im)
+    assert k["mel"][:, cfg.n_mels].sum() == 2 * cfg.n_bins
+
+
 def test_kernel_block_boundaries():
     """Frame values must not depend on the frame-block size (halo-free by
     construction, but guard the chunk-shift indexing)."""
