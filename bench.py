@@ -23,7 +23,8 @@ import numpy as np
 
 CPU_BASELINE_AUDIO_S_PER_S = 341.0  # BASELINE.md measured reference chain
 B, SECONDS = 64, 10
-I1, I2 = 5, 55
+I1, I2 = 5, 105
+REPS = 5
 
 
 def main() -> int:
@@ -65,15 +66,17 @@ def main() -> int:
                 raise
             time.sleep(5)
 
-    best = float("inf")
-    for _ in range(3):
+    # median of slope estimates: single runs jitter +-30% through the relay
+    slopes = []
+    for _ in range(REPS):
         t0 = time.time()
         float(chained(audio, lengths, I1))
         ta = time.time() - t0
         t0 = time.time()
         float(chained(audio, lengths, I2))
         tb = time.time() - t0
-        best = min(best, (tb - ta) / (I2 - I1))
+        slopes.append((tb - ta) / (I2 - I1))
+    best = sorted(slopes)[len(slopes) // 2]
 
     value = B * SECONDS / best
     print(

@@ -15,9 +15,11 @@ from __future__ import annotations
 
 import argparse
 import glob as globlib
+import json
 import logging
 import pathlib
 import sys
+import time
 
 import numpy as np
 
@@ -77,9 +79,6 @@ def cmd_extract(args) -> int:
     stats = DecodeStats()
     want_moments = cfg.cmvn == "global" or args.cmvn_stats is not None
     acc = CmvnAccumulator(cfg.feat_dim) if want_moments else None
-    if acc is not None and args.cmvn_stats and pathlib.Path(args.cmvn_stats).exists() and args.resume:
-        acc = CmvnAccumulator.load(args.cmvn_stats)
-        log.info("resumed CMVN moments: n=%s", acc.n)
 
     shard_idx = 0
     host = f"h{jax.process_index()}"
@@ -90,11 +89,21 @@ def cmd_extract(args) -> int:
         """Finish one dispatched batch: pull arrays, trim, write, count.
         Runs while the NEXT batch computes on device (async dispatch)."""
         shard_name, real_ids, batch, feat, mask, moments = entry
+        extra = None
         if acc is not None:
-            acc.add(*(np.asarray(m) for m in moments))
+            s1, s2, n = (np.asarray(m, dtype=np.float64) for m in moments)
+            acc.add(s1, s2, n)
+            # moments ride the done marker so a resumed run recovers the
+            # contribution of every skipped shard (review finding: they
+            # were silently dropped before)
+            extra = {
+                "moments": {
+                    "s1": s1.tolist(), "s2": s2.tolist(), "n": float(n),
+                }
+            }
         with trace_mod.annotate("shard_write"):
             trimmed = trim_batch(feat, mask)[: len(real_ids)]
-            writer.write(shard_name, real_ids, trimmed)
+            writer.write(shard_name, real_ids, trimmed, extra_meta=extra)
         metrics.add(
             shards=1,
             utterances=len(real_ids),
@@ -120,8 +129,19 @@ def cmd_extract(args) -> int:
             shard_idx += 1
             real_ids = [i for i in batch.ids if i is not None]
             if args.resume and writer.is_done(shard_name, real_ids):
-                metrics.add(shards_skipped=1, utterances=len(real_ids))
-                continue
+                meta = writer.marker_meta(shard_name) or {}
+                mom = meta.get("extra", {}).get("moments")
+                if acc is not None and mom is None:
+                    # marker predates moment tracking: recompute the shard
+                    log.info("shard %s lacks moments; recomputing", shard_name)
+                else:
+                    if acc is not None:
+                        acc.add(
+                            np.asarray(mom["s1"]), np.asarray(mom["s2"]),
+                            mom["n"],
+                        )
+                    metrics.add(shards_skipped=1, utterances=len(real_ids))
+                    continue
             with trace_mod.annotate("dispatch"):
                 feat, mask, moments = sharded_extract_batch(
                     batch.audio, batch.lengths, cfg, mesh,
@@ -160,8 +180,13 @@ def cmd_extract(args) -> int:
 
 def cmd_apply_cmvn(args) -> int:
     """Pass 2 of global CMVN: normalize every shard in place with the
-    finalized corpus stats (merged over all moment files given)."""
-    import jax.numpy as jnp
+    finalized corpus stats (merged over all moment files given).
+
+    Idempotency: a done/cmvn_applied.json marker records that (and with
+    which stats) the directory was normalized; a second invocation refuses
+    instead of silently double-normalizing (use --force to override, e.g.
+    after regenerating the shards)."""
+    import hashlib
 
     from mfcc_tpu import named_config
     from mfcc_tpu.parallel import CmvnAccumulator
@@ -173,8 +198,24 @@ def cmd_apply_cmvn(args) -> int:
     stats = acc.finalize(cfg)
     mean = stats.mean.astype(np.float32)
     std = stats.std.astype(np.float32)
+
+    shard_dir = pathlib.Path(args.shard_dir)
+    marker = shard_dir / "done" / "cmvn_applied.json"
+    stats_fp = hashlib.sha256(mean.tobytes() + std.tobytes()).hexdigest()[:16]
+    if marker.exists() and not args.force:
+        prev = json.loads(marker.read_text())
+        log.error(
+            "shards already normalized (stats %s at %s); re-applying would "
+            "double-normalize — use --force only after regenerating shards",
+            prev.get("stats_fingerprint"), prev.get("applied_at"),
+        )
+        return 1
+
     n = 0
-    for spath in sorted(pathlib.Path(args.shard_dir).glob("*.npz")):
+    for spath in sorted(shard_dir.glob("*.npz")):
+        if spath.name.endswith(".tmp.npz"):  # leftover from a crash
+            spath.unlink()
+            continue
         with np.load(spath, allow_pickle=False) as z:
             if "features" not in z.files:  # e.g. a cmvn moments checkpoint
                 continue
@@ -185,6 +226,13 @@ def cmd_apply_cmvn(args) -> int:
                             offsets=offsets, ids=ids)
         tmp.rename(spath)
         n += 1
+    marker.parent.mkdir(parents=True, exist_ok=True)
+    marker.write_text(json.dumps({
+        "stats_fingerprint": stats_fp,
+        "n_frames": stats.n,
+        "shards": n,
+        "applied_at": time.time(),
+    }))
     log.info("normalized %d shards with corpus stats (n=%.0f frames)", n, stats.n)
     return 0
 
@@ -234,6 +282,8 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--stats", nargs="+", required=True,
                    help="one or more cmvn moment .npz files (merged)")
     a.add_argument("--config", default="classic13")
+    a.add_argument("--force", action="store_true",
+                   help="re-apply even if an applied-marker exists")
     a.set_defaults(fn=cmd_apply_cmvn)
 
     i = sub.add_parser("info", help="show devices and configs")

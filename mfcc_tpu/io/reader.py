@@ -105,15 +105,24 @@ def decode_stream(
     unboundedly ahead of the consumer."""
     stats = stats if stats is not None else DecodeStats()
     expect_sr = cfg.input_sample_rate or cfg.sample_rate
-    work: "queue.Queue" = queue.Queue()
+    # the WORK queue is bounded too: otherwise one slow early file lets the
+    # workers race ahead and the reorder buffer absorbs the whole corpus —
+    # in-flight decode is capped at queue_depth + num_threads items
+    work: "queue.Queue" = queue.Queue(maxsize=queue_depth)
     out: "queue.Queue" = queue.Queue(maxsize=queue_depth)
     lock = threading.Lock()
     paths = list(files)
-    for i, p in enumerate(paths):
-        work.put((i, p))
+
+    def _feed():
+        for i, p in enumerate(paths):
+            work.put((i, p))
+        for _ in range(num_threads):
+            work.put(_SENTINEL)
+
+    feeder = threading.Thread(target=_feed, daemon=True)
+    feeder.start()
     threads = []
     for _ in range(num_threads):
-        work.put(_SENTINEL)
         t = threading.Thread(
             target=_decode_worker,
             args=(work, out, expect_sr, downmix, native, stats, lock),

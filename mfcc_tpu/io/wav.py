@@ -126,6 +126,15 @@ def _decode_native(data: bytes, downmix: str) -> tuple[int, np.ndarray] | None:
 
 
 def _decode_numpy(data: bytes, downmix: str) -> tuple[int, np.ndarray]:
+    try:
+        return _decode_numpy_inner(data, downmix)
+    except struct.error as e:
+        # struct.error is NOT a ValueError; without this wrap it would
+        # escape the decode worker's except clause and kill the thread
+        raise WavError(f"truncated file ({e})") from e
+
+
+def _decode_numpy_inner(data: bytes, downmix: str) -> tuple[int, np.ndarray]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise WavError("not a RIFF/WAVE file" if len(data) >= 12 else "truncated file")
     pos, fmt = 12, None

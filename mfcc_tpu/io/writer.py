@@ -53,8 +53,21 @@ class ShardWriter:
             and (self.out_dir / f"{shard_name}.npz").exists()
         )
 
-    def write(self, shard_name: str, ids: list, features: list[np.ndarray]) -> pathlib.Path:
-        """features: per-utterance [F_i, D] arrays (already mask-trimmed)."""
+    def marker_meta(self, shard_name: str) -> dict | None:
+        """Parsed done-marker of a shard, or None."""
+        try:
+            return json.loads(self._marker(shard_name).read_text())
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def write(
+        self, shard_name: str, ids: list, features: list[np.ndarray],
+        extra_meta: dict | None = None,
+    ) -> pathlib.Path:
+        """features: per-utterance [F_i, D] arrays (already mask-trimmed).
+        extra_meta is stored in the done marker (e.g. the shard's global-CMVN
+        moment contribution, so resumed runs recover skipped shards' moments
+        from markers instead of silently dropping them)."""
         if len(ids) != len(features):
             raise ValueError("ids/features length mismatch")
         lengths = np.array([f.shape[0] for f in features], dtype=np.int64)
@@ -74,17 +87,16 @@ class ShardWriter:
             ids=np.array([str(i) for i in ids]),
         )
         tmp.rename(path)  # atomic: readers never see partial shards
-        self._marker(shard_name).write_text(
-            json.dumps(
-                {
-                    "config_hash": self.cfg.config_hash(),
-                    "input_fingerprint": input_fingerprint(ids),
-                    "num_utterances": len(ids),
-                    "num_frames": int(lengths.sum()),
-                    "written_at": time.time(),
-                }
-            )
-        )
+        meta = {
+            "config_hash": self.cfg.config_hash(),
+            "input_fingerprint": input_fingerprint(ids),
+            "num_utterances": len(ids),
+            "num_frames": int(lengths.sum()),
+            "written_at": time.time(),
+        }
+        if extra_meta:
+            meta["extra"] = extra_meta
+        self._marker(shard_name).write_text(json.dumps(meta))
         return path
 
 

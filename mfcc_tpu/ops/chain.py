@@ -259,14 +259,40 @@ def features_from_logmel(
     stages: dict[str, jnp.ndarray], cfg: FrontendConfig
 ) -> jnp.ndarray:
     """Stages (B8)-(B11) minus global CMVN: cepstra, lifter, energy, deltas,
-    per-utterance CMVN. Returns [B, F, feat_dim] with pad frames zeroed."""
-    k = device_constants(cfg)
-    logmel, energy = stages["logmel"], stages["energy"]
-    n_valid, frame_mask = stages["n_valid"], stages["frame_mask"]
+    per-utterance CMVN. Returns [B, F, feat_dim] with pad frames zeroed.
 
-    if cfg.features == "logmel":
-        base = logmel
+    When the stage dict carries "prefix_fp" (the fused Pallas kernel's
+    contiguous [log-mel | raw energy] lane prefix at block-padded length),
+    the cepstral epilogue is ONE augmented matmul on that prefix — no
+    single-lane energy slice, no c0 concat (each cost ~0.45 ms/step on v5e
+    at batch-64 x 10 s); extract_batch trims the block padding at the end."""
+    k = device_constants(cfg)
+    n_valid = stages["n_valid"]
+    frame_mask = stages.get("frame_mask_fp", stages["frame_mask"])
+
+    if "prefix_fp" in stages:
+        x = stages["prefix_fp"]  # [B, fp, n_mels+1]
+        if cfg.features == "logmel":
+            base = x[..., : cfg.n_mels]
+        else:
+            if cfg.append_energy:
+                lane = jnp.arange(cfg.n_mels + 1)
+                # log only the energy lane (log-mel lanes pass through);
+                # the maximum() keeps the discarded branch NaN-free
+                x = jnp.where(
+                    lane == cfg.n_mels,
+                    jnp.log(jnp.maximum(x, jnp.asarray(cfg.log_eps, x.dtype))),
+                    x,
+                )
+            base = jnp.matmul(
+                x, jnp.asarray(k["dct_aug"], x.dtype),
+                preferred_element_type=x.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+    elif cfg.features == "logmel":
+        base = stages["logmel"]
     else:
+        logmel, energy = stages["logmel"], stages["energy"]
         ceps = jnp.matmul(
             logmel, k["dct"], preferred_element_type=logmel.dtype,
             precision=jax.lax.Precision.HIGHEST,
@@ -326,6 +352,9 @@ def extract_batch(
     else:
         raise ValueError(f"unknown backend {backend!r}")
     feat = features_from_logmel(stages, cfg)
+    F = stages.get("num_frames")
+    if F is not None and feat.shape[-2] != F:
+        feat = feat[:, :F]  # trim kernel block padding once, at the end
     return feat, stages["frame_mask"]
 
 

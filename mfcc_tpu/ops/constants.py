@@ -157,6 +157,24 @@ def dft_matrices(frame_length: int, n_fft: int) -> tuple[np.ndarray, np.ndarray]
     return np.cos(ang), np.sin(ang)  # each [frame_length, n_bins]
 
 
+def dct_augmented(cfg: FrontendConfig) -> np.ndarray:
+    """[n_mels+1, n_ceps] matrix computing the finished base cepstra from
+    the fused kernel's contiguous [log-mel | log-energy] lane prefix in ONE
+    matmul: rows [0:n_mels) = dct * lifter (col 0 zeroed when the energy
+    replaces c0), row n_mels passes the log-energy straight into c0.
+    Avoids any single-lane slicing of the kernel output (~0.45 ms/step on
+    v5e at batch-64 x 10 s)."""
+    d = dct_matrix(cfg.n_mels, cfg.n_ceps, cfg.dct_norm) * lifter_vector(
+        cfg.n_ceps, cfg.lifter
+    )[None, :]
+    aug = np.zeros((cfg.n_mels + 1, cfg.n_ceps), dtype=np.float64)
+    aug[: cfg.n_mels] = d
+    if cfg.append_energy:
+        aug[: cfg.n_mels, 0] = 0.0
+        aug[cfg.n_mels, 0] = 1.0
+    return aug
+
+
 @functools.lru_cache(maxsize=32)
 def chain_constants(cfg: FrontendConfig) -> dict[str, np.ndarray]:
     """All per-config constants, float64, cached by config hash."""
@@ -165,4 +183,5 @@ def chain_constants(cfg: FrontendConfig) -> dict[str, np.ndarray]:
         "mel": mel_filterbank(cfg),
         "dct": dct_matrix(cfg.n_mels, cfg.n_ceps, cfg.dct_norm),
         "lifter": lifter_vector(cfg.n_ceps, cfg.lifter),
+        "dct_aug": dct_augmented(cfg),
     }

@@ -79,7 +79,7 @@ def resample_batch(
     """
     if sr_in == sr_out:
         return audio
-    d = _design(sr_in if False else sr_out, sr_in)  # up = sr_out, down = sr_in
+    d = _design(sr_out, sr_in)  # up = sr_out, down = sr_in (gcd-reduced inside)
     up, down = d["up"], d["down"]
     n_in = audio.shape[-1]
     n_out = output_length(n_in, sr_in, sr_out)

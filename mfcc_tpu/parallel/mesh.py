@@ -19,6 +19,9 @@ log = logging.getLogger(__name__)
 DATA_AXIS = "data"
 
 
+_distributed_initialized = False
+
+
 def distributed_init(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -28,17 +31,28 @@ def distributed_init(
 
     On real TPU pods the three arguments are auto-detected from the TPU
     metadata environment; pass them explicitly for CPU/GPU fleets.
+
+    The multi-host decision is made from env vars WITHOUT touching any jax
+    query first: jax.process_count()/jax.devices() initialize the XLA
+    backends, after which jax.distributed.initialize() refuses to run
+    (its backends_are_initialized() guard) — probing jax here would make
+    every real multi-host launch crash at startup.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    global _distributed_initialized
+    if _distributed_initialized:
+        return
     explicit = coordinator_address is not None
-    auto = os.environ.get("COORDINATOR_ADDRESS") is not None
-    if explicit or auto or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+    auto = (
+        os.environ.get("COORDINATOR_ADDRESS") is not None
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") is not None
+    )
+    if explicit or auto:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        _distributed_initialized = True
         log.info(
             "jax.distributed initialized: process %d/%d, %d local / %d global devices",
             jax.process_index(), jax.process_count(),

@@ -23,32 +23,14 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# single source of truth for the deterministic signal set — keeping a copy
+# here would let tests and frozen goldens drift apart silently
+from mfcc_tpu.testing.golden import golden_signals as synth_signals  # noqa: E402
+
 
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
-
-
-def synth_signals(sr: int = 16000) -> dict[str, np.ndarray]:
-    """Deterministic synthetic test signals (SURVEY.md §4.2 item 1)."""
-    g = np.random.default_rng(1234)
-    t = np.arange(int(1.0 * sr)) / sr
-    sigs = {
-        "impulse": np.zeros(sr // 4),
-        "dc": np.full(sr // 2, 0.5),
-        "tone_bin": np.sin(2 * np.pi * (sr / 512 * 32) * t),  # exactly bin 32
-        "tone_offbin": np.sin(2 * np.pi * 441.3 * t),
-        "chirp": np.sin(2 * np.pi * (200 + 3000 * t) * t),
-        "noise": g.standard_normal(int(2.5 * sr)),
-        "zeros": np.zeros(sr),
-        "short": g.standard_normal(123),  # < 1 frame
-        "speechish": (
-            0.6 * np.sin(2 * np.pi * 120 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
-            + 0.1 * g.standard_normal(t.shape[0])
-        ),
-    }
-    sigs["impulse"][100] = 1.0
-    return {k: v.astype(np.float64) for k, v in sigs.items()}
 
 
 @pytest.fixture(scope="session")

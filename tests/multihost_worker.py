@@ -20,9 +20,12 @@ def main() -> int:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        coordinator_address=coord, num_processes=nprocs, process_id=pid,
-        local_device_ids=list(range(4)),
+    # exercise the production init path (it must not probe jax before
+    # calling jax.distributed.initialize — review finding)
+    from mfcc_tpu.parallel.mesh import distributed_init
+
+    distributed_init(
+        coordinator_address=coord, num_processes=nprocs, process_id=pid
     )
     assert jax.process_count() == nprocs
     assert jax.device_count() == 4 * nprocs

@@ -95,6 +95,44 @@ def test_global_cmvn_two_pass(corpus, tmp_path):
     np.testing.assert_allclose(allf.var(axis=0), 1.0, atol=2e-2)
 
 
+def test_apply_cmvn_refuses_double_run(corpus, tmp_path):
+    """Second apply-cmvn must refuse (double-normalization corrupts the
+    corpus silently — review finding); --force overrides."""
+    paths, _ = corpus
+    out = tmp_path / "feats"
+    stats = out / "cmvn.npz"
+    run_cli("extract", *paths, "--config", "classic13_deltas_gcmvn", "-o",
+            str(out), "--backend", "jnp", "--batch-size", "4",
+            "--cmvn-stats", str(stats), "--no-resume")
+    assert run_cli("apply-cmvn", str(out), "--stats", str(stats),
+                   "--config", "classic13_deltas_gcmvn") == 0
+    assert run_cli("apply-cmvn", str(out), "--stats", str(stats),
+                   "--config", "classic13_deltas_gcmvn") == 1
+    assert run_cli("apply-cmvn", str(out), "--stats", str(stats),
+                   "--config", "classic13_deltas_gcmvn", "--force") == 0
+
+
+def test_resume_preserves_global_moments(corpus, tmp_path):
+    """Interrupted global-CMVN run: the resumed run's moments must cover
+    skipped shards too (recovered from done markers — review finding)."""
+    paths, _ = corpus
+    out = tmp_path / "feats"
+    stats = tmp_path / "cmvn.npz"
+    args = ("extract", *paths, "--config", "classic13_deltas_gcmvn", "-o",
+            str(out), "--backend", "jnp", "--batch-size", "4", "--threads",
+            "1", "--cmvn-stats", str(stats))
+    assert run_cli(*args) == 0
+    from mfcc_tpu.parallel import CmvnAccumulator
+
+    first = CmvnAccumulator.load(stats)
+    # rerun: every shard skipped, moments recovered from markers
+    assert run_cli(*args) == 0
+    again = CmvnAccumulator.load(stats)
+    np.testing.assert_allclose(again.s1, first.s1, rtol=1e-12)
+    np.testing.assert_allclose(again.s2, first.s2, rtol=1e-12)
+    assert again.n == first.n
+
+
 def test_info_runs(capsys):
     assert run_cli("info") == 0
     out = capsys.readouterr().out

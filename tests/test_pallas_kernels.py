@@ -115,6 +115,45 @@ def test_radix4_bin_permutation_covers_all_bins():
     assert k["mel"][:, cfg.n_mels].sum() == 2 * cfg.n_bins
 
 
+def test_frame_longer_than_nfft_truncates():
+    """rfft(frames, n_fft) truncates frames longer than n_fft; the folded
+    DFT constants must do the same instead of aliasing the tail (review
+    finding: 40 ms windows at 512-pt FFT gave features off by 4+)."""
+    cfg = NAMED_CONFIGS["classic13"].replace(win_len_s=0.040)  # L=640 > 512
+    assert cfg.frame_length > cfg.n_fft
+    sigs = golden_signals()
+    b = pad_batch([sigs["noise"]], cfg, bucket_len=sigs["noise"].shape[0])
+    audio, lengths = jnp.asarray(b.audio), jnp.asarray(b.lengths)
+    twin = chain.logmel_stages(audio, lengths, cfg)
+    for passes in ("fp32", "radix4"):
+        fused = fused_logmel_stages(
+            audio, lengths, cfg, interpret=True, dft_passes=passes
+        )
+        lm_t = np.asarray(twin["logmel"], np.float64)
+        lm_f = np.asarray(fused["logmel"], np.float64)
+        lin_t = np.exp(lm_t)
+        rowmax = lin_t.max(axis=-1, keepdims=True) + 1e-300
+        loud = lin_t > rowmax * 1e-4
+        assert (np.abs(lm_f - lm_t) * loud).max() < 5e-5, passes
+
+
+def test_many_chunk_config_compiles():
+    """n_fft=2048 at 10 ms hop needs 13 chunk shifts; must not crash
+    (review finding: a bare assert rejected nc > 9)."""
+    cfg = NAMED_CONFIGS["classic13"].replace(n_fft=2048)
+    sigs = golden_signals()
+    b = pad_batch([sigs["short"]], cfg, bucket_len=2500)
+    feat, mask = chain.extract_batch(
+        jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg, backend="pallas"
+    )
+    twin, _ = chain.extract_batch(
+        jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg, backend="jnp"
+    )
+    np.testing.assert_allclose(
+        np.asarray(feat), np.asarray(twin), atol=5e-4, rtol=1e-3
+    )
+
+
 def test_kernel_block_boundaries():
     """Frame values must not depend on the frame-block size (halo-free by
     construction, but guard the chunk-shift indexing)."""
