@@ -81,6 +81,17 @@ def test_mfcc39_48k_end_to_end():
         )
 
 
+def test_mfcc39_48k_pallas_backend():
+    """48 kHz input through XLA resample + fused Pallas kernel (interpret
+    mode) matches the golden."""
+    cfg = NAMED_CONFIGS["mfcc39_48k"]
+    g = load_golden("mfcc39_48k", "speechish")
+    feat = chain.extract_single(g["signal_input"], cfg, backend="pallas")
+    np.testing.assert_allclose(
+        feat, g["features"], atol=FEATURE_ATOL_FP32, rtol=1e-3
+    )
+
+
 def test_mfcc39_48k_batched():
     cfg = NAMED_CONFIGS["mfcc39_48k"]
     gs = [load_golden("mfcc39_48k", n) for n in ("speechish", "short")]
