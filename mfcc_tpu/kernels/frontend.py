@@ -35,9 +35,11 @@ pocketfft loop (SURVEY.md §2.2: "DFT-as-matmul … real GEMMs on the MXU"):
     ops.chain.features_from_logmel (lane slicing a [.., MP] output mid-tile
     measured ~0.45 ms/step at batch-64×10 s).
 
-Accuracy: every matmul runs precision=HIGHEST (the MXU multiplies bf16 by
-default, which breaks the 1e-4 oracle gate). Equivalence twin:
-ops.chain.logmel_stages (tests/test_pallas_kernels.py).
+Accuracy: DFT matmuls run precision=HIGHEST (the MXU multiplies bf16 by
+default; signed DFT sums amplify bf16 truncation ~20x and break the 1e-4
+oracle gate). The mel/energy projection is all-positive, so it uses the
+3-pass bf16 split (_dot_pos_bf16x3) at ~2^-16 relative error. Equivalence
+twin: ops.chain.logmel_stages (tests/test_pallas_kernels.py).
 """
 
 from __future__ import annotations
@@ -122,11 +124,14 @@ def kernel_constants(cfg: FrontendConfig):
     dft_h = dft32.astype(ml_dtypes.bfloat16)
     dft_l = (dft32 - dft_h.astype(np.float32)).astype(ml_dtypes.bfloat16)
 
+    mel32 = mel.astype(np.float32)
     return {
         "dft": dft32,
         "dft_h": dft_h,
         "dft_l": dft_l,
-        "mel": mel.astype(np.float32),
+        "mel": mel32,
+        "mel_h": mel32.astype(ml_dtypes.bfloat16),
+        "mel_l": (mel32 - mel32.astype(ml_dtypes.bfloat16).astype(np.float32)).astype(ml_dtypes.bfloat16),
         "dims": (nc, S, K2, mp),
     }
 
@@ -232,13 +237,18 @@ def radix4_constants(cfg: FrontendConfig):
         assign(4 * N2 + qq, 4 * N2 + h + qq, 2, qq)
     assert len(covered) == NB, (len(covered), NB)
 
+    import ml_dtypes
+
+    mel32 = mel.astype(np.float32)
     return {
         "win4": win4.astype(np.float32),
         "tw": tw.astype(np.float32),
         "f0": f0.astype(np.float32),
         "f1": f1.astype(np.float32),
         "f2": f2.astype(np.float32),
-        "mel": mel.astype(np.float32),
+        "mel": mel32,
+        "mel_h": mel32.astype(ml_dtypes.bfloat16),
+        "mel_l": (mel32 - mel32.astype(ml_dtypes.bfloat16).astype(np.float32)).astype(ml_dtypes.bfloat16),
         "dims": (nc, S, N2, mp),
     }
 
@@ -280,6 +290,20 @@ def _gather_frames(chunk_refs, nc: int, block_frames: int, slab_mode: bool):
     # One wide matmul beats nc narrow ones: K=nc*S=480 uses 94% of the
     # MXU's K-tiling vs 62% for three K=160 passes (measured 1.3x).
     return jnp.concatenate(parts, axis=-1)
+
+
+def _dot_pos_bf16x3(x, b_h, b_l):
+    """3-pass bf16 matmul for ALL-POSITIVE contractions (the mel/energy
+    projection of |X|²): with no sign cancellation the relative error is the
+    plain ~2^-16 operand truncation, well inside the 1e-4 log-mel gate —
+    unlike the DFT, where cancellation amplifies the same truncation ~20x.
+    Halves the mel-projection MXU passes vs precision=HIGHEST."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.dot(xh, b_h[:], preferred_element_type=jnp.float32)
+    out = out + jnp.dot(xl, b_h[:], preferred_element_type=jnp.float32)
+    out = out + jnp.dot(xh, b_l[:], preferred_element_type=jnp.float32)
+    return out
 
 
 def _make_epilogue(cfg: FrontendConfig, mp: int, block_frames: int):
@@ -327,7 +351,7 @@ def _make_kernel(
             # faster than precision=HIGHEST (bf16x6) but its ~1e-4 loud-bin
             # log-mel error fails the strict oracle gate — offered for
             # throughput-first log-mel extraction, not default.
-            dft_h, dft_l, mel_ref = rest
+            dft_h, dft_l, mel_h, mel_l = rest
             ah = frames.astype(jnp.bfloat16)
             al = (frames - ah.astype(jnp.float32)).astype(jnp.bfloat16)
             reim = jnp.dot(ah, dft_h[:], preferred_element_type=jnp.float32)
@@ -337,7 +361,7 @@ def _make_kernel(
             # precision=HIGHEST: the TPU MXU multiplies in bf16 by default,
             # which costs ~3 decimal digits and breaks the 1e-4 gate;
             # HIGHEST selects the 6-pass fp32 algorithm.
-            dft_ref, mel_ref = rest
+            dft_ref, mel_h, mel_l = rest
             reim = jnp.dot(
                 frames, dft_ref[:], preferred_element_type=jnp.float32,
                 precision=hi,
@@ -346,9 +370,7 @@ def _make_kernel(
         # are duplicated over both blocks, so reim² @ mel == pspec @ mel_fb
         # without ever slicing re/im apart (no relayout).
         pspec2 = reim * reim
-        proj = jnp.dot(
-            pspec2, mel_ref[:], preferred_element_type=jnp.float32, precision=hi
-        )
+        proj = _dot_pos_bf16x3(pspec2, mel_h, mel_l)
 
         out_ref[0] = epilogue(proj)
 
@@ -371,7 +393,7 @@ def _make_radix4_kernel(
     def kernel(*refs):
         chunk_refs = refs[:n_chunk_refs]
         rest = refs[n_chunk_refs:]
-        win_ref, tw_ref, f0_ref, f1_ref, f2_ref, mel_ref, out_ref = rest
+        win_ref, tw_ref, f0_ref, f1_ref, f2_ref, mel_h, mel_l, out_ref = rest
         frames = _gather_frames(chunk_refs, nc, block_frames, slab_mode)
         # stage 1 (VPU): windowed 128-aligned quarter blocks, radix-4
         # butterflies, twiddles. s=3 skipped: real input makes it the
@@ -394,8 +416,7 @@ def _make_radix4_kernel(
         x2 = jnp.dot(jnp.concatenate([z2r, z2i], axis=-1), f2_ref[:],
                      preferred_element_type=jnp.float32, precision=hi)
         y = jnp.concatenate([x0, x1, x2], axis=-1)  # [FBLK, 5*N2]
-        proj = jnp.dot(y * y, mel_ref[:], preferred_element_type=jnp.float32,
-                       precision=hi)
+        proj = _dot_pos_bf16x3(y * y, mel_h, mel_l)
         out_ref[0] = epilogue(proj)
 
     return kernel
@@ -458,16 +479,17 @@ def _fused_logmel_energy(
     )
 
     if dft_passes == "radix4":
-        consts = [jnp.asarray(k[name]) for name in ("win4", "tw", "f0", "f1", "f2", "mel")]
+        consts = [jnp.asarray(k[name]) for name in ("win4", "tw", "f0", "f1", "f2", "mel_h", "mel_l")]
         kernel = _make_radix4_kernel(cfg, nc, n2, mp, block_frames, slab_mode)
         # stage-2 MACs: N2*2N2 + 2N2*2N2 + 2N2*N2 = 8*N2^2, x6 fp32 passes
         mac_per_frame = 8 * n2 * n2 * 6 + 5 * n2 * mp
     elif dft_passes == "bf16x3":
-        consts = [jnp.asarray(k["dft_h"]), jnp.asarray(k["dft_l"]), jnp.asarray(k["mel"])]
+        consts = [jnp.asarray(k["dft_h"]), jnp.asarray(k["dft_l"]),
+                  jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
         kernel = _make_kernel(cfg, nc, k2, mp, block_frames, dft_passes, slab_mode)
         mac_per_frame = nc * S * k2 * 3 + k2 * mp
     else:
-        consts = [jnp.asarray(k["dft"]), jnp.asarray(k["mel"])]
+        consts = [jnp.asarray(k["dft"]), jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
         kernel = _make_kernel(cfg, nc, k2, mp, block_frames, dft_passes, slab_mode)
         mac_per_frame = nc * S * k2 * 6 + k2 * mp
     in_specs = [chunk_spec] * len(views) + [full_spec(c) for c in consts]
