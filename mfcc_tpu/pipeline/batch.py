@@ -95,9 +95,14 @@ def pad_batch(
     B = len(utts)
     rows = B if pad_batch_to is None else max(B, pad_batch_to)
     dtype = np.dtype(cfg.dtype)
-    audio = np.zeros((rows, T), dtype=dtype)
+    # np.empty + explicit tail zeroing: zeroing the whole buffer costs a
+    # full memory pass the valid samples immediately overwrite
+    audio = np.empty((rows, T), dtype=dtype)
     for i, u in enumerate(utts):
-        audio[i, : u.shape[0]] = u.astype(dtype)
+        n = u.shape[0]
+        audio[i, :n] = u
+        audio[i, n:] = 0.0
+    audio[B:] = 0.0
     out_lengths = np.zeros(rows, dtype=np.int32)
     out_lengths[:B] = lengths
     out_ids = list(ids) if ids is not None else list(range(B))
