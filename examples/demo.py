@@ -40,14 +40,21 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     cfg = named_config(args.config)
-    wav_path = args.wav or synth_demo_wav("demo.wav", cfg.input_sample_rate or cfg.sample_rate)
+    expect_sr = cfg.input_sample_rate or cfg.sample_rate
+    wav_path = args.wav or synth_demo_wav("demo.wav", expect_sr)
     sr, samples = read_wav(wav_path)
     print(f"{wav_path}: {sr} Hz, {len(samples)} samples ({len(samples)/sr:.2f} s)")
+    if sr != expect_sr:
+        print(f"error: config {args.config} expects {expect_sr} Hz input; "
+              f"use a matching --config (e.g. mfcc39_48k for 48 kHz) or "
+              f"resample the file first", file=sys.stderr)
+        return 2
 
     feat = chain.extract_single(samples.astype(np.float64), cfg)
     kind = "MFCC" if cfg.features == "mfcc" else "log-mel"
     print(f"{kind} features: {feat.shape[0]} frames x {feat.shape[1]} dims")
-    print(f"  c0/e0 range: [{feat[:, 0].min():.2f}, {feat[:, 0].max():.2f}]")
+    label = "c0 (energy)" if cfg.features == "mfcc" else "mel[0]"
+    print(f"  {label} range: [{feat[:, 0].min():.2f}, {feat[:, 0].max():.2f}]")
     print(f"  frame hop {cfg.hop_s*1e3:.0f} ms, window {cfg.win_len_s*1e3:.0f} ms, "
           f"{cfg.n_fft}-pt FFT, {cfg.n_mels} mels")
 

@@ -52,11 +52,43 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import ml_dtypes
+
 from mfcc_tpu.config import FrontendConfig
 from mfcc_tpu.ops import chain
 from mfcc_tpu.ops import constants as C
 
 LANE = 128
+
+
+def _bf16_split_np(a32: np.ndarray):
+    """Host-side bf16 hi/lo split of an fp32 constant."""
+    hi = a32.astype(ml_dtypes.bfloat16)
+    lo = (a32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+def _bf16_split(x):
+    """In-kernel bf16 hi/lo split of an fp32 value, fold-proof.
+
+    The arithmetic form `x - x.astype(bf16).astype(f32)` is constant-folded
+    to exactly zero by XLA when the kernel body is XLA-compiled (interpret
+    mode on a TPU backend) — silently degrading 3-pass matmuls to 1-pass
+    bf16 (measured 2.3e-3 log-mel error). The hi part is therefore built by
+    integer-masking the low 16 mantissa bits (bf16 truncation, exactly
+    bf16-representable), which no convert-fusion rewrite can collapse; the
+    residual keeps the same ~2^-16 split quality.
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    # round-half-up to the nearest bf16 (adding 0x8000 carries into the
+    # exponent correctly at boundaries); plain truncation costs half a bit
+    # of split quality
+    hi_f32 = jax.lax.bitcast_convert_type(
+        (u + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    hi = hi_f32.astype(jnp.bfloat16)
+    lo = (x - hi_f32).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _round_up(x: int, m: int) -> int:
@@ -116,22 +148,19 @@ def kernel_constants(cfg: FrontendConfig):
     mel[NB : 2 * NB, : cfg.n_mels] = host["mel"]
     mel[: 2 * NB, cfg.n_mels] = 1.0  # energy column (sums re² and im²)
 
-    # bf16 hi/lo split of the DFT matrix for the 3-pass path (precomputed so
-    # the kernel splits only the audio operand at runtime).
-    import ml_dtypes
-
+    # bf16 hi/lo splits precomputed on host (the kernel splits only the
+    # runtime operands)
     dft32 = dft.astype(np.float32)
-    dft_h = dft32.astype(ml_dtypes.bfloat16)
-    dft_l = (dft32 - dft_h.astype(np.float32)).astype(ml_dtypes.bfloat16)
-
+    dft_h, dft_l = _bf16_split_np(dft32)
     mel32 = mel.astype(np.float32)
+    mel_h, mel_l = _bf16_split_np(mel32)
     return {
         "dft": dft32,
         "dft_h": dft_h,
         "dft_l": dft_l,
         "mel": mel32,
-        "mel_h": mel32.astype(ml_dtypes.bfloat16),
-        "mel_l": (mel32 - mel32.astype(ml_dtypes.bfloat16).astype(np.float32)).astype(ml_dtypes.bfloat16),
+        "mel_h": mel_h,
+        "mel_l": mel_l,
         "dims": (nc, S, K2, mp),
     }
 
@@ -237,9 +266,8 @@ def radix4_constants(cfg: FrontendConfig):
         assign(4 * N2 + qq, 4 * N2 + h + qq, 2, qq)
     assert len(covered) == NB, (len(covered), NB)
 
-    import ml_dtypes
-
     mel32 = mel.astype(np.float32)
+    mel_h, mel_l = _bf16_split_np(mel32)
     return {
         "win4": win4.astype(np.float32),
         "tw": tw.astype(np.float32),
@@ -247,8 +275,8 @@ def radix4_constants(cfg: FrontendConfig):
         "f1": f1.astype(np.float32),
         "f2": f2.astype(np.float32),
         "mel": mel32,
-        "mel_h": mel32.astype(ml_dtypes.bfloat16),
-        "mel_l": (mel32 - mel32.astype(ml_dtypes.bfloat16).astype(np.float32)).astype(ml_dtypes.bfloat16),
+        "mel_h": mel_h,
+        "mel_l": mel_l,
         "dims": (nc, S, N2, mp),
     }
 
@@ -298,8 +326,7 @@ def _dot_pos_bf16x3(x, b_h, b_l):
     plain ~2^-16 operand truncation, well inside the 1e-4 log-mel gate —
     unlike the DFT, where cancellation amplifies the same truncation ~20x.
     Halves the mel-projection MXU passes vs precision=HIGHEST."""
-    xh = x.astype(jnp.bfloat16)
-    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    xh, xl = _bf16_split(x)
     out = jnp.dot(xh, b_h[:], preferred_element_type=jnp.float32)
     out = out + jnp.dot(xl, b_h[:], preferred_element_type=jnp.float32)
     out = out + jnp.dot(xh, b_l[:], preferred_element_type=jnp.float32)
@@ -337,9 +364,10 @@ def _make_kernel(
     epilogue = _make_epilogue(cfg, mp, block_frames)
 
     def kernel(*refs):
-        # refs: chunk slab [1, C, S] or nc chunk views [1, FBLK, S], then one
-        #       fp32 dft ref [KW, K2] (fp32 path) or hi/lo bf16 dft refs
-        #       (bf16x3), then mel ref [K2, MP], out ref [1, FBLK, MP]
+        # refs: chunk slab [1, C, S] or nc chunk views [1, FBLK, S], then
+        #       fp32 path: dft [KW, K2], mel_h, mel_l [K2, MP]
+        #       bf16x3 path: dft_h, dft_l [KW, K2], mel_h, mel_l [K2, MP]
+        #       and finally out ref [1, FBLK, MP]
         chunk_refs = refs[:n_chunk_refs]
         rest = list(refs[n_chunk_refs:])
         out_ref = rest.pop()
@@ -352,8 +380,7 @@ def _make_kernel(
             # log-mel error fails the strict oracle gate — offered for
             # throughput-first log-mel extraction, not default.
             dft_h, dft_l, mel_h, mel_l = rest
-            ah = frames.astype(jnp.bfloat16)
-            al = (frames - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            ah, al = _bf16_split(frames)
             reim = jnp.dot(ah, dft_h[:], preferred_element_type=jnp.float32)
             reim = reim + jnp.dot(al, dft_h[:], preferred_element_type=jnp.float32)
             reim = reim + jnp.dot(ah, dft_l[:], preferred_element_type=jnp.float32)

@@ -19,6 +19,7 @@ from mfcc_tpu.pipeline import pad_batch
 from mfcc_tpu.testing.golden import golden_signals, load_golden
 from tests.test_jnp_chain import FEATURE_ATOL_FP32, FEATURE_RTOL, assert_logmel_close
 
+import jax
 import jax.numpy as jnp
 
 CONFIGS = ["classic13", "classic13_deltas", "logmel80"]
@@ -113,6 +114,41 @@ def test_radix4_bin_permutation_covers_all_bins():
     np.testing.assert_allclose(mel.sum(axis=0), 2 * fb.sum(axis=0), rtol=1e-6)
     # energy column counts every bin twice (re+im)
     assert k["mel"][:, cfg.n_mels].sum() == 2 * cfg.n_bins
+
+
+def test_bf16x3_path_runs_and_is_close():
+    """dft_passes='bf16x3' (throughput-first path): exercises its ref
+    unpacking and accuracy class (~1e-4 loud-bin — looser than the gate,
+    by design; documented in-kernel)."""
+    cfg = NAMED_CONFIGS["classic13"]
+    b, _ = _batch(cfg)
+    audio, lengths = jnp.asarray(b.audio), jnp.asarray(b.lengths)
+    twin = chain.logmel_stages(audio, lengths, cfg)
+    fused = fused_logmel_stages(audio, lengths, cfg, interpret=True,
+                                dft_passes="bf16x3")
+    lm_t = np.asarray(twin["logmel"], np.float64)
+    lm_f = np.asarray(fused["logmel"], np.float64)
+    lin_t = np.exp(lm_t)
+    rowmax = lin_t.max(axis=-1, keepdims=True) + 1e-300
+    loud = lin_t > rowmax * 1e-4
+    err = (np.abs(lm_f - lm_t) * loud).max()
+    # guards the fold-proof split: single-pass degradation measures ~2e-3
+    assert err < 1e-3, err
+
+
+def test_bf16_split_is_fold_proof():
+    """The in-kernel bf16 hi/lo split must survive jit: XLA folds the
+    arithmetic `x - bf16(x)` form to zero (review finding)."""
+    from mfcc_tpu.kernels.frontend import _bf16_split
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(512) * 1000,
+                    jnp.float32)
+    hi, lo = jax.jit(_bf16_split)(x)
+    hi, lo = np.asarray(hi, np.float64), np.asarray(lo, np.float64)
+    assert np.abs(lo).max() > 0, "lo split folded to zero"
+    rec = hi + lo
+    x64 = np.asarray(x, np.float64)
+    assert np.abs(rec - x64).max() <= np.abs(x64).max() * 2**-15
 
 
 def test_frame_longer_than_nfft_truncates():
