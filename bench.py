@@ -28,6 +28,15 @@ REPS = 5
 
 
 def main() -> int:
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="classic13_deltas",
+                   help="any named config (e.g. logmel80 for BASELINE #3)")
+    p.add_argument("--batch", type=int, default=B)
+    p.add_argument("--seconds", type=int, default=SECONDS)
+    args = p.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -35,13 +44,14 @@ def main() -> int:
     from mfcc_tpu.ops import chain
     from mfcc_tpu.pipeline import pad_batch
 
-    cfg = named_config("classic13_deltas")
+    cfg = named_config(args.config)
+    B_, SECONDS_ = args.batch, args.seconds
     g = np.random.default_rng(0)
-    sr = cfg.sample_rate
+    sr = cfg.input_sample_rate or cfg.sample_rate
     bb = pad_batch(
-        [g.standard_normal(sr * SECONDS) for _ in range(B)],
+        [g.standard_normal(sr * SECONDS_) for _ in range(B_)],
         cfg,
-        bucket_len=sr * SECONDS,
+        bucket_len=sr * SECONDS_,
     )
     audio, lengths = jnp.asarray(bb.audio), jnp.asarray(bb.lengths)
     backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
@@ -78,7 +88,7 @@ def main() -> int:
         slopes.append((tb - ta) / (I2 - I1))
     best = sorted(slopes)[len(slopes) // 2]
 
-    value = B * SECONDS / best
+    value = B_ * SECONDS_ / best
     print(
         json.dumps(
             {
@@ -88,9 +98,10 @@ def main() -> int:
                 "vs_baseline": round(value / CPU_BASELINE_AUDIO_S_PER_S, 2),
                 "platform": jax.default_backend(),
                 "backend": backend,
+                "config": args.config,
                 "ms_per_step": round(best * 1e3, 4),
-                "batch": B,
-                "utterance_s": SECONDS,
+                "batch": B_,
+                "utterance_s": SECONDS_,
             }
         )
     )
