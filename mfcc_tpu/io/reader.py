@@ -187,6 +187,8 @@ def stream_batches(
     input, zero-padded to batch_size rows when pad_batch_rows so every
     batch of a bucket shares one compiled shape.
     """
+    import concurrent.futures
+
     stats = stats if stats is not None else DecodeStats()
     sr = cfg.input_sample_rate or cfg.sample_rate
     buckets = make_buckets(max_len_s, cfg, n_buckets)
@@ -195,6 +197,9 @@ def stream_batches(
         scale = sr / cfg.sample_rate
         buckets = tuple(int(round(b * scale)) for b in buckets)
     pending: dict[int, list[tuple[str, np.ndarray]]] = {b: [] for b in buckets}
+    copy_pool = concurrent.futures.ThreadPoolExecutor(
+        max_workers=max(2, num_threads)
+    )
 
     def flush(blen: int, pad_rows: bool) -> Batch | None:
         items = pending[blen]
@@ -207,26 +212,30 @@ def stream_batches(
             bucket_len=blen,
             ids=[p for p, _ in items],
             pad_batch_to=batch_size if pad_rows else None,
+            copy_pool=copy_pool,
         )
 
-    for path, samples in decode_stream(
-        files, cfg, num_threads=num_threads, downmix=downmix, native=native,
-        stats=stats,
-    ):
-        if samples.shape[0] > buckets[-1]:
-            stats.truncated += 1
-            samples = samples[: buckets[-1]]
-        if samples.shape[0] == 0:
-            log.warning("skipping %s: empty audio", path)
-            stats.errors += 1
-            continue
-        blen = bucket_for(samples.shape[0], buckets)
-        pending[blen].append((path, samples))
-        if len(pending[blen]) >= batch_size:
-            b = flush(blen, False)
+    try:
+        for path, samples in decode_stream(
+            files, cfg, num_threads=num_threads, downmix=downmix, native=native,
+            stats=stats,
+        ):
+            if samples.shape[0] > buckets[-1]:
+                stats.truncated += 1
+                samples = samples[: buckets[-1]]
+            if samples.shape[0] == 0:
+                log.warning("skipping %s: empty audio", path)
+                stats.errors += 1
+                continue
+            blen = bucket_for(samples.shape[0], buckets)
+            pending[blen].append((path, samples))
+            if len(pending[blen]) >= batch_size:
+                b = flush(blen, False)
+                if b is not None:
+                    yield b
+        for blen in buckets:
+            b = flush(blen, pad_batch_rows)
             if b is not None:
                 yield b
-    for blen in buckets:
-        b = flush(blen, pad_batch_rows)
-        if b is not None:
-            yield b
+    finally:
+        copy_pool.shutdown(wait=False)

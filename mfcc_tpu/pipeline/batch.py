@@ -71,6 +71,7 @@ def pad_batch(
     bucket_len: int | None = None,
     ids: Sequence | None = None,
     pad_batch_to: int | None = None,
+    copy_pool=None,
 ) -> Batch:
     """Stack variable-length utterances into a zero-padded [B, T] buffer.
 
@@ -79,6 +80,10 @@ def pad_batch(
     silently: callers pick buckets with make_buckets/bucket_for.
     pad_batch_to: optionally right-pad the batch axis with zero-length rows
     (lengths 0) so every batch in a stream shares one compiled shape.
+    copy_pool: optional concurrent.futures.Executor; row fills are
+    contiguous same-dtype copies/memsets for which NumPy releases the GIL,
+    so a thread pool genuinely parallelizes batch assembly (the serial
+    consumer copy was the feed pipeline's bottleneck after decode threads).
     """
     utts = [np.asarray(u) for u in utterances]
     if not utts:
@@ -98,10 +103,17 @@ def pad_batch(
     # np.empty + explicit tail zeroing: zeroing the whole buffer costs a
     # full memory pass the valid samples immediately overwrite
     audio = np.empty((rows, T), dtype=dtype)
-    for i, u in enumerate(utts):
+
+    def fill_row(i: int, u: np.ndarray) -> None:
         n = u.shape[0]
         audio[i, :n] = u
         audio[i, n:] = 0.0
+
+    if copy_pool is None:
+        for i, u in enumerate(utts):
+            fill_row(i, u)
+    else:
+        list(copy_pool.map(fill_row, range(B), utts))
     audio[B:] = 0.0
     out_lengths = np.zeros(rows, dtype=np.int32)
     out_lengths[:B] = lengths
