@@ -294,23 +294,56 @@ def radix4_constants(cfg: FrontendConfig):
 SLAB_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 
-def _gather_frames(chunk_refs, nc: int, block_frames: int, slab_mode: bool):
+# In slab mode the chunk array carries PROLOGUE rows of zeros so that (a)
+# each block's aligned window includes the row before its first frame (the
+# pre-emphasis x[t-1] source crossing the block boundary) and (b) block 0
+# sees x[-1] = 0. 8 rows keep every load base block-aligned.
+SLAB_PROLOGUE_ROWS = 8
+
+
+def _gather_frames(
+    chunk_refs, nc: int, S: int, block_frames: int, slab_mode: bool,
+    preemph: float, lengths_ref,
+):
     """[FBLK, nc*S] frame block from either the resident chunk slab (sliced
-    at dynamic sublane offsets) or nc pre-shifted chunk views."""
+    at dynamic sublane offsets) or nc pre-shifted chunk views.
+
+    Slab mode consumes RAW audio and applies pre-emphasis + beyond-length
+    zeroing here (one VPU pass over the loaded window) — the XLA-side
+    preemph pass over [B, T] is skipped entirely. View mode receives audio
+    already preemphasized/zeroed by the caller.
+    """
     if slab_mode:
-        # One ALIGNED load of FBLK+tail rows (Mosaic requires sublane-aligned
-        # dynamic bases: base is a block multiple, +i would not be), then
-        # static roll shifts produce the nc chunk streams.
-        slab = chunk_refs[0]  # [1, C, S]
+        # One ALIGNED load (Mosaic requires sublane-aligned dynamic bases:
+        # base is a block multiple, +i would not be), then static roll
+        # shifts produce the nc chunk streams.
+        slab = chunk_refs[0]  # [1, PRO + C, S]
+        pro = SLAB_PROLOGUE_ROWS
         tail = max(8, _round_up(nc - 1, 8))
         base = pl.multiple_of(pl.program_id(1) * block_frames, block_frames)
-        n_rows = block_frames + tail
-        big = slab[0, pl.ds(base, n_rows), :]
-        # pltpu.roll produces a normalized layout, unlike a raw offset-i
-        # value slice (concat rejects mismatched sublane offsets)
+        n_rows = block_frames + tail + pro
+        big = slab[0, pl.ds(base, n_rows), :]  # padded rows [base, base+n_rows)
+
+        # y[t] = x[t] - a*x[t-1]; prev via row-roll + lane shift. Row 0's
+        # rolled prev is wraparound garbage, but row 0 is prologue: parts
+        # only consume rows >= pro, whose prev rows >= pro-1 are real.
+        if preemph != 0.0:
+            rolled = pltpu.roll(big, shift=1, axis=0)  # row r <- r-1
+            prev = jnp.concatenate(
+                [rolled[:, S - 1 : S], big[:, : S - 1]], axis=-1
+            )
+            y = big - jnp.float32(preemph) * prev
+            # zero beyond each utterance's length: sample index of
+            # (row r, lane j) is (f*FBLK + r - pro)*S + j. Kills the
+            # y[length] = -a*x[length-1] leak (x itself is pre-zeroed).
+            row = jax.lax.broadcasted_iota(jnp.int32, (n_rows, S), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (n_rows, S), 1)
+            t = (base + row - pro) * S + col
+            y = jnp.where(t < lengths_ref[pl.program_id(0), 0], y, 0.0)
+        else:
+            y = big
         parts = [
-            pltpu.roll(big, shift=n_rows - i, axis=0)[:block_frames] if i else
-            big[:block_frames]
+            pltpu.roll(y, shift=n_rows - (pro + i), axis=0)[:block_frames]
             for i in range(nc)
         ]
     else:
@@ -357,22 +390,30 @@ def _make_epilogue(cfg: FrontendConfig, mp: int, block_frames: int):
 
 
 def _make_kernel(
-    cfg: FrontendConfig, nc: int, k2: int, mp: int, block_frames: int,
+    cfg: FrontendConfig, nc: int, S: int, k2: int, mp: int, block_frames: int,
     dft_passes: str, slab_mode: bool,
 ):
     n_chunk_refs = 1 if slab_mode else nc
     epilogue = _make_epilogue(cfg, mp, block_frames)
 
     def kernel(*refs):
-        # refs: chunk slab [1, C, S] or nc chunk views [1, FBLK, S], then
+        # refs: [lengths (1,) SMEM if slab] + chunk slab [1, PRO+C, S] or
+        #       nc chunk views [1, FBLK, S], then
         #       fp32 path: dft [KW, K2], mel_h, mel_l [K2, MP]
         #       bf16x3 path: dft_h, dft_l [KW, K2], mel_h, mel_l [K2, MP]
         #       and finally out ref [1, FBLK, MP]
+        if slab_mode:
+            lengths_ref, refs = refs[0], refs[1:]
+        else:
+            lengths_ref = None
         chunk_refs = refs[:n_chunk_refs]
         rest = list(refs[n_chunk_refs:])
         out_ref = rest.pop()
         hi = jax.lax.Precision.HIGHEST
-        frames = _gather_frames(chunk_refs, nc, block_frames, slab_mode)
+        frames = _gather_frames(
+            chunk_refs, nc, S, block_frames, slab_mode, cfg.preemph,
+            lengths_ref,
+        )
         if dft_passes == "bf16x3":
             # 3-pass compensated matmul: both operands split into bf16
             # hi+lo; the al@bl term (~2^-16 relative) is dropped. ~1.9x
@@ -410,7 +451,7 @@ def _make_kernel(
 
 
 def _make_radix4_kernel(
-    cfg: FrontendConfig, nc: int, n2: int, mp: int, block_frames: int,
+    cfg: FrontendConfig, nc: int, S: int, n2: int, mp: int, block_frames: int,
     slab_mode: bool,
 ):
     hi = jax.lax.Precision.HIGHEST
@@ -418,10 +459,17 @@ def _make_radix4_kernel(
     epilogue = _make_epilogue(cfg, mp, block_frames)
 
     def kernel(*refs):
+        if slab_mode:
+            lengths_ref, refs = refs[0], refs[1:]
+        else:
+            lengths_ref = None
         chunk_refs = refs[:n_chunk_refs]
         rest = refs[n_chunk_refs:]
         win_ref, tw_ref, f0_ref, f1_ref, f2_ref, mel_h, mel_l, out_ref = rest
-        frames = _gather_frames(chunk_refs, nc, block_frames, slab_mode)
+        frames = _gather_frames(
+            chunk_refs, nc, S, block_frames, slab_mode, cfg.preemph,
+            lengths_ref,
+        )
         # stage 1 (VPU): windowed 128-aligned quarter blocks, radix-4
         # butterflies, twiddles. s=3 skipped: real input makes it the
         # conjugate mirror of s=1.
@@ -450,43 +498,58 @@ def _make_radix4_kernel(
 
 
 def _fused_logmel_energy(
-    y: jnp.ndarray, cfg: FrontendConfig, num_frames: int, block_frames: int,
-    interpret: bool, dft_passes: str,
+    audio: jnp.ndarray, lengths: jnp.ndarray, cfg: FrontendConfig,
+    num_frames: int, block_frames: int, interpret: bool, dft_passes: str,
 ) -> jnp.ndarray:
-    """y: preemphasized, tail-zeroed audio [B, T] → [B, num_frames, MP] where
-    lanes [0:M] are log-mel, lane M is (clamped, unlogged) frame energy."""
+    """audio: RAW fp32 audio [B, T] (zero beyond each length, as pad_batch
+    produces) → [B, fp, MP] where lanes [0:M] are log-mel, lane M is the
+    clamped (unlogged) frame energy.
+
+    Slab mode consumes the raw audio directly — pre-emphasis and
+    beyond-length zeroing happen in-kernel on the VMEM-resident window (the
+    XLA pass over [B, T] is skipped). View mode preemphasizes in XLA."""
     if dft_passes == "radix4":
         k = radix4_constants(cfg)
         nc, S, n2, mp = k["dims"]
     else:
         k = kernel_constants(cfg)
         nc, S, k2, mp = k["dims"]
-    B = y.shape[0]
+    B = audio.shape[0]
 
     # Shrink the block for short batches so a 1-s utterance doesn't pay for
     # a 256-frame block of padding (sublane granularity is 8).
     block_frames = min(block_frames, max(8, _round_up(num_frames, 8)))
     fp = _round_up(max(num_frames, block_frames), block_frames)
-    # slab mode loads FBLK+slab_tail rows per block (aligned base + static
-    # roll shifts), so it needs slab_tail trailing pad chunks instead of
-    # nc-1; see _gather_frames
+    # slab mode loads PRO+FBLK+slab_tail rows per block (aligned base +
+    # static roll shifts; the prologue supplies preemph's x[t-1] across
+    # block starts), so it needs extra pad chunks; see _gather_frames
     slab_tail = max(8, _round_up(nc - 1, 8))
-    n_chunks = fp - 1 + nc
-    slab_mode = (fp + slab_tail) * S * 4 <= SLAB_VMEM_BUDGET_BYTES
+    pro = SLAB_PROLOGUE_ROWS
+    slab_mode = (pro + fp + slab_tail) * S * 4 <= SLAB_VMEM_BUDGET_BYTES
+
+    lengths = lengths.astype(jnp.int32)
     if slab_mode:
-        n_chunks = fp + slab_tail
-    t_need = n_chunks * S
-    if y.shape[-1] < t_need:
-        y = jnp.pad(y, ((0, 0), (0, t_need - y.shape[-1])))
-    chunks = y[:, : n_chunks * S].reshape(B, n_chunks, S)
-    if slab_mode:
-        # whole utterance's chunks resident in VMEM; in-kernel sublane
-        # slicing replaces the nc shifted HBM copies
+        # raw audio with a zero prologue (x[-1] = 0 for the first frame)
+        # and the block tail; front+tail padding is ONE XLA pad op — the
+        # same single copy the tail-only pad already cost
+        n_chunks = pro + fp + slab_tail
+        t_need = (fp + slab_tail) * S
+        y = jnp.pad(
+            audio[:, :t_need],
+            ((0, 0), (pro * S, max(0, t_need - audio.shape[-1]))),
+        )
+        chunks = y.reshape(B, n_chunks, S)
         views = [chunks]
         chunk_spec = pl.BlockSpec(
             (1, n_chunks, S), lambda b, f: (b, 0, 0), memory_space=pltpu.VMEM
         )
     else:
+        y = chain.zero_beyond(chain.preemphasis(audio, cfg.preemph), lengths)
+        n_chunks = fp - 1 + nc
+        t_need = n_chunks * S
+        if y.shape[-1] < t_need:
+            y = jnp.pad(y, ((0, 0), (0, t_need - y.shape[-1])))
+        chunks = y[:, : n_chunks * S].reshape(B, n_chunks, S)
         # view i supplies chunk f+i for frame f
         views = [jax.lax.slice_in_dim(chunks, i, i + fp, axis=1) for i in range(nc)]
         chunk_spec = pl.BlockSpec(
@@ -507,19 +570,35 @@ def _fused_logmel_energy(
 
     if dft_passes == "radix4":
         consts = [jnp.asarray(k[name]) for name in ("win4", "tw", "f0", "f1", "f2", "mel_h", "mel_l")]
-        kernel = _make_radix4_kernel(cfg, nc, n2, mp, block_frames, slab_mode)
+        kernel = _make_radix4_kernel(cfg, nc, S, n2, mp, block_frames, slab_mode)
         # stage-2 MACs: N2*2N2 + 2N2*2N2 + 2N2*N2 = 8*N2^2, x6 fp32 passes
         mac_per_frame = 8 * n2 * n2 * 6 + 5 * n2 * mp
     elif dft_passes == "bf16x3":
         consts = [jnp.asarray(k["dft_h"]), jnp.asarray(k["dft_l"]),
                   jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
-        kernel = _make_kernel(cfg, nc, k2, mp, block_frames, dft_passes, slab_mode)
+        kernel = _make_kernel(cfg, nc, S, k2, mp, block_frames, dft_passes, slab_mode)
         mac_per_frame = nc * S * k2 * 3 + k2 * mp
     else:
         consts = [jnp.asarray(k["dft"]), jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
-        kernel = _make_kernel(cfg, nc, k2, mp, block_frames, dft_passes, slab_mode)
+        kernel = _make_kernel(cfg, nc, S, k2, mp, block_frames, dft_passes, slab_mode)
         mac_per_frame = nc * S * k2 * 6 + k2 * mp
-    in_specs = [chunk_spec] * len(views) + [full_spec(c) for c in consts]
+
+    inputs = list(views)
+    in_specs = [chunk_spec] * len(views)
+    if slab_mode:
+        # per-utterance length scalar for the in-kernel beyond-length zeroing
+        # Mosaic SMEM blocks must equal the array dims (or be 8/128
+        # tiles): keep the whole [B, 1] lengths array resident and index by
+        # program_id(0) in-kernel
+        inputs.insert(0, lengths.reshape(-1, 1))
+        in_specs.insert(
+            0,
+            pl.BlockSpec(
+                (B, 1), lambda b, f: (0, 0), memory_space=pltpu.SMEM
+            ),
+        )
+    inputs += consts
+    in_specs += [full_spec(c) for c in consts]
 
     out = pl.pallas_call(
         kernel,
@@ -533,7 +612,7 @@ def _fused_logmel_energy(
             transcendentals=B * fp * mp,
         ),
         interpret=interpret,
-    )(*views, *consts)
+    )(*inputs)
     return out  # [B, fp, MP]; caller trims frames at the very end
 
 
@@ -571,8 +650,9 @@ def fused_logmel_stages(
         dft_passes = "fp32"  # generic fallback for exotic n_fft
     F = cfg.num_frames(audio.shape[-1])
     audio = audio.astype(jnp.float32)
-    y = chain.zero_beyond(chain.preemphasis(audio, cfg.preemph), lengths)
-    out = _fused_logmel_energy(y, cfg, F, block_frames, interpret, dft_passes)
+    out = _fused_logmel_energy(
+        audio, lengths, cfg, F, block_frames, interpret, dft_passes
+    )
     fp = out.shape[1]
 
     # The hot path consumes only the contiguous [0:M+1] lane prefix (log-mel
