@@ -20,4 +20,38 @@ from mfcc_tpu.config import FrontendConfig, named_config, NAMED_CONFIGS
 
 __version__ = "0.1.0"
 
-__all__ = ["FrontendConfig", "named_config", "NAMED_CONFIGS", "__version__"]
+
+def extract(source, config="classic13", backend="pallas"):
+    """One-call convenience: wav path / bytes / sample array → features.
+
+    Returns a float32 [F, feat_dim] array of valid frames. For batched or
+    streaming extraction use mfcc_tpu.ops.chain.extract_batch /
+    mfcc_tpu.io.stream_batches (or the CLI), which amortize compilation
+    across utterances.
+    """
+    import numpy as np
+
+    from mfcc_tpu.ops import chain
+
+    cfg = named_config(config) if isinstance(config, str) else config
+    expect_sr = cfg.input_sample_rate or cfg.sample_rate
+    if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
+        from mfcc_tpu.io import decode_wav_bytes, read_wav
+
+        if isinstance(source, bytes):
+            sr, samples = decode_wav_bytes(source)
+        else:
+            sr, samples = read_wav(source)
+        if sr != expect_sr:
+            raise ValueError(
+                f"wav is {sr} Hz but config {cfg.config_hash()} expects "
+                f"{expect_sr} Hz; pick a matching config or resample"
+            )
+    else:
+        samples = np.asarray(source)
+    return chain.extract_single(samples.astype(np.float64), cfg, backend=backend)
+
+
+__all__ = [
+    "FrontendConfig", "named_config", "NAMED_CONFIGS", "extract", "__version__",
+]

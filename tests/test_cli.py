@@ -141,3 +141,22 @@ def test_info_runs(capsys):
 
 def test_extract_no_files(tmp_path):
     assert run_cli("extract", str(tmp_path / "none*.wav"), "-o", str(tmp_path)) == 2
+
+
+def test_top_level_extract(tmp_path):
+    """mfcc_tpu.extract one-call API: path, bytes and array inputs."""
+    import mfcc_tpu
+
+    g = np.random.default_rng(9)
+    x = (g.standard_normal(8000) * 2000).astype(np.int16)
+    p = tmp_path / "x.wav"
+    write_wav(p, 16000, x)
+    f1 = mfcc_tpu.extract(str(p), backend="jnp")
+    f2 = mfcc_tpu.extract(p.read_bytes(), backend="jnp")
+    f3 = mfcc_tpu.extract(x.astype(np.float64), backend="jnp")
+    assert f1.shape == (49, 13)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(f1, f3)
+    with pytest.raises(ValueError, match="Hz"):
+        write_wav(tmp_path / "bad.wav", 8000, x)
+        mfcc_tpu.extract(str(tmp_path / "bad.wav"))
