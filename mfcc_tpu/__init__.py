@@ -21,10 +21,12 @@ from mfcc_tpu.config import FrontendConfig, named_config, NAMED_CONFIGS
 __version__ = "0.1.0"
 
 
-def extract(source, config="classic13", backend="pallas"):
+def extract(source, config="classic13", backend=None):
     """One-call convenience: wav path / bytes / sample array → features.
 
-    Returns a float32 [F, feat_dim] array of valid frames. For batched or
+    Returns a float32 [F, feat_dim] array of valid frames. backend=None
+    picks the fused Pallas kernel on TPU and the jnp chain elsewhere (the
+    Pallas interpreter off-TPU takes minutes per utterance). For batched or
     streaming extraction use mfcc_tpu.ops.chain.extract_batch /
     mfcc_tpu.io.stream_batches (or the CLI), which amortize compilation
     across utterances.
@@ -32,6 +34,11 @@ def extract(source, config="classic13", backend="pallas"):
     import numpy as np
 
     from mfcc_tpu.ops import chain
+
+    if backend is None:
+        import jax
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
     cfg = named_config(config) if isinstance(config, str) else config
     expect_sr = cfg.input_sample_rate or cfg.sample_rate

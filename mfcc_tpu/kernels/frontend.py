@@ -333,15 +333,16 @@ def _gather_frames(
                 [rolled[:, S - 1 : S], big[:, : S - 1]], axis=-1
             )
             y = big - jnp.float32(preemph) * prev
-            # zero beyond each utterance's length: sample index of
-            # (row r, lane j) is (f*FBLK + r - pro)*S + j. Kills the
-            # y[length] = -a*x[length-1] leak (x itself is pre-zeroed).
-            row = jax.lax.broadcasted_iota(jnp.int32, (n_rows, S), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (n_rows, S), 1)
-            t = (base + row - pro) * S + col
-            y = jnp.where(t < lengths_ref[pl.program_id(0), 0], y, 0.0)
         else:
             y = big
+        # zero beyond each utterance's length UNCONDITIONALLY (not only for
+        # preemph's y[length] leak): callers are not required to pre-zero
+        # the padding, and resample ringing extends past output_length.
+        # Sample index of (row r, lane j) is (f*FBLK + r - pro)*S + j.
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_rows, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_rows, S), 1)
+        t = (base + row - pro) * S + col
+        y = jnp.where(t < lengths_ref[pl.program_id(0), 0], y, 0.0)
         parts = [
             pltpu.roll(y, shift=n_rows - (pro + i), axis=0)[:block_frames]
             for i in range(nc)
@@ -621,7 +622,7 @@ def fused_logmel_stages(
     lengths: jnp.ndarray,
     cfg: FrontendConfig,
     *,
-    block_frames: int = 256,
+    block_frames: int = 512,  # sweep: 512 beats 256 by ~1.5% at batch 64/256
     interpret: bool | None = None,
     dft_passes: str = "radix4",
 ) -> dict[str, jnp.ndarray]:

@@ -116,6 +116,28 @@ def test_radix4_bin_permutation_covers_all_bins():
     assert k["mel"][:, cfg.n_mels].sum() == 2 * cfg.n_bins
 
 
+def test_dirty_tail_zeroed_without_preemph():
+    """Slab mode must zero beyond-length samples even when preemph == 0 —
+    callers are not required to pre-zero padding (review finding: garbage
+    leaked into tail frames at 0.137 log-mel error)."""
+    cfg = NAMED_CONFIGS["classic13"].replace(preemph=0.0)
+    g = np.random.default_rng(3)
+    T, n = 24000, 17000
+    audio = g.standard_normal((1, T)).astype(np.float32)  # dirty tail
+    lengths = jnp.asarray([n], jnp.int32)
+    fused = fused_logmel_stages(jnp.asarray(audio), lengths, cfg, interpret=True)
+    clean = audio.copy()
+    clean[0, n:] = 0.0
+    twin = chain.logmel_stages(jnp.asarray(clean), lengths, cfg)
+    fv = int(np.asarray(twin["n_valid"])[0])
+    lm_f = np.asarray(fused["logmel"], np.float64)[0, :fv]
+    lm_t = np.asarray(twin["logmel"], np.float64)[0, :fv]
+    lin = np.exp(lm_t)
+    rowmax = lin.max(axis=-1, keepdims=True) + 1e-300
+    loud = lin > rowmax * 1e-4
+    assert (np.abs(lm_f - lm_t) * loud).max() < 2e-5
+
+
 def test_bf16x3_path_runs_and_is_close():
     """dft_passes='bf16x3' (throughput-first path): exercises its ref
     unpacking and accuracy class (~1e-4 loud-bin — looser than the gate,
