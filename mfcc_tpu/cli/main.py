@@ -42,7 +42,11 @@ def cmd_extract(args) -> int:
     import jax
 
     from mfcc_tpu import named_config
-    from mfcc_tpu.io import DecodeStats, ShardWriter, shard_files, stream_batches, trim_batch
+    from mfcc_tpu.io import (
+        DecodeStats, ShardWriter, shard_files, stream_batches,
+        stream_batches_direct, trim_batch,
+    )
+    from mfcc_tpu.io.wav import _native
     from mfcc_tpu.parallel import CmvnAccumulator, data_mesh, sharded_extract_batch
     from mfcc_tpu.parallel.mesh import distributed_init, pad_batch_to_shards
     from mfcc_tpu.utils import MetricsLogger
@@ -102,8 +106,16 @@ def cmd_extract(args) -> int:
                 }
             }
         with trace_mod.annotate("shard_write"):
-            trimmed = trim_batch(feat, mask)[: len(real_ids)]
-            writer.write(shard_name, real_ids, trimmed, extra_meta=extra)
+            # pair ids with rows (None ids can appear mid-batch if a decode
+            # failed after row assignment in the direct feed path)
+            trimmed = trim_batch(feat, mask)
+            rows = [
+                (i, t) for i, t in zip(batch.ids, trimmed) if i is not None
+            ]
+            writer.write(
+                shard_name, [r[0] for r in rows], [r[1] for r in rows],
+                extra_meta=extra,
+            )
         metrics.add(
             shards=1,
             utterances=len(real_ids),
@@ -120,8 +132,12 @@ def cmd_extract(args) -> int:
                 snap.get("audio_s_per_s", 0.0),
             )
 
+    if args.feed == "direct" or (args.feed == "auto" and _native() is not None):
+        stream_fn = stream_batches_direct
+    else:
+        stream_fn = stream_batches
     with trace_mod.trace(args.profile_dir):
-        for batch in stream_batches(
+        for batch in stream_fn(
             files, cfg, batch_size=batch_size, max_len_s=args.max_len_s,
             num_threads=args.threads, stats=stats,
         ):
@@ -268,6 +284,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--batch-size", type=int, default=64)
     e.add_argument("--max-len-s", type=float, default=10.0)
     e.add_argument("--threads", type=int, default=4)
+    e.add_argument("--feed", choices=["auto", "direct", "arrays"], default="auto",
+                   help="direct: decode straight into batch rows (C++ path)")
     e.add_argument("--resume", action=argparse.BooleanOptionalAction, default=True)
     e.add_argument("--cmvn-stats", default=None,
                    help="path for global CMVN moment checkpoint")

@@ -1,11 +1,19 @@
 """Host I/O: wav decode (C++ fast path + numpy twin), threaded feed
 pipeline, shard writers with resume manifests (SURVEY.md §1.2 io/ layer)."""
 
-from mfcc_tpu.io.wav import decode_wav_bytes, read_wav, write_wav, WavError  # noqa: F401
+from mfcc_tpu.io.wav import (  # noqa: F401
+    WavError,
+    decode_wav_bytes,
+    decode_wav_into,
+    parse_wav_header,
+    read_wav,
+    write_wav,
+)
 from mfcc_tpu.io.reader import (  # noqa: F401
     DecodeStats,
     decode_stream,
     shard_files,
     stream_batches,
+    stream_batches_direct,
 )
 from mfcc_tpu.io.writer import ShardWriter, read_shard, trim_batch  # noqa: F401

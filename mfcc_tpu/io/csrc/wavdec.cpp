@@ -108,13 +108,18 @@ int32_t wav_parse(const uint8_t* buf, int64_t len, WavInfo* info) {
 //   int32  -> v / 65536              (int16 range)
 //   float  -> v * 32768              (int16 range)
 // downmix: 0 = channel 0, 1 = mean over channels.
+//
+// Decodes min(num_frames, out_cap) samples and ZERO-FILLS out up to
+// out_cap — out can be a padded batch row written in place (the feed
+// pipeline's decode-into-buffer path); the caller reads info->num_frames
+// for the true file length and clamps for the valid count.
 int32_t wav_decode_f32(const uint8_t* buf, int64_t len, int32_t downmix,
                        float* out, int64_t out_cap, WavInfo* info) {
   int32_t rc = wav_parse(buf, len, info);
   if (rc != WAV_OK) return rc;
-  if (info->num_frames > out_cap) return WAV_ERR_OUT_TOO_SMALL;
   const uint8_t* d = buf + info->data_offset;
-  const int64_t n = info->num_frames;
+  const int64_t n =
+      info->num_frames < out_cap ? info->num_frames : out_cap;
   const int c = info->channels;
   const float inv_c = 1.0f / (float)c;
 
@@ -165,6 +170,7 @@ int32_t wav_decode_f32(const uint8_t* buf, int64_t len, int32_t downmix,
         double v; std::memcpy(&v, p, 8); return (float)(v * 32768.0); }, 8);
     }
   }
+  if (n < out_cap) std::memset(out + n, 0, (out_cap - n) * sizeof(float));
   return WAV_OK;
 }
 

@@ -45,48 +45,86 @@ def shard_files(files: Sequence, process_index: int, process_count: int) -> list
     return list(files)[process_index::process_count]
 
 
-def _decode_worker(
-    work: "queue.Queue", out: "queue.Queue", expect_sr: int,
-    downmix: str, native: bool | None, stats: DecodeStats, lock: threading.Lock,
-):
-    # The finally guarantees the sentinel even if this thread dies on an
-    # unexpected exception — otherwise the consumer would wait for a
-    # sentinel that never comes (fault-injection test in test_structure.py).
-    try:
-        while True:
-            item = work.get()
-            if item is _SENTINEL:
-                return
-            idx, path = item
-            try:
-                sr, samples = wav.read_wav(path, downmix=downmix, native=native)
-            except (OSError, ValueError) as e:
-                log.warning("skipping %s: %s", path, e)
-                with lock:
-                    stats.errors += 1
-                out.put((idx, None, None))
-                continue
-            except BaseException:
-                # unexpected: report the gap before propagating, so the
-                # reorder buffer never waits on this index
-                with lock:
-                    stats.errors += 1
-                out.put((idx, None, None))
-                raise
-            if sr != expect_sr:
-                log.warning(
-                    "skipping %s: sample rate %d != expected %d", path, sr, expect_sr
-                )
-                with lock:
-                    stats.wrong_rate += 1
-                out.put((idx, None, None))
-                continue
-            with lock:
-                stats.decoded += 1
-                stats.audio_seconds += samples.shape[0] / sr
-            out.put((idx, path, samples))
-    finally:
-        out.put(_SENTINEL)
+def _ordered_map(paths, item_fn, num_threads: int, queue_depth: int):
+    """Run item_fn(idx, path) -> result-or-None over a thread pool, yielding
+    (path, result) in INPUT ORDER (reorder buffer), skipping None results.
+
+    Ordering makes shard contents — and therefore resume markers —
+    deterministic across runs. Both queues are bounded so in-flight work is
+    capped at queue_depth + num_threads items even when one early item is
+    slow. Worker death is survivable: the finally-sentinel plus the
+    pre-raise gap report keep the consumer from waiting forever, and the
+    drain path releases everything if all workers die
+    (tests/test_structure.py fault injection).
+    """
+    work: "queue.Queue" = queue.Queue(maxsize=queue_depth)
+    out: "queue.Queue" = queue.Queue(maxsize=queue_depth)
+    paths = list(paths)
+
+    def _feed():
+        for i, p in enumerate(paths):
+            work.put((i, p))
+        for _ in range(num_threads):
+            work.put(_SENTINEL)
+
+    def _worker():
+        try:
+            while True:
+                item = work.get()
+                if item is _SENTINEL:
+                    return
+                idx, path = item
+                try:
+                    res = item_fn(idx, path)
+                except BaseException:
+                    out.put((idx, None))
+                    raise
+                out.put((idx, res))
+        finally:
+            out.put(_SENTINEL)
+
+    threading.Thread(target=_feed, daemon=True).start()
+    threads = [
+        threading.Thread(target=_worker, daemon=True) for _ in range(num_threads)
+    ]
+    for t in threads:
+        t.start()
+
+    done = 0
+    next_idx = 0
+    held: dict[int, object] = {}
+    while next_idx < len(paths):
+        if next_idx in held:
+            res = held.pop(next_idx)
+            path = paths[next_idx]
+            next_idx += 1
+            if res is not None:
+                yield path, res
+            continue
+        if done >= num_threads:
+            # every worker exited: drain stragglers, release the rest in
+            # order treating still-missing indices as skipped
+            while True:
+                try:
+                    item = out.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not _SENTINEL:
+                    held[item[0]] = item[1]
+            while next_idx < len(paths):
+                res = held.pop(next_idx, None)
+                path = paths[next_idx]
+                next_idx += 1
+                if res is not None:
+                    yield path, res
+            break
+        item = out.get()
+        if item is _SENTINEL:
+            done += 1
+            continue
+        held[item[0]] = item[1]
+    for t in threads:
+        t.join()
 
 
 def decode_stream(
@@ -98,74 +136,37 @@ def decode_stream(
     native: bool | None = None,
     stats: DecodeStats | None = None,
 ) -> Iterator[tuple[str, np.ndarray]]:
-    """Yield (path, float32 samples) decoded by a thread pool **in input
-    order** (a reorder buffer holds out-of-order completions), so shard
-    contents — and therefore resume markers — are deterministic across
-    runs. The bounded queue applies back-pressure so decode never runs
-    unboundedly ahead of the consumer."""
+    """Yield (path, float32 samples) decoded by a thread pool in input order
+    (see _ordered_map)."""
     stats = stats if stats is not None else DecodeStats()
     expect_sr = cfg.input_sample_rate or cfg.sample_rate
-    # the WORK queue is bounded too: otherwise one slow early file lets the
-    # workers race ahead and the reorder buffer absorbs the whole corpus —
-    # in-flight decode is capped at queue_depth + num_threads items
-    work: "queue.Queue" = queue.Queue(maxsize=queue_depth)
-    out: "queue.Queue" = queue.Queue(maxsize=queue_depth)
     lock = threading.Lock()
-    paths = list(files)
 
-    def _feed():
-        for i, p in enumerate(paths):
-            work.put((i, p))
-        for _ in range(num_threads):
-            work.put(_SENTINEL)
+    def item_fn(idx, path):
+        try:
+            sr, samples = wav.read_wav(path, downmix=downmix, native=native)
+        except (OSError, ValueError) as e:
+            log.warning("skipping %s: %s", path, e)
+            with lock:
+                stats.errors += 1
+            return None
+        except BaseException:
+            with lock:
+                stats.errors += 1
+            raise
+        if sr != expect_sr:
+            log.warning(
+                "skipping %s: sample rate %d != expected %d", path, sr, expect_sr
+            )
+            with lock:
+                stats.wrong_rate += 1
+            return None
+        with lock:
+            stats.decoded += 1
+            stats.audio_seconds += samples.shape[0] / sr
+        return samples
 
-    feeder = threading.Thread(target=_feed, daemon=True)
-    feeder.start()
-    threads = []
-    for _ in range(num_threads):
-        t = threading.Thread(
-            target=_decode_worker,
-            args=(work, out, expect_sr, downmix, native, stats, lock),
-            daemon=True,
-        )
-        t.start()
-        threads.append(t)
-    done = 0
-    next_idx = 0
-    held: dict[int, tuple] = {}
-    while next_idx < len(paths):
-        if next_idx in held:
-            path, samples = held.pop(next_idx)
-            next_idx += 1
-            if path is not None:
-                yield path, samples
-            continue
-        if done >= num_threads:
-            # every worker has exited: drain stragglers, then release the
-            # rest in order treating still-missing indices as skipped
-            # (possible only if workers died with unprocessed work items)
-            while True:
-                try:
-                    item = out.get_nowait()
-                except queue.Empty:
-                    break
-                if item is not _SENTINEL:
-                    idx, path, samples = item
-                    held[idx] = (path, samples)
-            while next_idx < len(paths):
-                entry = held.pop(next_idx, None)
-                next_idx += 1
-                if entry is not None and entry[0] is not None:
-                    yield entry[0], entry[1]
-            break
-        item = out.get()
-        if item is _SENTINEL:
-            done += 1
-            continue
-        idx, path, samples = item
-        held[idx] = (path, samples)
-    for t in threads:
-        t.join()
+    yield from _ordered_map(files, item_fn, num_threads, queue_depth)
 
 
 def stream_batches(
@@ -239,3 +240,145 @@ def stream_batches(
                 yield b
     finally:
         copy_pool.shutdown(wait=False)
+
+
+def stream_batches_direct(
+    files: Iterable,
+    cfg: FrontendConfig,
+    batch_size: int = 64,
+    max_len_s: float = 10.0,
+    n_buckets: int = 4,
+    num_threads: int = 4,
+    downmix: str = "first",
+    native: bool | None = None,
+    pad_batch_rows: bool = True,
+    stats: DecodeStats | None = None,
+) -> Iterator[Batch]:
+    """Decode-into-buffer batch streaming (the host-feed fast path).
+
+    Two phases, both thread-pooled, fully deterministic:
+      A. read bytes + parse the wav HEADER only (ordered) — gives the
+         sample rate and length, enough for bucket/row assignment;
+      B. decode each utterance DIRECTLY into its padded batch row via the
+         C++ decoder (truncation + zero-fill inside C, GIL released) —
+         no intermediate sample array, no serial assembly copy.
+
+    Semantics match stream_batches (same batches, same order); a rare
+    decode failure after a successful header parse zeroes the row and
+    drops its id (consumers pair ids with rows, skipping None).
+    """
+    import concurrent.futures
+
+    stats = stats if stats is not None else DecodeStats()
+    expect_sr = cfg.input_sample_rate or cfg.sample_rate
+    sr = expect_sr
+    buckets = make_buckets(max_len_s, cfg, n_buckets)
+    if sr != cfg.sample_rate:
+        scale = sr / cfg.sample_rate
+        buckets = tuple(int(round(b * scale)) for b in buckets)
+    lock = threading.Lock()
+
+    def parse_fn(idx, path):
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            fsr, n = wav.parse_wav_header(data)
+        except (OSError, ValueError) as e:
+            log.warning("skipping %s: %s", path, e)
+            with lock:
+                stats.errors += 1
+            return None
+        except BaseException:
+            with lock:
+                stats.errors += 1
+            raise
+        if fsr != expect_sr:
+            log.warning(
+                "skipping %s: sample rate %d != expected %d", path, fsr, expect_sr
+            )
+            with lock:
+                stats.wrong_rate += 1
+            return None
+        return data, n
+
+    from mfcc_tpu.pipeline.batch import required_samples
+
+    class _Open:
+        """One partially-filled batch of a bucket."""
+
+        def __init__(self, blen: int):
+            self.blen = blen
+            self.T = required_samples(blen, cfg)
+            self.audio = np.empty((batch_size, self.T), dtype=np.float32)
+            self.lengths = np.zeros(batch_size, dtype=np.int32)
+            self.ids: list = []
+            self.futures: list = []
+
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=max(2, num_threads))
+    pending: dict[int, _Open] = {}
+
+    def decode_job(data: bytes, ob: _Open, row: int, path) -> None:
+        try:
+            _, n = wav.decode_wav_into(
+                data, ob.audio[row, : ob.blen], downmix=downmix, native=native
+            )
+        except (ValueError, RuntimeError, wav.WavError) as e:
+            log.warning("decode failed for %s: %s", path, e)
+            ob.audio[row, : ob.blen] = 0.0
+            ob.lengths[row] = 0
+            ob.ids[row] = None
+            with lock:
+                stats.errors += 1
+                stats.decoded -= 1
+        ob.audio[row, ob.blen :] = 0.0  # row tail beyond the bucket span
+
+    def flush(blen: int, pad_rows: bool) -> Batch | None:
+        ob = pending.pop(blen, None)
+        if ob is None or not ob.ids:
+            return None
+        concurrent.futures.wait(ob.futures)
+        rows = len(ob.ids)
+        if pad_rows:
+            ob.audio[rows:] = 0.0
+            out_rows = batch_size
+        else:
+            out_rows = rows
+        ids = ob.ids + [None] * (out_rows - rows)
+        return Batch(
+            audio=ob.audio[:out_rows],
+            lengths=ob.lengths[:out_rows],
+            ids=ids,
+        )
+
+    try:
+        for path, (data, n) in _ordered_map(files, parse_fn, num_threads, 64):
+            if n == 0:
+                log.warning("skipping %s: empty audio", path)
+                with lock:
+                    stats.errors += 1
+                continue
+            if n > buckets[-1]:
+                with lock:
+                    stats.truncated += 1
+                n = buckets[-1]
+            with lock:
+                stats.decoded += 1
+                stats.audio_seconds += n / sr
+            blen = bucket_for(n, buckets)
+            ob = pending.get(blen)
+            if ob is None:
+                ob = pending[blen] = _Open(blen)
+            row = len(ob.ids)
+            ob.ids.append(path)
+            ob.lengths[row] = n
+            ob.futures.append(pool.submit(decode_job, data, ob, row, path))
+            if len(ob.ids) >= batch_size:
+                b = flush(blen, False)
+                if b is not None:
+                    yield b
+        for blen in buckets:
+            b = flush(blen, pad_batch_rows)
+            if b is not None:
+                yield b
+    finally:
+        pool.shutdown(wait=False)

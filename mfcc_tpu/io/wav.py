@@ -224,6 +224,54 @@ def read_wav(path, downmix: str = "first", native: bool | None = None):
         return decode_wav_bytes(f.read(), downmix=downmix, native=native)
 
 
+def parse_wav_header(data: bytes) -> tuple[int, int]:
+    """bytes → (sample_rate, num_frames) without decoding samples — the
+    cheap first phase of the decode-into-buffer feed path."""
+    lib = _native()
+    if lib is not None:
+        info = _WavInfo()
+        rc = lib.wav_parse(data, len(data), ctypes.byref(info))
+        if rc != 0:
+            raise WavError(_DECODE_ERRORS.get(rc, f"decode error {rc}"))
+        return int(info.sample_rate), int(info.num_frames)
+    sr, x = _decode_numpy(data, "first")
+    return sr, x.shape[0]
+
+
+def decode_wav_into(
+    data: bytes, out_row: np.ndarray, downmix: str = "first",
+    native: bool | None = None,
+) -> tuple[int, int]:
+    """Decode straight into a float32 batch row, truncating to its capacity
+    and zero-filling the tail (all inside C for the native path — no
+    intermediate array, no GIL during conversion).
+
+    Returns (sample_rate, n_valid) with n_valid = min(file frames, cap).
+    """
+    if out_row.dtype != np.float32 or not out_row.flags.c_contiguous:
+        raise ValueError("out_row must be contiguous float32")
+    if downmix not in ("first", "mean"):
+        raise ValueError(f"downmix={downmix!r}")
+    lib = _native() if native is not False else None
+    if lib is None:
+        if native is True:
+            raise RuntimeError("native wav decoder unavailable")
+        sr, x = _decode_numpy(data, downmix)
+        n = min(x.shape[0], out_row.shape[0])
+        out_row[:n] = x[:n]
+        out_row[n:] = 0.0
+        return sr, n
+    info = _WavInfo()
+    rc = lib.wav_decode_f32(
+        data, len(data), 1 if downmix == "mean" else 0,
+        out_row.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_row.shape[0], ctypes.byref(info),
+    )
+    if rc != 0:
+        raise WavError(_DECODE_ERRORS.get(rc, f"decode error {rc}"))
+    return int(info.sample_rate), min(int(info.num_frames), out_row.shape[0])
+
+
 def write_wav(path, sample_rate: int, samples: np.ndarray) -> None:
     """Minimal PCM16 writer (tests/fixtures only). Values clipped to int16."""
     x = np.clip(np.asarray(samples), -32768, 32767).astype("<i2")

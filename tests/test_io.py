@@ -195,3 +195,91 @@ def test_trim_batch():
     out = trim_batch(feat, mask)
     assert out[0].shape == (2, 3) and out[1].shape == (4, 3)
     np.testing.assert_array_equal(out[0], feat[0, :2])
+
+
+def test_decode_wav_into_matches_read(tmp_path):
+    from mfcc_tpu.io import decode_wav_into
+
+    g = np.random.default_rng(12)
+    x = (g.standard_normal(5000) * 6000).astype(np.int16)
+    p = tmp_path / "d.wav"
+    write_wav(p, 16000, x)
+    data = p.read_bytes()
+    for native in (True, False):
+        row = np.full(6000, 7.0, dtype=np.float32)
+        sr, n = decode_wav_into(data, row, native=native)
+        assert (sr, n) == (16000, 5000)
+        np.testing.assert_array_equal(row[:5000], x.astype(np.float32))
+        np.testing.assert_array_equal(row[5000:], 0.0)  # zero-filled tail
+        # truncation to capacity
+        small = np.empty(1000, dtype=np.float32)
+        sr, n = decode_wav_into(data, small, native=native)
+        assert n == 1000
+        np.testing.assert_array_equal(small, x[:1000].astype(np.float32))
+
+
+def test_parse_wav_header(tmp_path):
+    from mfcc_tpu.io import parse_wav_header
+
+    p = tmp_path / "h.wav"
+    write_wav(p, 22050, np.zeros(777, np.int16))
+    assert parse_wav_header(p.read_bytes()) == (22050, 777)
+    with pytest.raises((WavError, ValueError)):
+        parse_wav_header(b"RIFF garbage")
+
+
+def test_stream_direct_equals_arrays(tmp_path):
+    """The direct decode-into-buffer stream must produce byte-identical
+    batches to the arrays path, including error skips and truncation."""
+    from mfcc_tpu.io import stream_batches_direct
+
+    cfg = NAMED_CONFIGS["classic13"]
+    g = np.random.default_rng(13)
+    paths = []
+    for i, n in enumerate([4000, 50000, 175000, 9000, 70000, 3000, 22000]):
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, 16000, (g.standard_normal(n) * 1000).astype(np.int16))
+        paths.append(p)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFF not a wav")
+    paths.insert(3, bad)
+    wrong = tmp_path / "wrong.wav"
+    write_wav(wrong, 8000, np.zeros(100, np.int16))
+    paths.insert(5, wrong)
+
+    s1, s2 = DecodeStats(), DecodeStats()
+    a = list(stream_batches(paths, cfg, batch_size=3, max_len_s=10.0, stats=s1))
+    d = list(stream_batches_direct(paths, cfg, batch_size=3, max_len_s=10.0, stats=s2))
+    assert len(a) == len(d)
+    for ba, bd in zip(a, d):
+        assert ba.ids == bd.ids
+        np.testing.assert_array_equal(ba.lengths, bd.lengths)
+        np.testing.assert_array_equal(ba.audio, bd.audio)
+    assert (s1.errors, s1.wrong_rate, s1.truncated) == (
+        s2.errors, s2.wrong_rate, s2.truncated)
+    assert s1.decoded == s2.decoded
+
+
+def test_cli_feed_direct(tmp_path):
+    """CLI --feed direct produces the same shards as --feed arrays."""
+    from mfcc_tpu.cli import main as cli_entry
+
+    cfg = NAMED_CONFIGS["classic13"]
+    g = np.random.default_rng(14)
+    paths = []
+    for i, n in enumerate([8000, 23000, 5000]):
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, 16000, (g.standard_normal(n) * 2000).astype(np.int16))
+        paths.append(str(p))
+    for feed in ("arrays", "direct"):
+        rc = cli_entry(["extract", *paths, "--config", "classic13", "-o",
+                        str(tmp_path / feed), "--backend", "jnp",
+                        "--batch-size", "4", "--feed", feed])
+        assert rc == 0
+    a = {k: v for s in sorted((tmp_path / "arrays").glob("h0-*.npz"))
+         for k, v in read_shard(s).items()}
+    d = {k: v for s in sorted((tmp_path / "direct").glob("h0-*.npz"))
+         for k, v in read_shard(s).items()}
+    assert sorted(a) == sorted(d)
+    for k in a:
+        np.testing.assert_array_equal(a[k], d[k])
