@@ -283,3 +283,25 @@ def test_cli_feed_direct(tmp_path):
     assert sorted(a) == sorted(d)
     for k in a:
         np.testing.assert_array_equal(a[k], d[k])
+
+
+def test_wav_decoder_fuzz_never_crashes():
+    """Arbitrary and mutated bytes must raise WavError/ValueError (or decode)
+    — never crash the process or corrupt memory (both decoder paths)."""
+    g = np.random.default_rng(99)
+    valid = _pcm16_bytes(16000, (g.standard_normal(300) * 999).astype(np.int16))
+    cases = [bytes(g.integers(0, 256, g.integers(0, 200)).astype(np.uint8))
+             for _ in range(50)]
+    for _ in range(100):
+        b = bytearray(valid)
+        for _ in range(g.integers(1, 8)):
+            b[g.integers(0, len(b))] = g.integers(0, 256)
+        cases.append(bytes(b[: g.integers(8, len(b))]))
+        cases.append(bytes(b))
+    for data in cases:
+        for native in (True, False):
+            try:
+                sr, x = decode_wav_bytes(data, native=native)
+                assert x.dtype == np.float32
+            except (WavError, ValueError):
+                pass
