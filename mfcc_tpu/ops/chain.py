@@ -108,11 +108,7 @@ def frame_signal(x: jnp.ndarray, num_frames: int, cfg: FrontendConfig) -> jnp.nd
 
 
 def power_spectrum(windowed: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
-    """(B4+B5) zero-pad to n_fft, rfft, |X|^2 (optionally / NFFT)."""
-    pad = cfg.n_fft - windowed.shape[-1]
-    if pad > 0:
-        widths = [(0, 0)] * (windowed.ndim - 1) + [(0, pad)]
-        windowed = jnp.pad(windowed, widths)
+    """(B4+B5) rfft with n=n_fft (pads/truncates), |X|^2 (optionally / NFFT)."""
     spec = jnp.fft.rfft(windowed, n=cfg.n_fft, axis=-1)
     p = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     if cfg.power_scale_nfft:
@@ -277,11 +273,16 @@ def features_from_logmel(
         else:
             if cfg.append_energy:
                 lane = jnp.arange(cfg.n_mels + 1)
-                # log only the energy lane (log-mel lanes pass through);
-                # the maximum() keeps the discarded branch NaN-free
+                # log only the energy lane (log-mel lanes pass through).
+                # The clamp must be the oracle's where(x <= 0, eps, x) — a
+                # maximum(x, eps) would also clamp tiny POSITIVE energies
+                # and diverge by many log-units on near-silent audio; the
+                # where also keeps the discarded log-mel branch NaN-free
+                # (negative log-mels map to eps before the log).
+                eps = jnp.asarray(cfg.log_eps, x.dtype)
                 x = jnp.where(
                     lane == cfg.n_mels,
-                    jnp.log(jnp.maximum(x, jnp.asarray(cfg.log_eps, x.dtype))),
+                    jnp.log(jnp.where(x <= 0, eps, x)),
                     x,
                 )
             base = jnp.matmul(
@@ -380,7 +381,19 @@ def extract_single(x: np.ndarray, cfg: FrontendConfig, backend: str = "jnp") -> 
 
 
 def logmel_single(x: np.ndarray, cfg: FrontendConfig) -> dict[str, np.ndarray]:
-    """One utterance → all intermediate stages, trimmed to valid frames."""
+    """One utterance → all intermediate stages, trimmed to valid frames.
+
+    x is at cfg.input_sample_rate (resampled here first when it differs,
+    matching extract_single's contract)."""
+    if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
+        from mfcc_tpu.ops import resample
+
+        x = np.asarray(
+            resample.resample_batch(
+                jnp.asarray(np.asarray(x), dtype=compute_dtype(cfg)),
+                cfg.input_sample_rate, cfg.sample_rate,
+            )
+        )
     n = int(np.asarray(x).shape[0])
     audio = jnp.asarray(np.asarray(x), dtype=compute_dtype(cfg))[None, :]
     lengths = jnp.asarray([n], dtype=jnp.int32)

@@ -36,9 +36,13 @@ def make_buckets(
     sr = cfg.sample_rate
     max_len = int(round(max_len_s * sr))
     S = cfg.frame_step
-    ratio = (max_len / (0.5 * sr)) ** (1.0 / max(1, n_buckets - 1))
-    raw = [0.5 * sr * ratio**i for i in range(n_buckets)]
-    buckets = sorted({int(np.ceil(b / S)) * S for b in raw} | {int(np.ceil(max_len / S)) * S})
+    lo = min(0.5 * sr, max_len)  # never emit buckets beyond max_len
+    ratio = (max_len / lo) ** (1.0 / max(1, n_buckets - 1)) if max_len > lo else 1.0
+    raw = [lo * ratio**i for i in range(n_buckets)]
+    top = int(np.ceil(max_len / S)) * S
+    buckets = sorted(
+        {min(int(np.ceil(b / S)) * S, top) for b in raw} | {top}
+    )
     return tuple(buckets)
 
 
@@ -117,6 +121,11 @@ def pad_batch(
     audio[B:] = 0.0
     out_lengths = np.zeros(rows, dtype=np.int32)
     out_lengths[:B] = lengths
+    if ids is not None and len(ids) != B:
+        raise ValueError(
+            f"{len(ids)} ids for {B} utterances — misaligned ids would key "
+            "shard rows to the wrong files"
+        )
     out_ids = list(ids) if ids is not None else list(range(B))
     out_ids += [None] * (rows - B)
     return Batch(audio=audio, lengths=out_lengths, ids=out_ids)

@@ -87,19 +87,12 @@ def plot_all(x, cfg: FrontendConfig, out_path=None):
 
     x is at cfg.input_sample_rate; the waveform panel shows it as given,
     while spectrogram/features are computed at the chain's target rate
-    (logmel_single does not resample, so feed it the resampled signal)."""
+    (logmel_single and extract_single both resample internally)."""
     from mfcc_tpu.ops import chain
 
     plt = _plt()
     x = np.asarray(x, dtype=np.float64)
-    x_target = x
-    if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
-        from mfcc_tpu.ops import resample
-
-        x_target = resample.resample_numpy(
-            x, cfg.input_sample_rate, cfg.sample_rate
-        )
-    stages = chain.logmel_single(x_target, cfg)
+    stages = chain.logmel_single(x, cfg)
     feat = chain.extract_single(x, cfg)
     fig, axes = plt.subplots(4, 1, figsize=(11, 12), constrained_layout=True)
     plot_waveform(x, cfg, axes[0])

@@ -247,3 +247,18 @@ def test_kernel_constants_structure():
     np.testing.assert_array_equal(mel[:nb, : cfg.n_mels], mel[nb : 2 * nb, : cfg.n_mels])
     assert (mel[: 2 * nb, cfg.n_mels] == 1.0).all()
     assert (mel[2 * nb :, :] == 0).all()
+
+
+def test_near_silent_energy_matches_oracle():
+    """c0 on near-silent audio: tiny POSITIVE energies below eps must NOT be
+    clamped (review finding: maximum(x, eps) diverged from the oracle's
+    where(x <= 0, eps, x) by 14 log-units)."""
+    cfg = NAMED_CONFIGS["classic13"]
+    x = np.full(4000, 1e-12)
+    b = pad_batch([x], cfg, bucket_len=4000)
+    audio, lengths = jnp.asarray(b.audio), jnp.asarray(b.lengths)
+    f_pl, _ = chain.extract_batch(audio, lengths, cfg, backend="pallas")
+    f_jnp, _ = chain.extract_batch(audio, lengths, cfg, backend="jnp")
+    c0_pl = float(np.asarray(f_pl)[0, 1, 0])
+    c0_jnp = float(np.asarray(f_jnp)[0, 1, 0])
+    assert abs(c0_pl - c0_jnp) < 1e-2, (c0_pl, c0_jnp)
