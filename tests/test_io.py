@@ -305,3 +305,29 @@ def test_wav_decoder_fuzz_never_crashes():
                 assert x.dtype == np.float32
             except (WavError, ValueError):
                 pass
+
+
+def test_stream_direct_48k_config(tmp_path):
+    """Direct feed with a resampling config: 48 kHz buckets, wrong-rate
+    (16 kHz) file skipped, batches equal the arrays path."""
+    from mfcc_tpu.io import stream_batches_direct
+
+    cfg = NAMED_CONFIGS["mfcc39_48k"]
+    g = np.random.default_rng(15)
+    paths = []
+    for i, n in enumerate([48000, 120000, 24000]):
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, 48000, (g.standard_normal(n) * 1000).astype(np.int16))
+        paths.append(p)
+    wrong = tmp_path / "w16.wav"
+    write_wav(wrong, 16000, np.zeros(1000, np.int16))
+    paths.insert(1, wrong)
+
+    s1, s2 = DecodeStats(), DecodeStats()
+    a = list(stream_batches(paths, cfg, batch_size=2, max_len_s=4.0, stats=s1))
+    d = list(stream_batches_direct(paths, cfg, batch_size=2, max_len_s=4.0, stats=s2))
+    assert s2.wrong_rate == 1 and s1.wrong_rate == 1
+    assert len(a) == len(d)
+    for ba, bd in zip(a, d):
+        assert ba.ids == bd.ids
+        np.testing.assert_array_equal(ba.audio, bd.audio)
