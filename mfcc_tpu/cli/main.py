@@ -194,15 +194,49 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def _normalize_shard(spath_str: str, mean: np.ndarray, std: np.ndarray,
+                     var_norm: bool, stats_fp: str, force: bool = False) -> str:
+    """Normalize one shard in place, idempotently. Returns the outcome:
+    "normalized" | "skipped" (already carries this stats fingerprint) |
+    "mismatch" (normalized with DIFFERENT stats — re-applying would stack
+    two normalizations) | "not_features" (e.g. a moments checkpoint).
+
+    The applied fingerprint is stored INSIDE the shard npz (key cmvn_fp)
+    so a crash mid-corpus leaves per-shard truth, not one directory-level
+    marker written only at the end: the rerun skips exactly the shards
+    already done."""
+    spath = pathlib.Path(spath_str)
+    with np.load(spath, allow_pickle=False) as z:
+        if "features" not in z.files:
+            return "not_features"
+        if "cmvn_fp" in z.files and not force:
+            return "skipped" if str(z["cmvn_fp"]) == stats_fp else "mismatch"
+        feats, offsets, ids = z["features"], z["offsets"], z["ids"]
+    feats = (feats - mean) / std if var_norm else feats - mean
+    tmp = spath.with_name(spath.stem + ".tmp.npz")
+    np.savez_compressed(tmp, features=feats.astype(np.float32),
+                        offsets=offsets, ids=ids,
+                        cmvn_fp=np.array(stats_fp))
+    tmp.rename(spath)  # atomic: a kill leaves either old or new, never half
+    return "normalized"
+
+
 def cmd_apply_cmvn(args) -> int:
     """Pass 2 of global CMVN: normalize every shard in place with the
     finalized corpus stats (merged over all moment files given).
 
-    Idempotency: a done/cmvn_applied.json marker records that (and with
-    which stats) the directory was normalized; a second invocation refuses
-    instead of silently double-normalizing (use --force to override, e.g.
-    after regenerating the shards)."""
+    Idempotency is per-shard: each normalized npz records the stats
+    fingerprint it was normalized with (see _normalize_shard), so a rerun
+    after a mid-corpus crash finishes exactly the remaining shards instead
+    of double-normalizing the done ones. Shards normalized with different
+    stats abort the run (use --force only after regenerating shards).
+    Shards are processed by a thread pool: the per-shard work is zlib
+    inflate → numpy arithmetic → zlib deflate, all GIL-releasing, so
+    threads genuinely parallelize it — without the __main__ re-import
+    hazards spawned process pools impose on library callers."""
+    import concurrent.futures
     import hashlib
+    import os
 
     from mfcc_tpu import named_config
     from mfcc_tpu.parallel import CmvnAccumulator
@@ -214,42 +248,50 @@ def cmd_apply_cmvn(args) -> int:
     stats = acc.finalize(cfg)
     mean = stats.mean.astype(np.float32)
     std = stats.std.astype(np.float32)
+    stats_fp = hashlib.sha256(mean.tobytes() + std.tobytes()).hexdigest()[:16]
 
     shard_dir = pathlib.Path(args.shard_dir)
-    marker = shard_dir / "done" / "cmvn_applied.json"
-    stats_fp = hashlib.sha256(mean.tobytes() + std.tobytes()).hexdigest()[:16]
-    if marker.exists() and not args.force:
-        prev = json.loads(marker.read_text())
-        log.error(
-            "shards already normalized (stats %s at %s); re-applying would "
-            "double-normalize — use --force only after regenerating shards",
-            prev.get("stats_fingerprint"), prev.get("applied_at"),
-        )
-        return 1
-
-    n = 0
+    paths = []
     for spath in sorted(shard_dir.glob("*.npz")):
         if spath.name.endswith(".tmp.npz"):  # leftover from a crash
             spath.unlink()
             continue
-        with np.load(spath, allow_pickle=False) as z:
-            if "features" not in z.files:  # e.g. a cmvn moments checkpoint
-                continue
-            feats, offsets, ids = z["features"], z["offsets"], z["ids"]
-        feats = (feats - mean) / std if cfg.cmvn_var_norm else feats - mean
-        tmp = spath.with_name(spath.stem + ".tmp.npz")
-        np.savez_compressed(tmp, features=feats.astype(np.float32),
-                            offsets=offsets, ids=ids)
-        tmp.rename(spath)
-        n += 1
+        paths.append(str(spath))
+
+    counts = {"normalized": 0, "skipped": 0, "mismatch": 0, "not_features": 0}
+    mismatched = []
+    workers = args.jobs or min(len(paths) or 1, os.cpu_count() or 1)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = {
+            pool.submit(_normalize_shard, p, mean, std, cfg.cmvn_var_norm,
+                        stats_fp, args.force): p
+            for p in paths
+        }
+        for fut in concurrent.futures.as_completed(futs):
+            outcome = fut.result()
+            counts[outcome] += 1
+            if outcome == "mismatch":
+                mismatched.append(futs[fut])
+    if mismatched:
+        log.error(
+            "%d shard(s) already normalized with DIFFERENT stats (e.g. %s); "
+            "refusing to stack normalizations — regenerate those shards",
+            len(mismatched), mismatched[0],
+        )
+        return 1
+    marker = shard_dir / "done" / "cmvn_applied.json"
     marker.parent.mkdir(parents=True, exist_ok=True)
     marker.write_text(json.dumps({
         "stats_fingerprint": stats_fp,
         "n_frames": stats.n,
-        "shards": n,
+        "shards": counts["normalized"] + counts["skipped"],
         "applied_at": time.time(),
     }))
-    log.info("normalized %d shards with corpus stats (n=%.0f frames)", n, stats.n)
+    log.info(
+        "normalized %d shards (%d already done) with corpus stats "
+        "(n=%.0f frames, %d workers)",
+        counts["normalized"], counts["skipped"], stats.n, workers,
+    )
     return 0
 
 
@@ -301,7 +343,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="one or more cmvn moment .npz files (merged)")
     a.add_argument("--config", default="classic13")
     a.add_argument("--force", action="store_true",
-                   help="re-apply even if an applied-marker exists")
+                   help="re-normalize even shards already carrying a stats "
+                        "fingerprint (stacks normalizations — only after "
+                        "regenerating shards)")
+    a.add_argument("--jobs", type=int, default=None,
+                   help="worker processes (default: min(shards, cpus))")
     a.set_defaults(fn=cmd_apply_cmvn)
 
     i = sub.add_parser("info", help="show devices and configs")

@@ -50,19 +50,23 @@ def _ordered_map(paths, item_fn, num_threads: int, queue_depth: int):
     (path, result) in INPUT ORDER (reorder buffer), skipping None results.
 
     Ordering makes shard contents — and therefore resume markers —
-    deterministic across runs. Both queues are bounded so in-flight work is
-    capped at queue_depth + num_threads items even when one early item is
-    slow. Worker death is survivable: the finally-sentinel plus the
-    pre-raise gap report keep the consumer from waiting forever, and the
-    drain path releases everything if all workers die
-    (tests/test_structure.py fault injection).
+    deterministic across runs. In-flight work is capped at
+    queue_depth + num_threads items even when one early item is slow: the
+    feeder holds a window semaphore the consumer releases as indices are
+    yielded, so workers can never run arbitrarily far ahead of a slow item
+    and pile decoded audio into the reorder buffer. Worker death is
+    survivable: the finally-sentinel plus the pre-raise gap report keep the
+    consumer from waiting forever, and the drain path releases everything
+    if all workers die (tests/test_structure.py fault injection).
     """
     work: "queue.Queue" = queue.Queue(maxsize=queue_depth)
     out: "queue.Queue" = queue.Queue(maxsize=queue_depth)
+    window = threading.Semaphore(queue_depth + num_threads)
     paths = list(paths)
 
     def _feed():
         for i, p in enumerate(paths):
+            window.acquire()
             work.put((i, p))
         for _ in range(num_threads):
             work.put(_SENTINEL)
@@ -98,6 +102,7 @@ def _ordered_map(paths, item_fn, num_threads: int, queue_depth: int):
             res = held.pop(next_idx)
             path = paths[next_idx]
             next_idx += 1
+            window.release()
             if res is not None:
                 yield path, res
             continue
@@ -115,6 +120,7 @@ def _ordered_map(paths, item_fn, num_threads: int, queue_depth: int):
                 res = held.pop(next_idx, None)
                 path = paths[next_idx]
                 next_idx += 1
+                window.release()  # unblock the feeder so it can drain too
                 if res is not None:
                     yield path, res
             break
@@ -324,12 +330,14 @@ def stream_batches_direct(
             )
         except (ValueError, RuntimeError, wav.WavError) as e:
             log.warning("decode failed for %s: %s", path, e)
+            secs = ob.lengths[row] / sr  # undo the optimistic header credit
             ob.audio[row, : ob.blen] = 0.0
             ob.lengths[row] = 0
             ob.ids[row] = None
             with lock:
                 stats.errors += 1
                 stats.decoded -= 1
+                stats.audio_seconds -= secs
         ob.audio[row, ob.blen :] = 0.0  # row tail beyond the bucket span
 
     def flush(blen: int, pad_rows: bool) -> Batch | None:

@@ -60,11 +60,17 @@ def output_length(n_in: int, sr_in: int, sr_out: int) -> int:
 
 
 def output_lengths(lengths: jnp.ndarray, sr_in: int, sr_out: int) -> jnp.ndarray:
-    """Traced per-utterance variant of output_length."""
+    """Traced per-utterance variant of output_length.
+
+    Computed as q*up + ceil(r*up/down) with q, r = divmod(n, down): exact
+    (q*up is an integer so it commutes with the floor/ceil) and overflow-safe
+    in int32 — `lengths * up` directly would wrap for high ratios (e.g.
+    44.1 kHz→16 kHz reduces to up=160: utterances over ~13.4M samples)."""
     g = math.gcd(sr_out, sr_in)
     up, down = sr_out // g, sr_in // g
-    n = lengths * up
-    return n // down + (n % down > 0).astype(lengths.dtype)
+    q, r = lengths // down, lengths % down
+    ru = r * up  # bounded by (down-1)*up < sr_in*sr_out/g^2 — no overflow
+    return q * up + ru // down + (ru % down > 0).astype(lengths.dtype)
 
 
 def resample_batch(

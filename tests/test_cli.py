@@ -95,9 +95,12 @@ def test_global_cmvn_two_pass(corpus, tmp_path):
     np.testing.assert_allclose(allf.var(axis=0), 1.0, atol=2e-2)
 
 
-def test_apply_cmvn_refuses_double_run(corpus, tmp_path):
-    """Second apply-cmvn must refuse (double-normalization corrupts the
-    corpus silently — review finding); --force overrides."""
+def test_apply_cmvn_idempotent_per_shard(corpus, tmp_path):
+    """apply-cmvn is idempotent per shard via the in-npz stats fingerprint:
+    a rerun with the same stats skips every shard byte-identically (so a
+    crash mid-corpus is resumable without double-normalizing the done
+    shards — advisor finding), a rerun with different stats refuses, and
+    --force overrides."""
     paths, _ = corpus
     out = tmp_path / "feats"
     stats = out / "cmvn.npz"
@@ -106,9 +109,32 @@ def test_apply_cmvn_refuses_double_run(corpus, tmp_path):
             "--cmvn-stats", str(stats), "--no-resume")
     assert run_cli("apply-cmvn", str(out), "--stats", str(stats),
                    "--config", "classic13_deltas_gcmvn") == 0
+    before = {p.name: p.read_bytes() for p in out.glob("h0-*.npz")}
+    # same stats again: every shard skipped, bytes untouched
     assert run_cli("apply-cmvn", str(out), "--stats", str(stats),
+                   "--config", "classic13_deltas_gcmvn") == 0
+    after = {p.name: p.read_bytes() for p in out.glob("h0-*.npz")}
+    assert before == after
+    # crash simulation: one shard stripped back to un-normalized form (no
+    # fingerprint) — the rerun normalizes exactly that one
+    victim = sorted(out.glob("h0-*.npz"))[0]
+    with np.load(victim, allow_pickle=False) as z:
+        data = {k: z[k] for k in z.files if k != "cmvn_fp"}
+    np.savez_compressed(victim, **data)
+    assert run_cli("apply-cmvn", str(out), "--stats", str(stats),
+                   "--config", "classic13_deltas_gcmvn") == 0
+    untouched = {p.name: p.read_bytes() for p in out.glob("h0-*.npz")
+                 if p.name != victim.name}
+    assert untouched == {k: v for k, v in after.items() if k != victim.name}
+    # different stats: refuse (stacking two normalizations corrupts corpus)
+    other = tmp_path / "other.npz"
+    from mfcc_tpu.parallel import CmvnAccumulator
+    acc = CmvnAccumulator.load(stats)
+    acc.s1 = acc.s1 + 1.0
+    acc.save(other)
+    assert run_cli("apply-cmvn", str(out), "--stats", str(other),
                    "--config", "classic13_deltas_gcmvn") == 1
-    assert run_cli("apply-cmvn", str(out), "--stats", str(stats),
+    assert run_cli("apply-cmvn", str(out), "--stats", str(other),
                    "--config", "classic13_deltas_gcmvn", "--force") == 0
 
 
