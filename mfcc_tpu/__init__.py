@@ -56,7 +56,14 @@ def extract(source, config="classic13", backend=None):
             )
     else:
         samples = np.asarray(source)
-    return chain.extract_single(samples.astype(np.float64), cfg, backend=backend)
+    samples = samples.astype(np.float64)
+    # very long audio: segment/stitch extraction (frame-exact — see
+    # pipeline.longform) instead of compiling one XLA program per length
+    if samples.shape[0] > 60 * expect_sr:
+        from mfcc_tpu.pipeline import extract_long
+
+        return extract_long(samples, cfg, backend=backend)
+    return chain.extract_single(samples, cfg, backend=backend)
 
 
 __all__ = [

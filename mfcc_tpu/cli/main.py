@@ -140,6 +140,7 @@ def cmd_extract(args) -> int:
         for batch in stream_fn(
             files, cfg, batch_size=batch_size, max_len_s=args.max_len_s,
             num_threads=args.threads, stats=stats,
+            long_mode="defer" if args.long == "split" else "truncate",
         ):
             shard_name = f"{host}-{shard_idx:06d}"
             shard_idx += 1
@@ -170,9 +171,57 @@ def cmd_extract(args) -> int:
         if in_flight is not None:
             complete(in_flight)
 
+        # over-long utterances: split/stitch extraction, one shard per file
+        # (frame-exact vs the per-utterance loop — pipeline.longform)
+        from mfcc_tpu.io import read_wav
+        from mfcc_tpu.pipeline import extract_long, long_moments
+
+        expect_sr = cfg.input_sample_rate or cfg.sample_rate
+        for li, path in enumerate(stats.long_paths):
+            shard_name = f"{host}-long-{li:06d}"
+            if args.resume and writer.is_done(shard_name, [path]):
+                meta = writer.marker_meta(shard_name) or {}
+                mom = meta.get("extra", {}).get("moments")
+                if acc is not None and mom is None:
+                    log.info("shard %s lacks moments; recomputing", shard_name)
+                else:
+                    if acc is not None:
+                        acc.add(np.asarray(mom["s1"]), np.asarray(mom["s2"]),
+                                mom["n"])
+                    metrics.add(shards_skipped=1, utterances=1)
+                    continue
+            try:
+                sr, samples = read_wav(path)
+            except (OSError, ValueError) as e:
+                log.warning("skipping %s: %s", path, e)
+                metrics.add(decode_errors=1)
+                stats.errors += 1
+                continue
+            if sr != expect_sr:
+                stats.wrong_rate += 1
+                continue
+            with trace_mod.annotate("long_extract"):
+                feat = extract_long(
+                    samples, cfg, backend=backend, seg_len_s=args.max_len_s
+                )
+            extra = None
+            if acc is not None:
+                s1, s2, n = long_moments(feat)
+                acc.add(s1, s2, n)
+                extra = {"moments": {
+                    "s1": s1.tolist(), "s2": s2.tolist(), "n": float(n),
+                }}
+            writer.write(shard_name, [path], [feat], extra_meta=extra)
+            stats.decoded += 1
+            stats.audio_seconds += samples.shape[0] / sr
+            metrics.add(
+                shards=1, utterances=1, frames=feat.shape[0],
+                audio_seconds=samples.shape[0] / sr,
+            )
+
     metrics.set(
         decode_errors=stats.errors, wrong_rate=stats.wrong_rate,
-        truncated=stats.truncated,
+        truncated=stats.truncated, long_split=stats.long_deferred,
     )
     snap = metrics.emit("done")
     if acc is not None and acc.n > 0:
@@ -188,8 +237,10 @@ def cmd_extract(args) -> int:
                 args.output_dir, stats_path, args.config,
             )
     log.info(
-        "done: %d utterances, %d decode errors, %d wrong-rate, %d truncated",
-        stats.decoded, stats.errors, stats.wrong_rate, stats.truncated,
+        "done: %d utterances (%d long-split), %d decode errors, "
+        "%d wrong-rate, %d truncated",
+        stats.decoded, stats.long_deferred, stats.errors, stats.wrong_rate,
+        stats.truncated,
     )
     return 0
 
@@ -324,7 +375,12 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--output-dir", "-o", required=True)
     e.add_argument("--backend", choices=["jnp", "pallas"], default="pallas")
     e.add_argument("--batch-size", type=int, default=64)
-    e.add_argument("--max-len-s", type=float, default=10.0)
+    e.add_argument("--max-len-s", type=float, default=10.0,
+                   help="largest batch bucket; longer files follow --long")
+    e.add_argument("--long", choices=["split", "truncate"], default="split",
+                   help="over-long files: split = frame-exact segment/stitch "
+                        "extraction (default); truncate = clip to the top "
+                        "bucket (the round-1 behaviour)")
     e.add_argument("--threads", type=int, default=4)
     e.add_argument("--feed", choices=["auto", "direct", "arrays"], default="auto",
                    help="direct: decode straight into batch rows (C++ path)")

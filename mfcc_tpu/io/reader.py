@@ -37,6 +37,11 @@ class DecodeStats:
     wrong_rate: int = 0
     truncated: int = 0
     audio_seconds: float = 0.0
+    # over-long utterances deferred to the split/stitch path (long_mode
+    # "defer"): recorded here for the caller to process via
+    # pipeline.extract_long after the bucketed stream drains
+    long_deferred: int = 0
+    long_paths: list = dataclasses.field(default_factory=list)
 
 
 def shard_files(files: Sequence, process_index: int, process_count: int) -> list:
@@ -186,10 +191,14 @@ def stream_batches(
     native: bool | None = None,
     pad_batch_rows: bool = True,
     stats: DecodeStats | None = None,
+    long_mode: str = "defer",
 ) -> Iterator[Batch]:
     """files → padded, bucketed Batch stream.
 
-    Utterances longer than the largest bucket are truncated (counted in
+    Utterances longer than the largest bucket are deferred to the
+    split/stitch path (long_mode "defer", the default: path recorded in
+    stats.long_paths for the caller to run pipeline.extract_long on) or
+    truncated to the top bucket (long_mode "truncate", counted in
     stats.truncated). Partial per-bucket batches are flushed at end of
     input, zero-padded to batch_size rows when pad_batch_rows so every
     batch of a bucket shares one compiled shape.
@@ -228,6 +237,10 @@ def stream_batches(
             stats=stats,
         ):
             if samples.shape[0] > buckets[-1]:
+                if long_mode == "defer":
+                    stats.long_deferred += 1
+                    stats.long_paths.append(path)
+                    continue
                 stats.truncated += 1
                 samples = samples[: buckets[-1]]
             if samples.shape[0] == 0:
@@ -259,6 +272,7 @@ def stream_batches_direct(
     native: bool | None = None,
     pad_batch_rows: bool = True,
     stats: DecodeStats | None = None,
+    long_mode: str = "defer",
 ) -> Iterator[Batch]:
     """Decode-into-buffer batch streaming (the host-feed fast path).
 
@@ -366,6 +380,11 @@ def stream_batches_direct(
                     stats.errors += 1
                 continue
             if n > buckets[-1]:
+                if long_mode == "defer":
+                    with lock:
+                        stats.long_deferred += 1
+                        stats.long_paths.append(path)
+                    continue
                 with lock:
                     stats.truncated += 1
                 n = buckets[-1]

@@ -5,3 +5,8 @@ from mfcc_tpu.pipeline.batch import (  # noqa: F401
     pad_batch,
     required_samples,
 )
+from mfcc_tpu.pipeline.longform import (  # noqa: F401
+    extract_long,
+    long_moments,
+    segment_plan,
+)

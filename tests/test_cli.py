@@ -186,3 +186,68 @@ def test_top_level_extract(tmp_path):
     with pytest.raises(ValueError, match="Hz"):
         write_wav(tmp_path / "bad.wav", 8000, x)
         mfcc_tpu.extract(str(tmp_path / "bad.wav"))
+
+
+def test_extract_long_utterance_split(tmp_path):
+    """A 35 s file with --max-len-s 4: must be split/stitch-extracted (not
+    truncated), match the float64 oracle end-to-end, resume cleanly, and
+    contribute its moments to global CMVN (VERDICT r1 item 2)."""
+    from mfcc_tpu.io import write_wav
+
+    g = np.random.default_rng(21)
+    xs = {
+        "short.wav": (g.standard_normal(9000) * 3000).astype(np.int16),
+        "long.wav": (g.standard_normal(16000 * 35) * 3000).astype(np.int16),
+    }
+    paths = []
+    for name, x in xs.items():
+        p = tmp_path / name
+        write_wav(p, 16000, x)
+        paths.append(str(p))
+    out = tmp_path / "feats"
+    stats = tmp_path / "cmvn.npz"
+    args = ("extract", *paths, "--config", "classic13_deltas", "-o", str(out),
+            "--backend", "jnp", "--batch-size", "4", "--max-len-s", "4",
+            "--cmvn-stats", str(stats), "--metrics", str(tmp_path / "m.jsonl"))
+    assert run_cli(*args) == 0
+    got = {}
+    for s in sorted(out.glob("h0-*.npz")):
+        got.update(read_shard(s))
+    assert sorted(got) == sorted(str(tmp_path / n) for n in xs)
+    cfg = NAMED_CONFIGS["classic13_deltas"]
+    for name, x in xs.items():
+        want = ref.extract(x.astype(np.float64), cfg)
+        have = got[str(tmp_path / name)]
+        assert have.shape == want.shape, (name, have.shape, want.shape)
+        np.testing.assert_allclose(
+            have, want, atol=FEATURE_ATOL_FP32, rtol=FEATURE_RTOL
+        )
+    # moments cover BOTH utterances' frames
+    from mfcc_tpu.parallel import CmvnAccumulator
+
+    acc = CmvnAccumulator.load(stats)
+    assert acc.n == sum(f.shape[0] for f in got.values())
+    # resume: nothing rewritten, moments identical
+    mtimes = {p.name: p.stat().st_mtime_ns for p in out.glob("h0-*.npz")}
+    assert run_cli(*args) == 0
+    for p in out.glob("h0-*.npz"):
+        assert p.stat().st_mtime_ns == mtimes[p.name], "resume rewrote a shard"
+    again = CmvnAccumulator.load(stats)
+    np.testing.assert_allclose(again.s1, acc.s1, rtol=1e-12)
+    assert again.n == acc.n
+
+
+def test_extract_long_truncate_optin(tmp_path):
+    """--long truncate keeps the round-1 clipping behaviour, explicitly."""
+    from mfcc_tpu.io import write_wav
+
+    g = np.random.default_rng(22)
+    p = tmp_path / "long.wav"
+    write_wav(p, 16000, (g.standard_normal(16000 * 12) * 3000).astype(np.int16))
+    out = tmp_path / "feats"
+    assert run_cli("extract", str(p), "--config", "classic13", "-o", str(out),
+                   "--backend", "jnp", "--max-len-s", "4",
+                   "--long", "truncate") == 0
+    feats = read_shard(sorted(out.glob("h0-*.npz"))[0])
+    cfg = NAMED_CONFIGS["classic13"]
+    assert feats[str(p)].shape[0] == cfg.num_frames(4 * 16000)

@@ -156,13 +156,36 @@ def test_stream_batches_with_corrupt_files(tmp_path):
 
 
 def test_stream_batches_truncates_overlong(tmp_path):
+    """long_mode="truncate" clips to the top bucket (round-1 behaviour)."""
     cfg = NAMED_CONFIGS["classic13"]
     p = tmp_path / "long.wav"
     write_wav(p, 16000, np.zeros(16000 * 13, dtype=np.int16))
     stats = DecodeStats()
-    batches = list(stream_batches([p], cfg, batch_size=1, max_len_s=10.0, stats=stats))
+    batches = list(stream_batches([p], cfg, batch_size=1, max_len_s=10.0,
+                                  stats=stats, long_mode="truncate"))
     assert stats.truncated == 1
     assert batches[0].lengths[0] <= 10.1 * 16000
+
+
+def test_stream_batches_defers_overlong_by_default(tmp_path):
+    """Default long_mode="defer": over-long files are NOT truncated; their
+    paths are recorded for the split/stitch path (VERDICT r1 item 2)."""
+    from mfcc_tpu.io import stream_batches_direct
+
+    cfg = NAMED_CONFIGS["classic13"]
+    long_p = tmp_path / "long.wav"
+    write_wav(long_p, 16000, np.zeros(16000 * 13, dtype=np.int16))
+    short_p = tmp_path / "short.wav"
+    write_wav(short_p, 16000, np.zeros(8000, dtype=np.int16))
+    for fn in (stream_batches, stream_batches_direct):
+        stats = DecodeStats()
+        batches = list(fn([long_p, short_p], cfg, batch_size=1,
+                          max_len_s=10.0, stats=stats))
+        assert stats.truncated == 0
+        assert stats.long_deferred == 1
+        assert stats.long_paths == [long_p]
+        ids = [i for b in batches for i in b.ids if i is not None]
+        assert ids == [short_p]
 
 
 def test_shard_files_partition():
@@ -248,8 +271,10 @@ def test_stream_direct_equals_arrays(tmp_path):
     paths.insert(5, wrong)
 
     s1, s2 = DecodeStats(), DecodeStats()
-    a = list(stream_batches(paths, cfg, batch_size=3, max_len_s=10.0, stats=s1))
-    d = list(stream_batches_direct(paths, cfg, batch_size=3, max_len_s=10.0, stats=s2))
+    a = list(stream_batches(paths, cfg, batch_size=3, max_len_s=10.0, stats=s1,
+                            long_mode="truncate"))
+    d = list(stream_batches_direct(paths, cfg, batch_size=3, max_len_s=10.0,
+                                   stats=s2, long_mode="truncate"))
     assert len(a) == len(d)
     for ba, bd in zip(a, d):
         assert ba.ids == bd.ids
