@@ -9,7 +9,10 @@ global sums in ``cmvn.batch_moments``.
 """
 
 from mfcc_tpu.parallel.mesh import data_mesh, distributed_init  # noqa: F401
-from mfcc_tpu.parallel.extract import sharded_extract_batch  # noqa: F401
+from mfcc_tpu.parallel.extract import (  # noqa: F401
+    sharded_extract_batch,
+    sharded_extract_steps,
+)
 from mfcc_tpu.parallel.cmvn import (  # noqa: F401
     CmvnAccumulator,
     CmvnStats,

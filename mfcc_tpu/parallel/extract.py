@@ -83,3 +83,45 @@ def sharded_extract_batch(
     audio = jax.device_put(audio, shard)
     lengths = jax.device_put(lengths, shard)
     return _sharded_extract(audio, lengths, cfg, backend, mesh, with_moments)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "backend", "mesh", "iters")
+)
+def _sharded_steps(audio, lengths, cfg, backend, mesh, iters):
+    """iters chained extraction steps inside ONE jit (lax.scan), returning a
+    scalar — the only honest timing construction on relayed TPU devices
+    (block_until_ready does not wait through the relay; see
+    .claude/skills/verify/SKILL.md). Input is perturbed per iteration so XLA
+    cannot hoist the body out of the loop."""
+
+    def local_steps(a, l):
+        def body(_, i):
+            feat, _ = chain.extract_batch(
+                a * (1.0 + 1e-6 * i), l, cfg, backend=backend
+            )
+            return 0, feat.sum()
+
+        _, outs = jax.lax.scan(
+            body, 0, jnp.arange(iters, dtype=jnp.float32)
+        )
+        return outs.sum()[None]  # rank-1 so out_specs can shard it
+
+    data = P(DATA_AXIS)
+    per_shard = jax.shard_map(
+        local_steps, mesh=mesh, in_specs=(data, data), out_specs=data,
+        check_vma=False,
+    )(audio, lengths)
+    return per_shard.sum()
+
+
+def sharded_extract_steps(
+    audio, lengths, cfg: FrontendConfig, mesh: Mesh,
+    backend: str = "jnp", iters: int = 10,
+):
+    """Benchmark helper: run `iters` chained sharded extraction steps and
+    return a forced scalar (scripts/bench_scaling.py)."""
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    audio = jax.device_put(audio, shard)
+    lengths = jax.device_put(lengths, shard)
+    return float(_sharded_steps(audio, lengths, cfg, backend, mesh, iters))
