@@ -15,5 +15,6 @@ from mfcc_tpu.io.reader import (  # noqa: F401
     shard_files,
     stream_batches,
     stream_batches_direct,
+    stream_batches_mp,
 )
 from mfcc_tpu.io.writer import ShardWriter, read_shard, trim_batch  # noqa: F401

@@ -10,8 +10,15 @@
 // Supported: PCM 8/16/24/32-bit, IEEE float32/float64, WAVE_FORMAT_EXTENSIBLE
 // wrappers of those; arbitrary channel counts (mean-downmix or channel 0).
 
+#include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
 extern "C" {
 
@@ -25,6 +32,7 @@ enum : int32_t {
   WAV_ERR_NO_DATA = -5,
   WAV_ERR_BAD_BITS = -6,
   WAV_ERR_OUT_TOO_SMALL = -7,
+  WAV_ERR_IO = -8,
 };
 
 struct WavInfo {
@@ -48,8 +56,14 @@ static uint16_t rd_u16(const uint8_t* p) {
   return v;
 }
 
-// Parse the RIFF structure. Returns WAV_OK or an error code.
-int32_t wav_parse(const uint8_t* buf, int64_t len, WavInfo* info) {
+// Parse the RIFF structure from a PREFIX of the file: `len` bytes are in
+// buf, the file is `file_len` bytes on disk. Chunk sizes and num_frames
+// are computed against file_len, so a few-KB header read suffices for
+// bucket/row assignment (the feed pipeline's phase A) without pulling the
+// whole file through memory twice. Fails WAV_ERR_NO_FMT / NO_DATA when the
+// needed chunk headers lie beyond the prefix — caller re-reads fully.
+int32_t wav_parse_prefix(const uint8_t* buf, int64_t len, int64_t file_len,
+                         WavInfo* info) {
   if (len < 12) return WAV_ERR_TRUNCATED;
   if (std::memcmp(buf, "RIFF", 4) != 0 || std::memcmp(buf + 8, "WAVE", 4) != 0)
     return WAV_ERR_NOT_RIFF;
@@ -83,8 +97,9 @@ int32_t wav_parse(const uint8_t* buf, int64_t len, WavInfo* info) {
       have_fmt = true;
     } else if (std::memcmp(hdr, "data", 4) == 0) {
       info->data_offset = body;
-      int64_t avail = len - body;
+      int64_t avail = file_len - body;
       info->data_size = (int64_t)chunk_size < avail ? (int64_t)chunk_size : avail;
+      if (info->data_size < 0) info->data_size = 0;
     }
     pos = body + chunk_size + (chunk_size & 1);  // chunks are word-aligned
   }
@@ -99,6 +114,11 @@ int32_t wav_parse(const uint8_t* buf, int64_t len, WavInfo* info) {
   if (bytes_per == 0) return WAV_ERR_BAD_BITS;
   info->num_frames = info->data_size / ((int64_t)bytes_per * info->channels);
   return WAV_OK;
+}
+
+// Whole-buffer parse (prefix == full file).
+int32_t wav_parse(const uint8_t* buf, int64_t len, WavInfo* info) {
+  return wav_parse_prefix(buf, len, len, info);
 }
 
 // Decode to float32. Scaling matches the numpy twin:
@@ -172,6 +192,136 @@ int32_t wav_decode_f32(const uint8_t* buf, int64_t len, int32_t downmix,
   }
   if (n < out_cap) std::memset(out + n, 0, (out_cap - n) * sizeof(float));
   return WAV_OK;
+}
+
+// Decode to int16 — the half-bandwidth feed path (SURVEY.md §7.1 step 7:
+// "int16→fp32 conversion on-device to halve feed bytes"). Values are the
+// same int16-range convention as wav_decode_f32, rounded to nearest-even
+// (lrintf under the default FP rounding mode — matches numpy.rint) and
+// clipped: PCM16 passes through EXACTLY (single memcpy for mono), other
+// widths quantize at ±0.5 LSB of the int16 scale, i.e. the precision of a
+// 16-bit recording.
+int32_t wav_decode_i16(const uint8_t* buf, int64_t len, int32_t downmix,
+                       int16_t* out, int64_t out_cap, WavInfo* info) {
+  int32_t rc = wav_parse(buf, len, info);
+  if (rc != WAV_OK) return rc;
+  const uint8_t* d = buf + info->data_offset;
+  const int64_t n =
+      info->num_frames < out_cap ? info->num_frames : out_cap;
+  const int c = info->channels;
+  const float inv_c = 1.0f / (float)c;
+
+  auto clip16 = [](float v) {
+    long r = lrintf(v);
+    if (r > 32767) r = 32767;
+    if (r < -32768) r = -32768;
+    return (int16_t)r;
+  };
+  auto emit = [&](auto read_one, int stride) {
+    if (c == 1) {
+      for (int64_t i = 0; i < n; ++i) out[i] = clip16(read_one(d + i * stride));
+    } else if (downmix == 0) {
+      for (int64_t i = 0; i < n; ++i)
+        out[i] = clip16(read_one(d + i * stride * c));
+    } else {
+      for (int64_t i = 0; i < n; ++i) {
+        float acc = 0.f;
+        const uint8_t* p = d + i * (int64_t)stride * c;
+        for (int ch = 0; ch < c; ++ch) acc += read_one(p + ch * stride);
+        out[i] = clip16(acc * inv_c);
+      }
+    }
+  };
+
+  if (info->format == 1 && info->bits_per_sample == 16) {
+    if (c == 1) {
+      std::memcpy(out, d, (size_t)n * 2);  // the hot path: pure memcpy
+    } else if (downmix == 0) {
+      for (int64_t i = 0; i < n; ++i)
+        std::memcpy(out + i, d + i * 2 * c, 2);
+    } else {
+      emit([](const uint8_t* p) {
+        int16_t v; std::memcpy(&v, p, 2); return (float)v; }, 2);
+    }
+  } else if (info->format == 1) {
+    switch (info->bits_per_sample) {
+      case 8:
+        emit([](const uint8_t* p) { return ((float)*p - 128.0f) * 256.0f; }, 1);
+        break;
+      case 24:
+        emit([](const uint8_t* p) {
+          int32_t v = (int32_t)((uint32_t)p[0] | ((uint32_t)p[1] << 8) |
+                                ((uint32_t)p[2] << 16));
+          if (v & 0x800000) v |= (int32_t)0xFF000000;
+          return (float)v / 256.0f; }, 3);
+        break;
+      case 32:
+        emit([](const uint8_t* p) {
+          int32_t v; std::memcpy(&v, p, 4); return (float)v / 65536.0f; }, 4);
+        break;
+      default:
+        return WAV_ERR_BAD_BITS;
+    }
+  } else {  // IEEE float
+    if (info->bits_per_sample == 32) {
+      emit([](const uint8_t* p) {
+        float v; std::memcpy(&v, p, 4); return v * 32768.0f; }, 4);
+    } else {
+      emit([](const uint8_t* p) {
+        double v; std::memcpy(&v, p, 8); return (float)(v * 32768.0); }, 8);
+    }
+  }
+  if (n < out_cap) std::memset(out + n, 0, (out_cap - n) * sizeof(int16_t));
+  return WAV_OK;
+}
+
+// One-call file decode: open + read + decode, no Python-side bytes object.
+// The file is read into a thread-local buffer reused across calls (grown
+// geometrically), so steady-state cost is one open/read/close plus the
+// decode — no per-file mmap/munmap (munmap in a thread pool triggers TLB
+// shootdown IPIs across all cores and was measured SLOWER threaded than
+// serial), no per-file allocation. want_i16 selects the int16 path (out
+// must be an int16 buffer) vs float32.
+int32_t wav_decode_file(const char* path, int32_t downmix, int32_t want_i16,
+                        void* out, int64_t out_cap, WavInfo* info) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return WAV_ERR_IO;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return WAV_ERR_IO;
+  }
+  if (st.st_size <= 0) {
+    close(fd);
+    return WAV_ERR_TRUNCATED;
+  }
+  static thread_local uint8_t* buf = nullptr;
+  static thread_local int64_t buf_cap = 0;
+  if (buf_cap < st.st_size) {
+    int64_t want = buf_cap > 0 ? buf_cap : (int64_t)1 << 20;
+    while (want < st.st_size) want *= 2;
+    uint8_t* nb = (uint8_t*)realloc(buf, (size_t)want);
+    if (!nb) {
+      close(fd);
+      return WAV_ERR_IO;
+    }
+    buf = nb;
+    buf_cap = want;
+  }
+  int64_t got = 0;
+  while (got < st.st_size) {
+    ssize_t r = read(fd, buf + got, (size_t)(st.st_size - got));
+    if (r < 0) {
+      close(fd);
+      return WAV_ERR_IO;
+    }
+    if (r == 0) break;  // file shrank since fstat: decode what we have
+    got += r;
+  }
+  close(fd);
+  if (want_i16)
+    return wav_decode_i16(buf, got, downmix, (int16_t*)out, out_cap, info);
+  return wav_decode_f32(buf, got, downmix, (float*)out, out_cap, info);
 }
 
 }  // extern "C"

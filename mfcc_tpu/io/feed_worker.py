@@ -1,0 +1,90 @@
+"""Feed worker process: decodes wav files straight into shared-memory batch
+slabs on command (the multi-process host feed — SURVEY.md §6, VERDICT r1
+item 1).
+
+Run as `python -m mfcc_tpu.io.feed_worker`; the parent (io.reader._MpPool)
+speaks newline-delimited JSON over stdin/stdout:
+
+  → {"op": "decode_chunk", "id": 7, "slab": "/dev/shm/..", "shape": [B, T],
+     "dtype": "i16", "blen": 160000, "downmix": "first",
+     "jobs": [[row, "path"], ...]}
+  ← {"id": 7, "fails": [[row, "error message"], ...]}
+
+  → {"op": "exit"}   (or EOF)
+
+Slabs are plain files in /dev/shm, np.memmap'd on first use and cached by
+(name, shape, dtype) — the parent recycles slab files across batches, so
+steady-state has zero mappings churn. Workers are plain subprocesses (not
+multiprocessing children), so there is no __main__ re-import, no fork of a
+threaded/JAX parent, and a worker crash is just an EOF the parent handles.
+
+Decoding uses the same C++ wav_decode_file as the threaded path: open +
+read + decode inside one GIL-free call, zero-filling up to blen; the row
+tail beyond blen is zeroed here too so recycled slabs never leak stale
+samples.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    from mfcc_tpu.io import wav
+
+    wav._native()  # build/load the C++ decoder once, up front
+    slabs: dict[tuple, np.ndarray] = {}
+    out = sys.stdout
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        cmd = json.loads(line)
+        op = cmd.get("op")
+        if op == "exit":
+            break
+        if op == "ping":
+            out.write(json.dumps({"id": cmd.get("id"), "pong": True}) + "\n")
+            out.flush()
+            continue
+        if op == "drop_slabs":
+            # parent unlinked these slab files (stream ended): release the
+            # mappings so the unlinked pages actually free
+            names = set(cmd.get("names", []))
+            for k in [k for k in slabs if k[0] in names]:
+                del slabs[k]
+            out.write(json.dumps({"id": cmd.get("id"), "dropped": True}) + "\n")
+            out.flush()
+            continue
+        if op != "decode_chunk":
+            out.write(json.dumps({"id": cmd.get("id"),
+                                  "error": f"unknown op {op!r}"}) + "\n")
+            out.flush()
+            continue
+        key = (cmd["slab"], tuple(cmd["shape"]), cmd["dtype"])
+        slab = slabs.get(key)
+        if slab is None:
+            dt = np.int16 if cmd["dtype"] == "i16" else np.float32
+            slab = np.memmap(cmd["slab"], dtype=dt, mode="r+",
+                             shape=tuple(cmd["shape"]))
+            slabs[key] = slab
+        blen = cmd["blen"]
+        downmix = cmd.get("downmix", "first")
+        fails = []
+        for row, path in cmd["jobs"]:
+            try:
+                wav.decode_file_into(path, slab[row, :blen], downmix=downmix)
+            except (OSError, ValueError, RuntimeError, wav.WavError) as e:
+                slab[row, :blen] = 0
+                fails.append([row, str(e)])
+            slab[row, blen:] = 0  # tail beyond the bucket span
+        out.write(json.dumps({"id": cmd["id"], "fails": fails}) + "\n")
+        out.flush()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import queue
+import tempfile
 import threading
 from typing import Iterable, Iterator, Sequence
 
@@ -28,6 +30,46 @@ from mfcc_tpu.pipeline import Batch, bucket_for, make_buckets, pad_batch
 log = logging.getLogger(__name__)
 
 _SENTINEL = object()
+
+# Phase-A header read size: covers fmt+data chunk headers of essentially
+# all real wavs (typically < 100 bytes in); exotic layouts fall back to a
+# full read.
+_HEADER_PREFIX = 8192
+
+# Decode jobs per pool submission in the direct path: amortizes the
+# per-future Python overhead (queue hop, Future object) over 8 files.
+_DECODE_CHUNK = 8
+
+
+def _parse_header_counted(path, expect_sr: int, stats: "DecodeStats"):
+    """Phase A of the decode-into-buffer paths: (valid sample count) from a
+    prefix read + stat; None on skip, with stats counted. ~tens of µs per
+    file, so callers run it serially in the consumer."""
+    import os
+
+    try:
+        with open(path, "rb") as f:
+            prefix = f.read(_HEADER_PREFIX)
+            if len(prefix) == _HEADER_PREFIX:
+                size = os.fstat(f.fileno()).st_size
+                try:
+                    fsr, n = wav.parse_wav_header(prefix, file_size=size)
+                except ValueError:
+                    # fmt/data chunk beyond the prefix: full read
+                    fsr, n = wav.parse_wav_header(prefix + f.read())
+            else:
+                fsr, n = wav.parse_wav_header(prefix)
+    except (OSError, ValueError) as e:
+        log.warning("skipping %s: %s", path, e)
+        stats.errors += 1
+        return None
+    if fsr != expect_sr:
+        log.warning(
+            "skipping %s: sample rate %d != expected %d", path, fsr, expect_sr
+        )
+        stats.wrong_rate += 1
+        return None
+    return n
 
 
 @dataclasses.dataclass
@@ -42,6 +84,9 @@ class DecodeStats:
     # pipeline.extract_long after the bucketed stream drains
     long_deferred: int = 0
     long_paths: list = dataclasses.field(default_factory=list)
+    # gauge: decode jobs in flight when the last batch was flushed
+    # (observability — SURVEY.md §5 metrics row)
+    queue_depth: int = 0
 
 
 def shard_files(files: Sequence, process_index: int, process_count: int) -> list:
@@ -273,21 +318,34 @@ def stream_batches_direct(
     pad_batch_rows: bool = True,
     stats: DecodeStats | None = None,
     long_mode: str = "defer",
+    dtype: str = "f32",
 ) -> Iterator[Batch]:
     """Decode-into-buffer batch streaming (the host-feed fast path).
 
-    Two phases, both thread-pooled, fully deterministic:
-      A. read bytes + parse the wav HEADER only (ordered) — gives the
-         sample rate and length, enough for bucket/row assignment;
-      B. decode each utterance DIRECTLY into its padded batch row via the
-         C++ decoder (truncation + zero-fill inside C, GIL released) —
-         no intermediate sample array, no serial assembly copy.
+    Two phases, fully deterministic:
+      A. INLINE in the consumer: read a few-KB header PREFIX + stat —
+         gives the sample rate and length for bucket/row assignment
+         without pulling the whole file through memory twice (full-read
+         fallback for exotic chunk layouts). ~tens of µs per file, so a
+         serial loop sustains hundreds of thousands of audio-s/s and
+         needs no ordering machinery at all.
+      B. decode each utterance DIRECTLY into its padded batch row via one
+         C++ open+read+decode call (truncation + zero-fill inside C, GIL
+         released) — no Python bytes object, no intermediate sample
+         array, no serial assembly copy. Decode jobs are submitted to the
+         thread pool in CHUNKS of rows, so per-file Python overhead
+         (future + queue hop) is amortized ~8×.
+
+    dtype "f32" or "i16": int16 rows halve decode-output, memcpy and H2D
+    bytes (PCM16 sources pass through bit-exactly; other widths quantize
+    at ±0.5 LSB of the int16 scale); the chain casts on device.
 
     Semantics match stream_batches (same batches, same order); a rare
     decode failure after a successful header parse zeroes the row and
     drops its id (consumers pair ids with rows, skipping None).
     """
     import concurrent.futures
+    import os
 
     stats = stats if stats is not None else DecodeStats()
     expect_sr = cfg.input_sample_rate or cfg.sample_rate
@@ -297,31 +355,26 @@ def stream_batches_direct(
         scale = sr / cfg.sample_rate
         buckets = tuple(int(round(b * scale)) for b in buckets)
     lock = threading.Lock()
+    if dtype not in ("f32", "i16"):
+        raise ValueError(f"dtype={dtype!r} must be 'f32' or 'i16'")
+    row_dtype = np.float32 if dtype == "f32" else np.int16
 
-    def parse_fn(idx, path):
-        try:
-            with open(path, "rb") as f:
-                data = f.read()
-            fsr, n = wav.parse_wav_header(data)
-        except (OSError, ValueError) as e:
-            log.warning("skipping %s: %s", path, e)
-            with lock:
-                stats.errors += 1
-            return None
-        except BaseException:
-            with lock:
-                stats.errors += 1
-            raise
-        if fsr != expect_sr:
-            log.warning(
-                "skipping %s: sample rate %d != expected %d", path, fsr, expect_sr
-            )
-            with lock:
-                stats.wrong_rate += 1
-            return None
-        return data, n
+    def parse_header(path):
+        return _parse_header_counted(path, expect_sr, stats)
 
     from mfcc_tpu.pipeline.batch import required_samples
+
+    # slab recycling: consumers that call Batch.release() hand the audio
+    # buffer back here, saving the page-fault pass of a fresh allocation
+    # per batch (~40 MB at batch-64 × 10 s fp32 — measured 2-5× feed
+    # throughput on its own)
+    slab_lock = threading.Lock()
+    free_slabs: dict[int, list] = {}
+
+    def recycle(batch: Batch) -> None:
+        base = batch.audio.base if batch.audio.base is not None else batch.audio
+        with slab_lock:
+            free_slabs.setdefault(base.shape[1], []).append(base)
 
     class _Open:
         """One partially-filled batch of a bucket."""
@@ -329,39 +382,57 @@ def stream_batches_direct(
         def __init__(self, blen: int):
             self.blen = blen
             self.T = required_samples(blen, cfg)
-            self.audio = np.empty((batch_size, self.T), dtype=np.float32)
+            with slab_lock:
+                stack = free_slabs.get(self.T)
+                slab = stack.pop() if stack else None
+            self.audio = (
+                slab if slab is not None
+                else np.empty((batch_size, self.T), dtype=row_dtype)
+            )
             self.lengths = np.zeros(batch_size, dtype=np.int32)
             self.ids: list = []
             self.futures: list = []
+            self.jobs: list = []  # (row, path) awaiting chunk submission
 
     pool = concurrent.futures.ThreadPoolExecutor(max_workers=max(2, num_threads))
     pending: dict[int, _Open] = {}
 
-    def decode_job(data: bytes, ob: _Open, row: int, path) -> None:
-        try:
-            _, n = wav.decode_wav_into(
-                data, ob.audio[row, : ob.blen], downmix=downmix, native=native
-            )
-        except (ValueError, RuntimeError, wav.WavError) as e:
-            log.warning("decode failed for %s: %s", path, e)
-            secs = ob.lengths[row] / sr  # undo the optimistic header credit
-            ob.audio[row, : ob.blen] = 0.0
-            ob.lengths[row] = 0
-            ob.ids[row] = None
-            with lock:
-                stats.errors += 1
-                stats.decoded -= 1
-                stats.audio_seconds -= secs
-        ob.audio[row, ob.blen :] = 0.0  # row tail beyond the bucket span
+    def decode_chunk(ob: _Open, jobs: list) -> None:
+        for row, path in jobs:
+            try:
+                wav.decode_file_into(
+                    path, ob.audio[row, : ob.blen], downmix=downmix,
+                    native=native,
+                )
+            except (OSError, ValueError, RuntimeError, wav.WavError) as e:
+                log.warning("decode failed for %s: %s", path, e)
+                secs = ob.lengths[row] / sr  # undo the header credit
+                ob.audio[row, : ob.blen] = 0
+                ob.lengths[row] = 0
+                ob.ids[row] = None
+                with lock:
+                    stats.errors += 1
+                    stats.decoded -= 1
+                    stats.audio_seconds -= secs
+            ob.audio[row, ob.blen :] = 0  # row tail beyond the bucket span
+
+    def submit(ob: _Open) -> None:
+        if ob.jobs:
+            ob.futures.append(pool.submit(decode_chunk, ob, ob.jobs))
+            ob.jobs = []
 
     def flush(blen: int, pad_rows: bool) -> Batch | None:
         ob = pending.pop(blen, None)
         if ob is None or not ob.ids:
             return None
+        submit(ob)
+        stats.queue_depth = sum(
+            1 for o in pending.values() for f in o.futures if not f.done()
+        ) + sum(1 for f in ob.futures if not f.done())
         concurrent.futures.wait(ob.futures)
         rows = len(ob.ids)
         if pad_rows:
-            ob.audio[rows:] = 0.0
+            ob.audio[rows:] = 0
             out_rows = batch_size
         else:
             out_rows = rows
@@ -370,23 +441,24 @@ def stream_batches_direct(
             audio=ob.audio[:out_rows],
             lengths=ob.lengths[:out_rows],
             ids=ids,
+            on_release=recycle,
         )
 
     try:
-        for path, (data, n) in _ordered_map(files, parse_fn, num_threads, 64):
+        for path in files:
+            n = parse_header(path)
+            if n is None:
+                continue
             if n == 0:
                 log.warning("skipping %s: empty audio", path)
-                with lock:
-                    stats.errors += 1
+                stats.errors += 1
                 continue
             if n > buckets[-1]:
                 if long_mode == "defer":
-                    with lock:
-                        stats.long_deferred += 1
-                        stats.long_paths.append(path)
+                    stats.long_deferred += 1
+                    stats.long_paths.append(path)
                     continue
-                with lock:
-                    stats.truncated += 1
+                stats.truncated += 1
                 n = buckets[-1]
             with lock:
                 stats.decoded += 1
@@ -398,7 +470,9 @@ def stream_batches_direct(
             row = len(ob.ids)
             ob.ids.append(path)
             ob.lengths[row] = n
-            ob.futures.append(pool.submit(decode_job, data, ob, row, path))
+            ob.jobs.append((row, path))
+            if len(ob.jobs) >= _DECODE_CHUNK:
+                submit(ob)
             if len(ob.ids) >= batch_size:
                 b = flush(blen, False)
                 if b is not None:
@@ -409,3 +483,351 @@ def stream_batches_direct(
                 yield b
     finally:
         pool.shutdown(wait=False)
+
+
+# ---------------------------------------------------------------------------
+# Multi-process feed: worker subprocesses decoding into shared-memory slabs
+# ---------------------------------------------------------------------------
+
+
+class _MpJob:
+    """One dispatched decode chunk: completion event + failure list."""
+
+    __slots__ = ("event", "fails", "error", "rows")
+
+    def __init__(self):
+        self.event = threading.Event()
+        self.fails: list = []
+        self.error: str | None = None
+        self.rows: list = []  # rows this chunk covers (for death cleanup)
+
+
+class _MpPool:
+    """Pool of feed_worker subprocesses speaking JSON-lines over pipes.
+
+    Plain subprocess.Popen, NOT multiprocessing: no __main__ re-import in
+    the children (safe for stdin scripts / pytest / library embedding), no
+    fork of a parent holding JAX/BLAS threads, and a dead worker is just an
+    EOF on its stdout. One reader thread per worker resolves replies."""
+
+    def __init__(self, num_workers: int):
+        import pathlib
+        import subprocess
+        import sys as _sys
+
+        repo_root = str(pathlib.Path(__file__).resolve().parents[2])
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+        self._procs = []
+        self._lock = threading.Lock()
+        self._pending: dict[int, _MpJob] = {}
+        self._by_worker: dict[int, set] = {}
+        self._next_id = 0
+        self._rr = 0
+        for w in range(num_workers):
+            p = subprocess.Popen(
+                [_sys.executable, "-m", "mfcc_tpu.io.feed_worker"],
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                text=True, env=env, bufsize=1,
+            )
+            self._procs.append(p)
+            self._by_worker[w] = set()
+            threading.Thread(
+                target=self._reader, args=(w, p), daemon=True
+            ).start()
+
+    def _reader(self, w: int, proc) -> None:
+        import json as _json
+
+        for line in proc.stdout:
+            try:
+                msg = _json.loads(line)
+            except ValueError:
+                continue
+            jid = msg.get("id")
+            with self._lock:
+                job = self._pending.pop(jid, None)
+                self._by_worker[w].discard(jid)
+            if job is not None:
+                job.fails = msg.get("fails", [])
+                job.error = msg.get("error")
+                job.event.set()
+        # EOF: worker died — fail everything it still owed
+        with self._lock:
+            owed = [self._pending.pop(j, None) for j in self._by_worker[w]]
+            self._by_worker[w].clear()
+        for job in owed:
+            if job is not None:
+                job.error = "feed worker died"
+                job.event.set()
+
+    def broadcast(self, cmd: dict) -> list[_MpJob]:
+        """Send cmd to EVERY worker (e.g. drop_slabs at stream end)."""
+        import json as _json
+
+        jobs = []
+        for w, proc in enumerate(self._procs):
+            job = _MpJob()
+            with self._lock:
+                jid = self._next_id
+                self._next_id += 1
+                self._pending[jid] = job
+                self._by_worker[w].add(jid)
+            try:
+                proc.stdin.write(_json.dumps(dict(cmd, id=jid)) + "\n")
+                proc.stdin.flush()
+            except (OSError, ValueError):
+                with self._lock:
+                    self._pending.pop(jid, None)
+                    self._by_worker[w].discard(jid)
+                job.error = "feed worker died"
+                job.event.set()
+            jobs.append(job)
+        return jobs
+
+    def submit(self, cmd: dict) -> _MpJob:
+        import json as _json
+
+        job = _MpJob()
+        with self._lock:
+            jid = self._next_id
+            self._next_id += 1
+            w = self._rr
+            self._rr = (self._rr + 1) % len(self._procs)
+            self._pending[jid] = job
+            self._by_worker[w].add(jid)
+        cmd = dict(cmd, id=jid)
+        proc = self._procs[w]
+        try:
+            proc.stdin.write(_json.dumps(cmd) + "\n")
+            proc.stdin.flush()
+        except (OSError, ValueError):
+            with self._lock:
+                self._pending.pop(jid, None)
+                self._by_worker[w].discard(jid)
+            job.error = "feed worker died"
+            job.event.set()
+        return job
+
+    def close(self) -> None:
+        for p in self._procs:
+            try:
+                p.stdin.close()
+            except OSError:
+                pass
+        for p in self._procs:
+            try:
+                p.wait(timeout=5)
+            except Exception:
+                p.kill()
+
+    def alive(self) -> bool:
+        return any(p.poll() is None for p in self._procs)
+
+    def depth(self) -> int:
+        with self._lock:
+            return len(self._pending)
+
+
+_mp_pool: _MpPool | None = None
+_mp_pool_size = 0
+
+
+def _get_mp_pool(num_workers: int) -> _MpPool:
+    """Process-wide cached worker pool: spawning + importing numpy in the
+    workers costs ~1-2 s, which would otherwise be paid per stream. Closed
+    at interpreter exit."""
+    global _mp_pool, _mp_pool_size
+    if _mp_pool is None or _mp_pool_size != num_workers or not _mp_pool.alive():
+        if _mp_pool is not None:
+            _mp_pool.close()
+        _mp_pool = _MpPool(num_workers)
+        _mp_pool_size = num_workers
+        import atexit
+
+        atexit.register(_mp_pool.close)
+    return _mp_pool
+
+
+def _shm_dir() -> str:
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def stream_batches_mp(
+    files: Iterable,
+    cfg: FrontendConfig,
+    batch_size: int = 64,
+    max_len_s: float = 10.0,
+    n_buckets: int = 4,
+    num_threads: int = 4,
+    downmix: str = "first",
+    native: bool | None = None,
+    pad_batch_rows: bool = True,
+    stats: DecodeStats | None = None,
+    long_mode: str = "defer",
+    dtype: str = "i16",
+) -> Iterator[Batch]:
+    """Multi-process decode-into-buffer batch streaming.
+
+    Same phases, semantics and batch contents as stream_batches_direct,
+    but phase-B decode chunks run in feed_worker SUBPROCESSES writing
+    straight into /dev/shm-backed slabs — per-file Python work (open,
+    ctypes call, error handling) happens under the workers' own GILs, so
+    the consumer thread spends its GIL only on header parses and batch
+    bookkeeping. num_threads sets the worker-process count.
+
+    Slabs are recycled through Batch.release() exactly like the threaded
+    path; slab files are unlinked when the stream ends.
+    """
+    stats = stats if stats is not None else DecodeStats()
+    expect_sr = cfg.input_sample_rate or cfg.sample_rate
+    sr = expect_sr
+    buckets = make_buckets(max_len_s, cfg, n_buckets)
+    if sr != cfg.sample_rate:
+        scale = sr / cfg.sample_rate
+        buckets = tuple(int(round(b * scale)) for b in buckets)
+    if dtype not in ("f32", "i16"):
+        raise ValueError(f"dtype={dtype!r} must be 'f32' or 'i16'")
+    row_dtype = np.int16 if dtype == "i16" else np.float32
+
+    from mfcc_tpu.pipeline.batch import required_samples
+
+    pool = _get_mp_pool(max(1, num_threads))
+    slab_lock = threading.Lock()
+    free_slabs: dict[int, list] = {}  # T -> [(name, memmap)]
+    all_slab_names: list[str] = []
+
+    def new_slab(T: int):
+        with slab_lock:
+            stack = free_slabs.get(T)
+            if stack:
+                return stack.pop()
+        fd, name = tempfile.mkstemp(
+            prefix="mfcc_tpu_slab_", dir=_shm_dir()
+        )
+        os.ftruncate(fd, batch_size * T * np.dtype(row_dtype).itemsize)
+        os.close(fd)
+        arr = np.memmap(name, dtype=row_dtype, mode="r+",
+                        shape=(batch_size, T))
+        all_slab_names.append(name)
+        return name, arr
+
+    def recycle(batch: Batch) -> None:
+        base = batch.audio.base if batch.audio.base is not None else batch.audio
+        name = getattr(base, "_mfcc_slab_name", None)
+        if name is None:
+            return
+        with slab_lock:
+            free_slabs.setdefault(base.shape[1], []).append((name, base))
+
+    class _Open:
+        def __init__(self, blen: int):
+            self.blen = blen
+            self.T = required_samples(blen, cfg)
+            self.name, self.audio = new_slab(self.T)
+            self.audio._mfcc_slab_name = self.name
+            self.lengths = np.zeros(batch_size, dtype=np.int32)
+            self.ids: list = []
+            self.mp_jobs: list[_MpJob] = []
+            self.jobs: list = []
+
+    pending: dict[int, _Open] = {}
+
+    def submit(ob: _Open) -> None:
+        if not ob.jobs:
+            return
+        job = pool.submit({
+            "op": "decode_chunk",
+            "slab": ob.name,
+            "shape": [batch_size, ob.T],
+            "dtype": dtype,
+            "blen": ob.blen,
+            "downmix": downmix,
+            "jobs": [[row, str(p)] for row, p in ob.jobs],
+        })
+        job.rows = [row for row, _ in ob.jobs]
+        ob.mp_jobs.append(job)
+        ob.jobs = []
+
+    def flush(blen: int, pad_rows: bool) -> Batch | None:
+        ob = pending.pop(blen, None)
+        if ob is None or not ob.ids:
+            return None
+        submit(ob)
+        stats.queue_depth = pool.depth()
+        for job in ob.mp_jobs:
+            job.event.wait()
+            if job.error is not None:
+                # worker died mid-chunk: those rows' contents are unknown
+                log.error("feed worker failure: %s", job.error)
+                job.fails = [[row, job.error] for row in job.rows]
+            for row, msg in job.fails:
+                log.warning("decode failed for %s: %s", ob.ids[row], msg)
+                secs = ob.lengths[row] / sr
+                ob.audio[row] = 0  # contents unknown on worker death
+                ob.lengths[row] = 0
+                ob.ids[row] = None
+                stats.errors += 1
+                stats.decoded -= 1
+                stats.audio_seconds -= secs
+        rows = len(ob.ids)
+        if pad_rows:
+            ob.audio[rows:] = 0
+            out_rows = batch_size
+        else:
+            out_rows = rows
+        ids = ob.ids + [None] * (out_rows - rows)
+        return Batch(
+            audio=ob.audio[:out_rows],
+            lengths=ob.lengths[:out_rows],
+            ids=ids,
+            on_release=recycle,
+        )
+
+    try:
+        for path in files:
+            n = _parse_header_counted(path, expect_sr, stats)
+            if n is None:
+                continue
+            if n == 0:
+                log.warning("skipping %s: empty audio", path)
+                stats.errors += 1
+                continue
+            if n > buckets[-1]:
+                if long_mode == "defer":
+                    stats.long_deferred += 1
+                    stats.long_paths.append(path)
+                    continue
+                stats.truncated += 1
+                n = buckets[-1]
+            stats.decoded += 1
+            stats.audio_seconds += n / sr
+            blen = bucket_for(n, buckets)
+            ob = pending.get(blen)
+            if ob is None:
+                ob = pending[blen] = _Open(blen)
+            row = len(ob.ids)
+            ob.ids.append(path)
+            ob.lengths[row] = n
+            ob.jobs.append((row, path))
+            if len(ob.jobs) >= _DECODE_CHUNK:
+                submit(ob)
+            if len(ob.ids) >= batch_size:
+                b = flush(blen, False)
+                if b is not None:
+                    yield b
+        for blen in buckets:
+            b = flush(blen, pad_batch_rows)
+            if b is not None:
+                yield b
+    finally:
+        # pool is process-cached (workers stay warm for the next stream);
+        # slab files are per-stream: unlink AND tell workers to drop their
+        # mappings, else the unlinked pages stay resident in the workers
+        for job in pool.broadcast({"op": "drop_slabs", "names": all_slab_names}):
+            job.event.wait(timeout=5)
+        for name in all_slab_names:
+            try:
+                os.unlink(name)
+            except OSError:
+                pass

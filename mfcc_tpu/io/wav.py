@@ -33,6 +33,7 @@ _DECODE_ERRORS = {
     -5: "missing data chunk",
     -6: "unsupported bits per sample",
     -7: "output buffer too small",
+    -8: "cannot open/map file",
 }
 
 
@@ -90,6 +91,20 @@ def _build_library() -> ctypes.CDLL | None:
     ]
     lib.wav_parse.restype = ctypes.c_int32
     lib.wav_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(_WavInfo)]
+    lib.wav_parse_prefix.restype = ctypes.c_int32
+    lib.wav_parse_prefix.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(_WavInfo),
+    ]
+    lib.wav_decode_i16.restype = ctypes.c_int32
+    lib.wav_decode_i16.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.POINTER(_WavInfo),
+    ]
+    lib.wav_decode_file.restype = ctypes.c_int32
+    lib.wav_decode_file.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(_WavInfo),
+    ]
     return lib
 
 
@@ -224,47 +239,153 @@ def read_wav(path, downmix: str = "first", native: bool | None = None):
         return decode_wav_bytes(f.read(), downmix=downmix, native=native)
 
 
-def parse_wav_header(data: bytes) -> tuple[int, int]:
+def parse_wav_header(data: bytes, file_size: int | None = None) -> tuple[int, int]:
     """bytes → (sample_rate, num_frames) without decoding samples — the
-    cheap first phase of the decode-into-buffer feed path."""
+    cheap first phase of the decode-into-buffer feed path.
+
+    data may be a PREFIX of the file when file_size gives the true on-disk
+    size: chunk sizes/num_frames are computed against file_size, so a few-KB
+    header read suffices. Raises WavError("missing ...") when the needed
+    chunk headers lie beyond the prefix — the caller re-reads fully.
+    """
+    fsize = len(data) if file_size is None else file_size
     lib = _native()
     if lib is not None:
         info = _WavInfo()
-        rc = lib.wav_parse(data, len(data), ctypes.byref(info))
+        rc = lib.wav_parse_prefix(data, len(data), fsize, ctypes.byref(info))
         if rc != 0:
             raise WavError(_DECODE_ERRORS.get(rc, f"decode error {rc}"))
         return int(info.sample_rate), int(info.num_frames)
-    sr, x = _decode_numpy(data, "first")
-    return sr, x.shape[0]
+    return _parse_numpy_header(data, fsize)
+
+
+def _parse_numpy_header(data: bytes, file_size: int) -> tuple[int, int]:
+    """Prefix-aware header parse, numpy-twin semantics of wav_parse_prefix."""
+    try:
+        if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise WavError(
+                "not a RIFF/WAVE file" if len(data) >= 12 else "truncated file"
+            )
+        pos, fmt = 12, None
+        d_size = None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (csize,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            if cid == b"fmt ":
+                if body + 16 > len(data):
+                    raise WavError("truncated file")
+                tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", data, body)
+                if tag == 0xFFFE:
+                    (cb,) = struct.unpack_from("<H", data, body + 16)
+                    if cb < 22:
+                        raise WavError("unsupported format tag")
+                    (tag,) = struct.unpack_from("<H", data, body + 24)
+                if tag not in (1, 3) or ch == 0:
+                    raise WavError("unsupported format tag")
+                fmt = (tag, ch, rate, bits)
+            elif cid == b"data":
+                d_size = max(0, min(csize, file_size - body))
+            pos = body + csize + (csize & 1)
+        if fmt is None:
+            raise WavError("missing fmt chunk")
+        if d_size is None:
+            raise WavError("missing data chunk")
+        tag, ch, rate, bits = fmt
+        if tag == 1 and bits not in (8, 16, 24, 32):
+            raise WavError("unsupported bits per sample")
+        if tag == 3 and bits not in (32, 64):
+            raise WavError("unsupported bits per sample")
+        return int(rate), int(d_size // (bits // 8 * ch))
+    except struct.error as e:
+        raise WavError(f"truncated file ({e})") from e
+
+
+def _check_row(out_row: np.ndarray, downmix: str) -> bool:
+    """Validate a decode target row; returns want_i16."""
+    if not out_row.flags.c_contiguous:
+        raise ValueError("out_row must be contiguous")
+    if out_row.dtype == np.float32:
+        want_i16 = False
+    elif out_row.dtype == np.int16:
+        want_i16 = True
+    else:
+        raise ValueError("out_row must be float32 or int16")
+    if downmix not in ("first", "mean"):
+        raise ValueError(f"downmix={downmix!r}")
+    return want_i16
+
+
+def _numpy_into(x: np.ndarray, out_row: np.ndarray, want_i16: bool) -> int:
+    n = min(x.shape[0], out_row.shape[0])
+    if want_i16:
+        # round-half-even + clip — identical to the C path's lrintf
+        out_row[:n] = np.clip(np.rint(x[:n]), -32768, 32767).astype(np.int16)
+    else:
+        out_row[:n] = x[:n]
+    out_row[n:] = 0
+    return n
 
 
 def decode_wav_into(
     data: bytes, out_row: np.ndarray, downmix: str = "first",
     native: bool | None = None,
 ) -> tuple[int, int]:
-    """Decode straight into a float32 batch row, truncating to its capacity
-    and zero-filling the tail (all inside C for the native path — no
+    """Decode straight into a batch row, truncating to its capacity and
+    zero-filling the tail (all inside C for the native path — no
     intermediate array, no GIL during conversion).
 
+    out_row dtype picks the path: float32, or int16 (the half-bandwidth
+    feed: PCM16 sources pass through exactly; other widths quantize at
+    ±0.5 LSB of the int16 scale — 16-bit-recording precision).
     Returns (sample_rate, n_valid) with n_valid = min(file frames, cap).
     """
-    if out_row.dtype != np.float32 or not out_row.flags.c_contiguous:
-        raise ValueError("out_row must be contiguous float32")
-    if downmix not in ("first", "mean"):
-        raise ValueError(f"downmix={downmix!r}")
+    want_i16 = _check_row(out_row, downmix)
     lib = _native() if native is not False else None
     if lib is None:
         if native is True:
             raise RuntimeError("native wav decoder unavailable")
         sr, x = _decode_numpy(data, downmix)
-        n = min(x.shape[0], out_row.shape[0])
-        out_row[:n] = x[:n]
-        out_row[n:] = 0.0
-        return sr, n
+        return sr, _numpy_into(x, out_row, want_i16)
     info = _WavInfo()
-    rc = lib.wav_decode_f32(
-        data, len(data), 1 if downmix == "mean" else 0,
-        out_row.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    dm = 1 if downmix == "mean" else 0
+    if want_i16:
+        rc = lib.wav_decode_i16(
+            data, len(data), dm,
+            out_row.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            out_row.shape[0], ctypes.byref(info),
+        )
+    else:
+        rc = lib.wav_decode_f32(
+            data, len(data), dm,
+            out_row.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_row.shape[0], ctypes.byref(info),
+        )
+    if rc != 0:
+        raise WavError(_DECODE_ERRORS.get(rc, f"decode error {rc}"))
+    return int(info.sample_rate), min(int(info.num_frames), out_row.shape[0])
+
+
+def decode_file_into(
+    path, out_row: np.ndarray, downmix: str = "first",
+    native: bool | None = None,
+) -> tuple[int, int]:
+    """One-call file decode into a batch row: open + mmap + decode inside C
+    (no Python bytes object, no heap staging buffer) — the per-file cost of
+    the feed pipeline's decode phase is a single ctypes call with the GIL
+    released. Falls back to read + decode_wav_into without the native lib.
+    """
+    want_i16 = _check_row(out_row, downmix)
+    lib = _native() if native is not False else None
+    if lib is None:
+        if native is True:
+            raise RuntimeError("native wav decoder unavailable")
+        with open(path, "rb") as f:
+            return decode_wav_into(f.read(), out_row, downmix, native)
+    info = _WavInfo()
+    rc = lib.wav_decode_file(
+        str(path).encode(), 1 if downmix == "mean" else 0, 1 if want_i16 else 0,
+        out_row.ctypes.data_as(ctypes.c_void_p),
         out_row.shape[0], ctypes.byref(info),
     )
     if rc != 0:

@@ -335,6 +335,9 @@ def extract_batch(
     backend: "jnp" (this module) or "pallas" (fused TPU kernels with this
     chain as their equivalence twin — mfcc_tpu/kernels/).
     """
+    if jnp.issubdtype(audio.dtype, jnp.integer):
+        # int16 host feed (half the H2D bytes): convert on device, once
+        audio = audio.astype(compute_dtype(cfg))
     if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
         from mfcc_tpu.ops import resample
 

@@ -356,3 +356,109 @@ def test_stream_direct_48k_config(tmp_path):
     for ba, bd in zip(a, d):
         assert ba.ids == bd.ids
         np.testing.assert_array_equal(ba.audio, bd.audio)
+
+
+def test_stream_mp_equals_direct(tmp_path):
+    """The multi-process shared-memory feed must produce byte-identical
+    batches to the threaded direct path, including error skips, wrong-rate
+    skips, and both row dtypes (VERDICT r1 item 1)."""
+    from mfcc_tpu.io import stream_batches_direct, stream_batches_mp
+
+    cfg = NAMED_CONFIGS["classic13"]
+    g = np.random.default_rng(17)
+    paths = []
+    for i, n in enumerate([4000, 50000, 9000, 70000, 3000, 22000, 111000]):
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, 16000, (g.standard_normal(n) * 1000).astype(np.int16))
+        paths.append(p)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFF not a wav")
+    paths.insert(2, bad)
+    wrong = tmp_path / "wrong.wav"
+    write_wav(wrong, 8000, np.zeros(100, np.int16))
+    paths.insert(5, wrong)
+
+    for dtype in ("i16", "f32"):
+        s1, s2 = DecodeStats(), DecodeStats()
+        a = list(stream_batches_direct(paths, cfg, batch_size=3,
+                                       max_len_s=10.0, stats=s1, dtype=dtype))
+        d = list(stream_batches_mp(paths, cfg, batch_size=3,
+                                   max_len_s=10.0, stats=s2, dtype=dtype))
+        assert len(a) == len(d)
+        for ba, bd in zip(a, d):
+            assert ba.ids == bd.ids
+            np.testing.assert_array_equal(ba.lengths, bd.lengths)
+            np.testing.assert_array_equal(np.asarray(ba.audio),
+                                          np.asarray(bd.audio))
+            bd.release()
+        assert (s1.errors, s1.wrong_rate, s1.decoded) == (
+            s2.errors, s2.wrong_rate, s2.decoded)
+
+
+def test_stream_mp_slab_cleanup(tmp_path):
+    """Slab files must not accumulate in /dev/shm across streams."""
+    import glob as _glob
+
+    from mfcc_tpu.io import stream_batches_mp
+    from mfcc_tpu.io.reader import _shm_dir
+
+    cfg = NAMED_CONFIGS["classic13"]
+    p = tmp_path / "u.wav"
+    write_wav(p, 16000, np.zeros(8000, np.int16))
+    for _ in range(2):
+        for b in stream_batches_mp([p], cfg, batch_size=2):
+            b.release()
+    import os as _os
+
+    leftovers = _glob.glob(_os.path.join(_shm_dir(), "mfcc_tpu_slab_*"))
+    assert leftovers == []
+
+
+def test_mp_worker_death_fails_chunk():
+    """A dying worker must resolve its in-flight jobs as failures, not hang
+    the consumer (SURVEY.md §5 failure-detection row)."""
+    from mfcc_tpu.io.reader import _MpPool
+
+    pool = _MpPool(1)
+    try:
+        # nonexistent slab file: np.memmap raises inside the worker loop,
+        # the worker exits, EOF resolves the job with an error
+        job = pool.submit({
+            "op": "decode_chunk", "slab": "/nonexistent/slab", "shape": [1, 10],
+            "dtype": "i16", "blen": 10, "jobs": [[0, "/nonexistent.wav"]],
+        })
+        assert job.event.wait(timeout=30)
+        assert job.error is not None or job.fails
+    finally:
+        pool.close()
+
+
+def test_i16_feed_features_match_f32(tmp_path):
+    """For PCM16 sources the i16 feed is lossless: features from int16 rows
+    equal features from float32 rows bit-for-bit (the cast happens on
+    device, values are identical integers)."""
+    import jax.numpy as jnp
+
+    from mfcc_tpu.io import stream_batches_direct
+    from mfcc_tpu.ops import chain
+
+    cfg = NAMED_CONFIGS["classic13_deltas"]
+    g = np.random.default_rng(23)
+    paths = []
+    for i, n in enumerate([8000, 23000]):
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, 16000, (g.standard_normal(n) * 3000).astype(np.int16))
+        paths.append(p)
+    feats = {}
+    for dtype in ("f32", "i16"):
+        out = []
+        for b in stream_batches_direct(paths, cfg, batch_size=2,
+                                       max_len_s=4.0, dtype=dtype):
+            f, _ = chain.extract_batch(jnp.asarray(b.audio),
+                                       jnp.asarray(b.lengths), cfg,
+                                       backend="jnp")
+            out.append(np.asarray(f))
+        feats[dtype] = out
+    assert len(feats["f32"]) == len(feats["i16"])
+    for a, b in zip(feats["f32"], feats["i16"]):
+        np.testing.assert_array_equal(a, b)
