@@ -1,0 +1,160 @@
+"""Mosaic-compiled gates on the real chip (see conftest for why this lane
+exists separately from the CPU-pinned suite).
+
+Tolerances: both sides are fp32 on TPU; kernel-vs-twin residual is the
+DFT-matmul vs rfft rounding difference amplified by the ×~12 lifter
+(docs/KERNEL.md §3), so feature gates are atol 1e-3 / rtol 2e-3 against
+the twin and the documented TPU-fp32 floor against the float64 goldens.
+"""
+
+import numpy as np
+import pytest
+
+from mfcc_tpu.config import NAMED_CONFIGS
+from mfcc_tpu.ops import chain
+from mfcc_tpu.pipeline import pad_batch
+from mfcc_tpu.testing.golden import load_golden
+
+PALLAS_CONFIGS = ["classic13", "classic13_deltas", "logmel80", "mfcc39_48k"]
+SIGNAL_NAMES = ["noise", "speechish", "chirp", "short"]
+
+
+def _batch(signals, cfg, names=SIGNAL_NAMES):
+    import jax.numpy as jnp
+
+    sigs = [signals[n] for n in names]
+    b = pad_batch(sigs, cfg, bucket_len=max(s.shape[0] for s in sigs))
+    return jnp.asarray(b.audio), jnp.asarray(b.lengths)
+
+
+def _assert_feat_close(got, want, cfg):
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    if cfg.features == "logmel":
+        # two-regime gate as in tests/test_jnp_chain.py
+        want_lin, got_lin = np.exp(want), np.exp(got)
+        rowmax = want_lin.max(axis=-1, keepdims=True)
+        loud = want_lin > rowmax * 1e-4
+        assert (np.abs(got - want) * loud).max() < 2e-3
+        assert (np.abs(got_lin - want_lin) / (rowmax + 1e-300)).max() < 1e-4
+    else:
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("config_name", PALLAS_CONFIGS)
+def test_kernel_matches_twin_on_tpu(tpu, signals, config_name):
+    cfg = NAMED_CONFIGS[config_name]
+    audio, lengths = _batch(signals, cfg)
+    f_pl, m_pl = chain.extract_batch(audio, lengths, cfg, backend="pallas")
+    f_jn, m_jn = chain.extract_batch(audio, lengths, cfg, backend="jnp")
+    np.testing.assert_array_equal(np.asarray(m_pl), np.asarray(m_jn))
+    _assert_feat_close(f_pl, f_jn, cfg)
+
+
+@pytest.mark.parametrize("config_name", PALLAS_CONFIGS)
+def test_golden_parity_on_tpu(tpu, config_name):
+    """Fused kernel vs the frozen float64 goldens at the TPU-fp32 floor
+    (5e-4 absolute + 2e-3 relative — scripts/tpu_smoke.py rationale).
+
+    Signals come from the golden files themselves (signal_input is at the
+    config's INPUT rate — 48 kHz for mfcc39_48k)."""
+    import jax.numpy as jnp
+
+    cfg = NAMED_CONFIGS[config_name]
+    goldens = [load_golden(config_name, n) for n in SIGNAL_NAMES]
+    sigs = [
+        g["signal_input"] if "signal_input" in g else g["signal"]
+        for g in goldens
+    ]
+    b = pad_batch(sigs, cfg, bucket_len=max(s.shape[0] for s in sigs))
+    feat, _ = chain.extract_batch(
+        jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg, backend="pallas"
+    )
+    feat = np.asarray(feat, np.float64)
+    for i, (name, g) in enumerate(zip(SIGNAL_NAMES, goldens)):
+        fv = g["features"].shape[0]
+        allow = 5e-4 + 2e-3 * np.abs(g["features"])
+        ratio = (np.abs(feat[i, :fv] - g["features"]) / allow).max()
+        assert ratio < 1.0, f"{name}: gate ratio {ratio:.2f}"
+
+
+@pytest.mark.parametrize(
+    "knobs",
+    [
+        dict(window="hann_periodic"),
+        dict(mel_variant="tf_continuous"),
+        dict(log_kind="db", append_energy=False),
+        dict(dct_norm="htk"),
+        dict(frame_tail="drop"),
+        dict(power_scale_nfft=False),
+        dict(preemph=0.0, lifter=0),
+    ],
+)
+def test_convention_matrix_pallas_on_tpu(tpu, signals, knobs):
+    """Appendix-C convention variants through the Mosaic-compiled kernel:
+    each knob changes folded constants / in-kernel branches."""
+    cfg = NAMED_CONFIGS["classic13"].replace(**knobs)
+    audio, lengths = _batch(signals, cfg, names=["speechish", "short"])
+    f_pl, _ = chain.extract_batch(audio, lengths, cfg, backend="pallas")
+    f_jn, _ = chain.extract_batch(audio, lengths, cfg, backend="jnp")
+    _assert_feat_close(f_pl, f_jn, cfg)
+
+
+def test_block_boundary_lengths_on_tpu(tpu):
+    """Valid frame counts at/around the kernel's frame-block edge must not
+    change values (block masking, halo, slab addressing)."""
+    import jax.numpy as jnp
+
+    cfg = NAMED_CONFIGS["classic13"]
+    S, L = cfg.frame_step, cfg.frame_length
+    # frame counts straddling one 512-frame block boundary
+    lengths_f = [511, 512, 513, 1024]
+    ns = [(f - 1) * S + L for f in lengths_f]
+    g = np.random.default_rng(3)
+    utts = [(g.standard_normal(n) * 3000.0) for n in ns]
+    b = pad_batch(utts, cfg, bucket_len=max(ns))
+    audio, lengths = jnp.asarray(b.audio), jnp.asarray(b.lengths)
+    f_pl, m = chain.extract_batch(audio, lengths, cfg, backend="pallas")
+    f_jn, _ = chain.extract_batch(audio, lengths, cfg, backend="jnp")
+    f_pl, f_jn, m = np.asarray(f_pl), np.asarray(f_jn), np.asarray(m)
+    for i, fcount in enumerate(lengths_f):
+        assert int(m[i].sum()) == fcount
+        np.testing.assert_allclose(
+            f_pl[i, :fcount], f_jn[i, :fcount], atol=1e-3, rtol=2e-3
+        )
+    # pad frames exactly zero
+    assert (f_pl * (1 - m[..., None])).max() == 0.0
+
+
+def test_i16_feed_parity_on_tpu(tpu, signals):
+    """int16 H2D rows must produce bit-identical features to f32 rows
+    (the cast happens on device before the kernel)."""
+    import jax.numpy as jnp
+
+    cfg = NAMED_CONFIGS["classic13_deltas"]
+    sigs = [np.clip(np.rint(signals[n]), -32768, 32767) for n in SIGNAL_NAMES]
+    b = pad_batch(sigs, cfg, bucket_len=max(s.shape[0] for s in sigs))
+    a_f32 = jnp.asarray(b.audio, jnp.float32)
+    a_i16 = jnp.asarray(np.asarray(b.audio, np.int16))
+    lengths = jnp.asarray(b.lengths)
+    f_a, _ = chain.extract_batch(a_f32, lengths, cfg, backend="pallas")
+    f_b, _ = chain.extract_batch(a_i16, lengths, cfg, backend="pallas")
+    np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))
+
+
+def test_zero_and_one_frame_utts_on_tpu(tpu):
+    """Batch-padding rows (length 0) and 1-frame utterances through the
+    Mosaic kernel + delta path: finite, masked, twin-equal."""
+    import jax.numpy as jnp
+
+    cfg = NAMED_CONFIGS["classic13_deltas"]
+    g = np.random.default_rng(5)
+    utts = [g.standard_normal(300) * 1000.0, g.standard_normal(16000) * 1000.0]
+    b = pad_batch(utts, cfg, bucket_len=16000, pad_batch_to=4)
+    audio, lengths = jnp.asarray(b.audio), jnp.asarray(b.lengths)
+    f_pl, m = chain.extract_batch(audio, lengths, cfg, backend="pallas")
+    f_jn, _ = chain.extract_batch(audio, lengths, cfg, backend="jnp")
+    f_pl, m = np.asarray(f_pl), np.asarray(m)
+    assert np.isfinite(f_pl).all()
+    assert m[2:].sum() == 0 and (f_pl[2:] == 0).all()
+    np.testing.assert_allclose(f_pl, np.asarray(f_jn), atol=1e-3, rtol=2e-3)
