@@ -87,7 +87,21 @@ def cmd_extract(args) -> int:
     shard_idx = 0
     host = f"h{jax.process_index()}"
     backend = args.backend
-    in_flight = None  # (shard_name, real_ids, batch, feat, mask, moments)
+    # pipeline of dispatched batches: shard N-D is written while N computes;
+    # depth > 1 hides device->host latency (significant on relayed devices)
+    import collections
+
+    in_flight = collections.deque()  # (shard_name, real_ids, batch, feat, mask, moments)
+
+    def prefetch(arrs) -> None:
+        """Start async device->host copies so complete()'s np.asarray finds
+        the bytes already on host instead of paying the fetch round-trip."""
+        for a in arrs:
+            if a is not None and hasattr(a, "copy_to_host_async"):
+                try:
+                    a.copy_to_host_async()
+                except Exception:  # pragma: no cover - backend-dependent
+                    pass
 
     def complete(entry) -> None:
         """Finish one dispatched batch: pull arrays, trim, write, count.
@@ -183,12 +197,14 @@ def cmd_extract(args) -> int:
                     dispatch_ms=round((time.perf_counter() - t_disp) * 1e3, 2),
                     decode_queue_depth=stats.queue_depth,
                 )
-            # one batch in flight: write shard N-1 while N computes
-            if in_flight is not None:
-                complete(in_flight)
-            in_flight = (shard_name, real_ids, batch, feat, mask, moments)
-        if in_flight is not None:
-            complete(in_flight)
+            prefetch([feat, mask] + (list(moments) if moments else []))
+            in_flight.append(
+                (shard_name, real_ids, batch, feat, mask, moments)
+            )
+            while len(in_flight) >= max(1, args.pipeline_depth):
+                complete(in_flight.popleft())
+        while in_flight:
+            complete(in_flight.popleft())
 
         # over-long utterances: split/stitch extraction, one shard per file
         # (frame-exact vs the per-utterance loop — pipeline.longform)
@@ -401,6 +417,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "extraction (default); truncate = clip to the top "
                         "bucket (the round-1 behaviour)")
     e.add_argument("--threads", type=int, default=4)
+    e.add_argument("--pipeline-depth", type=int, default=3,
+                   help="dispatched batches kept in flight before the "
+                        "oldest is written (hides device->host latency)")
     e.add_argument("--feed", choices=["auto", "mp", "direct", "arrays"],
                    default="auto",
                    help="mp: worker processes decode into shared-memory "

@@ -342,7 +342,7 @@ def _gather_frames(
         row = jax.lax.broadcasted_iota(jnp.int32, (n_rows, S), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (n_rows, S), 1)
         t = (base + row - pro) * S + col
-        y = jnp.where(t < lengths_ref[pl.program_id(0), 0], y, 0.0)
+        y = jnp.where(t < lengths_ref[pl.program_id(0)], y, 0.0)
         parts = [
             pltpu.roll(y, shift=n_rows - (pro + i), axis=0)[:block_frames]
             for i in range(nc)
@@ -541,8 +541,11 @@ def _fused_logmel_energy(
         )
         chunks = y.reshape(B, n_chunks, S)
         views = [chunks]
+        # *_: under PrefetchScalarGridSpec index maps also receive the
+        # scalar-prefetch refs — ignored here
         chunk_spec = pl.BlockSpec(
-            (1, n_chunks, S), lambda b, f: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, n_chunks, S), lambda b, f, *_: (b, 0, 0),
+            memory_space=pltpu.VMEM,
         )
     else:
         y = chain.zero_beyond(chain.preemphasis(audio, cfg.preemph), lengths)
@@ -561,12 +564,16 @@ def _fused_logmel_energy(
 
     def full_spec(arr):
         nd = arr.ndim
+        # _n is KEYWORD-ONLY (after *_) so a scalar-prefetch ref passed
+        # positionally can never capture it
         return pl.BlockSpec(
-            arr.shape, lambda b, f, _n=nd: (0,) * _n, memory_space=pltpu.VMEM
+            arr.shape, lambda b, f, *_, _n=nd: (0,) * _n,
+            memory_space=pltpu.VMEM,
         )
 
     out_spec = pl.BlockSpec(
-        (1, block_frames, mp), lambda b, f: (b, f, 0), memory_space=pltpu.VMEM
+        (1, block_frames, mp), lambda b, f, *_: (b, f, 0),
+        memory_space=pltpu.VMEM,
     )
 
     if dft_passes == "radix4":
@@ -584,36 +591,44 @@ def _fused_logmel_energy(
         kernel = _make_kernel(cfg, nc, S, k2, mp, block_frames, dft_passes, slab_mode)
         mac_per_frame = nc * S * k2 * 6 + k2 * mp
 
-    inputs = list(views)
-    in_specs = [chunk_spec] * len(views)
-    if slab_mode:
-        # per-utterance length scalar for the in-kernel beyond-length zeroing
-        # Mosaic SMEM blocks must equal the array dims (or be 8/128
-        # tiles): keep the whole [B, 1] lengths array resident and index by
-        # program_id(0) in-kernel
-        inputs.insert(0, lengths.reshape(-1, 1))
-        in_specs.insert(
-            0,
-            pl.BlockSpec(
-                (B, 1), lambda b, f: (0, 0), memory_space=pltpu.SMEM
-            ),
-        )
-    inputs += consts
-    in_specs += [full_spec(c) for c in consts]
+    inputs = list(views) + consts
+    in_specs = [chunk_spec] * len(views) + [full_spec(c) for c in consts]
 
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, fp, mp), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * mac_per_frame * B * fp,
-            bytes_accessed=(B * fp * S * nc + B * fp * mp) * 4,
-            transcendentals=B * fp * mp,
-        ),
-        interpret=interpret,
-    )(*inputs)
+    cost = pl.CostEstimate(
+        flops=2 * mac_per_frame * B * fp,
+        bytes_accessed=(B * fp * S * nc + B * fp * mp) * 4,
+        transcendentals=B * fp * mp,
+    )
+    if slab_mode:
+        # per-utterance lengths for the in-kernel beyond-length zeroing go
+        # in as a SCALAR-PREFETCH arg: fetched into SMEM ONCE before the
+        # grid starts. (A (B,1) SMEM BlockSpec with a constant index map
+        # was re-DMA'd per grid step — an O(B) cost per step, O(B²) total,
+        # measured as +19% kernel time per utterance at batch 256 vs 64:
+        # the round-1 "batch-256 anomaly".)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, fp, mp), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(lengths, *inputs)
+    else:
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B, fp, mp), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*inputs)
     return out  # [B, fp, MP]; caller trims frames at the very end
 
 

@@ -54,6 +54,14 @@ def main() -> int:
     p.add_argument("--seconds", type=int, default=10)
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--variants", default="full,kernel,epilogue,jnp_full,hotloop",
+                   help="comma subset of: full,kernel,epilogue,jnp_full,hotloop")
+    p.add_argument("--perturb", choices=["audio", "lengths"], default="audio",
+                   help="anti-hoisting input variation: 'audio' multiplies "
+                        "the whole [B,T] array per iteration (costs an "
+                        "O(B·T) elementwise pass INSIDE the timed loop); "
+                        "'lengths' varies the lengths vector only (O(B), "
+                        "isolates the kernel itself)")
     args = p.parse_args()
 
     import jax
@@ -83,7 +91,13 @@ def main() -> int:
         @partial(jax.jit, static_argnames=("iters",))
         def run(audio, lengths, iters):
             def body(_, i):
-                return 0, body_fn(audio * (1.0 + 1e-6 * i), lengths)
+                if args.perturb == "audio":
+                    return 0, body_fn(audio * (1.0 + 1e-6 * i), lengths)
+                # O(B) perturbation: alternate every row's valid length by
+                # one sample — changes kernel masks/results per iteration
+                # (so nothing hoists) without an O(B·T) array copy
+                l = lengths - (i.astype(jnp.int32) % 2)
+                return 0, body_fn(audio, l)
 
             _, outs = jax.lax.scan(
                 body, 0, jnp.arange(iters, dtype=jnp.float32)
@@ -92,6 +106,7 @@ def main() -> int:
 
         return lambda it: float(run(audio, lengths, it))
 
+    variants = set(args.variants.split(","))
     out = {"platform": platform, "backend": backend, "config": args.config,
            "batch": args.batch, "utterance_s": args.seconds, "ms": {}}
 
@@ -100,10 +115,11 @@ def main() -> int:
         feat, _ = chain.extract_batch(a, l, cfg, backend=backend)
         return feat.sum()
 
-    out["ms"]["full"] = slope_timer(chained(full), I1, I2) * 1e3
+    if "full" in variants:
+        out["ms"]["full"] = slope_timer(chained(full), I1, I2) * 1e3
 
     # kernel only (fused logmel stages)
-    if backend == "pallas":
+    if backend == "pallas" and "kernel" in variants:
         from mfcc_tpu.kernels import fused_logmel_stages
 
         def kernel_only(a, l):
@@ -112,6 +128,9 @@ def main() -> int:
             return x.sum()
 
         out["ms"]["kernel"] = slope_timer(chained(kernel_only), I1, I2) * 1e3
+
+    if backend == "pallas" and "epilogue" in variants:
+        from mfcc_tpu.kernels import fused_logmel_stages
 
         # epilogue only: capture one kernel output, time the rest
         st0 = jax.jit(
@@ -143,10 +162,21 @@ def main() -> int:
         feat, _ = chain.extract_batch(a, l, cfg, backend="jnp")
         return feat.sum()
 
-    out["ms"]["jnp_full"] = slope_timer(chained(jnp_full), I1, I2) * 1e3
+    if "jnp_full" in variants:
+        out["ms"]["jnp_full"] = slope_timer(chained(jnp_full), I1, I2) * 1e3
 
     # "naive jnp" hot loop on pre-staged frames (BASELINE.md re-measure)
     from mfcc_tpu.ops.chain import device_constants
+
+    if "hotloop" not in variants:
+        for kk in out["ms"]:
+            out["ms"][kk] = round(out["ms"][kk], 4)
+        if "full" in out["ms"]:
+            audio_s = args.batch * args.seconds
+            out["audio_s_per_s_full"] = round(
+                audio_s / (out["ms"]["full"] / 1e3), 1)
+        print(json.dumps(out, indent=1))
+        return 0
 
     k = device_constants(cfg)
     F = cfg.num_frames(audio.shape[-1])
