@@ -75,7 +75,7 @@ def cmd_extract(args) -> int:
     n_dev = mesh.shape["data"]
     batch_size = pad_batch_to_shards(args.batch_size, mesh)
 
-    writer = ShardWriter(args.output_dir, cfg)
+    writer = ShardWriter(args.output_dir, cfg, compress=args.compress)
     metrics = MetricsLogger(
         args.metrics,
         context={"process": jax.process_index(), "config": args.config},
@@ -90,8 +90,14 @@ def cmd_extract(args) -> int:
     # pipeline of dispatched batches: shard N-D is written while N computes;
     # depth > 1 hides device->host latency (significant on relayed devices)
     import collections
+    import concurrent.futures
 
     in_flight = collections.deque()  # (shard_name, real_ids, batch, feat, mask, moments)
+    # shard writes (npy serialize + disk, GIL-releasing) run on a small
+    # pool so the main loop keeps dispatching; bounded so queued feature
+    # arrays can't pile up unboundedly
+    wpool = concurrent.futures.ThreadPoolExecutor(max_workers=args.write_threads)
+    wfuts = collections.deque()
 
     def prefetch(arrs) -> None:
         """Start async device->host copies so complete()'s np.asarray finds
@@ -126,10 +132,13 @@ def cmd_extract(args) -> int:
             rows = [
                 (i, t) for i, t in zip(batch.ids, trimmed) if i is not None
             ]
-            writer.write(
+            while len(wfuts) >= 2 * args.write_threads:
+                wfuts.popleft().result()  # backpressure + error propagation
+            wfuts.append(wpool.submit(
+                writer.write,
                 shard_name, [r[0] for r in rows], [r[1] for r in rows],
                 extra_meta=extra,
-            )
+            ))
         metrics.add(
             shards=1,
             utterances=len(real_ids),
@@ -205,6 +214,9 @@ def cmd_extract(args) -> int:
                 complete(in_flight.popleft())
         while in_flight:
             complete(in_flight.popleft())
+        while wfuts:
+            wfuts.popleft().result()
+        wpool.shutdown(wait=True)
 
         # over-long utterances: split/stitch extraction, one shard per file
         # (frame-exact vs the per-utterance loop — pipeline.longform)
@@ -281,7 +293,8 @@ def cmd_extract(args) -> int:
 
 
 def _normalize_shard(spath_str: str, mean: np.ndarray, std: np.ndarray,
-                     var_norm: bool, stats_fp: str, force: bool = False) -> str:
+                     var_norm: bool, stats_fp: str, force: bool = False,
+                     compress: str = "none") -> str:
     """Normalize one shard in place, idempotently. Returns the outcome:
     "normalized" | "skipped" (already carries this stats fingerprint) |
     "mismatch" (normalized with DIFFERENT stats — re-applying would stack
@@ -300,9 +313,10 @@ def _normalize_shard(spath_str: str, mean: np.ndarray, std: np.ndarray,
         feats, offsets, ids = z["features"], z["offsets"], z["ids"]
     feats = (feats - mean) / std if var_norm else feats - mean
     tmp = spath.with_name(spath.stem + ".tmp.npz")
-    np.savez_compressed(tmp, features=feats.astype(np.float32),
-                        offsets=offsets, ids=ids,
-                        cmvn_fp=np.array(stats_fp))
+    save = np.savez_compressed if compress == "zlib" else np.savez
+    save(tmp, features=feats.astype(np.float32),
+         offsets=offsets, ids=ids,
+         cmvn_fp=np.array(stats_fp))
     tmp.rename(spath)  # atomic: a kill leaves either old or new, never half
     return "normalized"
 
@@ -350,7 +364,7 @@ def cmd_apply_cmvn(args) -> int:
     with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
         futs = {
             pool.submit(_normalize_shard, p, mean, std, cfg.cmvn_var_norm,
-                        stats_fp, args.force): p
+                        stats_fp, args.force, args.compress): p
             for p in paths
         }
         for fut in concurrent.futures.as_completed(futs):
@@ -431,6 +445,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "device — PCM16 sources are bit-exact, other widths "
                         "quantize at ±0.5 LSB of the int16 scale; f32: "
                         "full-precision rows for non-PCM16 corpora")
+    e.add_argument("--compress", choices=["none", "zlib"], default="none",
+                   help="shard npz compression (default none: fp32 features "
+                        "deflate ~1.1x and zlib would gate the writer)")
+    e.add_argument("--write-threads", type=int, default=2,
+                   help="async shard-writer threads")
     e.add_argument("--resume", action=argparse.BooleanOptionalAction, default=True)
     e.add_argument("--cmvn-stats", default=None,
                    help="path for global CMVN moment checkpoint")
@@ -451,6 +470,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "regenerating shards)")
     a.add_argument("--jobs", type=int, default=None,
                    help="worker processes (default: min(shards, cpus))")
+    a.add_argument("--compress", choices=["none", "zlib"], default="none",
+                   help="compression for rewritten shards")
     a.set_defaults(fn=cmd_apply_cmvn)
 
     i = sub.add_parser("info", help="show devices and configs")

@@ -14,6 +14,12 @@ frozen float64 goldens, split by stage:
                 the epilogue contributes nothing and the floor is the
                 fp32 spectrum itself.
 
+All golden signals of a config ride ONE padded batch per backend (the
+masking-invariance suite certifies padded-batch rows == single-utterance
+extraction bit-for-bit), so the whole report costs ~2 jit compiles per
+config instead of ~2 per (config, signal) — which matters on relayed TPU
+devices where each compile is 20-40 s.
+
 Prints one JSON document; run on TPU for the hardware floor, on CPU for
 the fp32-arithmetic floor.
 """
@@ -24,6 +30,7 @@ import argparse
 import json
 import pathlib
 import sys
+from functools import partial
 
 import numpy as np
 
@@ -44,7 +51,9 @@ def main() -> int:
     import jax.numpy as jnp
 
     from mfcc_tpu.config import NAMED_CONFIGS
-    from mfcc_tpu.ops import chain, constants as C, reference_numpy as ref
+    from mfcc_tpu.kernels import fused_logmel_stages
+    from mfcc_tpu.ops import chain, constants as C, resample
+    from mfcc_tpu.pipeline import pad_batch
     from mfcc_tpu.testing.golden import golden_signals, load_golden
 
     platform = jax.default_backend()
@@ -55,51 +64,80 @@ def main() -> int:
     config_names = (
         args.configs.split(",") if args.configs else list(NAMED_CONFIGS)
     )
-    signals = golden_signals()
+
+    @partial(jax.jit, static_argnames=("cfg", "backend"))
+    def stages_feat(audio, lengths, cfg, backend):
+        audio = audio.astype(jnp.float32)
+        if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
+            audio = resample.resample_batch(
+                audio, cfg.input_sample_rate, cfg.sample_rate
+            )
+            lengths = resample.output_lengths(
+                lengths, cfg.input_sample_rate, cfg.sample_rate
+            )
+        if backend == "pallas":
+            st = fused_logmel_stages(audio, lengths, cfg)
+        else:
+            st = chain.logmel_stages(audio, lengths, cfg)
+        feat = chain.features_from_logmel(st, cfg)
+        F = st.get("num_frames")
+        if F is not None and feat.shape[-2] != F:
+            feat = feat[:, :F]
+        return st["logmel"], st["energy"], feat
 
     report = {"platform": platform, "configs": {}}
     for cname in config_names:
         cfg = NAMED_CONFIGS[cname]
+        sr = cfg.input_sample_rate or cfg.sample_rate
+        goldens = {}
+        for sname in golden_signals(sr):
+            try:
+                goldens[sname] = load_golden(cname, sname)
+            except FileNotFoundError:
+                continue
+        if not goldens:
+            continue
+        sigs = [
+            (g["signal_input"] if "signal_input" in g else g["signal"])
+            for g in goldens.values()
+        ]
+        bb = pad_batch(sigs, cfg, bucket_len=max(s.shape[0] for s in sigs))
+        audio = jnp.asarray(bb.audio)
+        lengths = jnp.asarray(bb.lengths)
+
         row = {}
         for backend in backends:
+            logmel_b, energy_b, feat_b = stages_feat(
+                audio, lengths, cfg, backend
+            )
+            logmel_b = np.asarray(logmel_b, dtype=np.float64)
+            energy_b = np.asarray(energy_b, dtype=np.float64)
+            feat_b = np.asarray(feat_b, dtype=np.float64)
+
             worst = {"logmel": 0.0, "features": 0.0, "features_fp64epi": 0.0}
-            for sname in signals:
-                try:
-                    g = load_golden(cname, sname)
-                except FileNotFoundError:
-                    continue
-                sig = g["signal_input"] if "signal_input" in g else g["signal"]
-                # full fp32 chain
-                feat = chain.extract_single(sig, cfg, backend=backend)
+            k = C.chain_constants(cfg) if cfg.features == "mfcc" else None
+            for i, (sname, g) in enumerate(goldens.items()):
+                Fi = g["features"].shape[0]
                 worst["features"] = max(
                     worst["features"],
-                    float(np.abs(feat.astype(np.float64) - g["features"]).max()),
+                    float(np.abs(feat_b[i, :Fi] - g["features"]).max()),
                 )
-                # stage split (jnp stages; pallas logmel equals via twin tests)
-                stages = chain.logmel_single(sig, cfg)
                 worst["logmel"] = max(
                     worst["logmel"],
-                    float(
-                        np.abs(
-                            stages["logmel"].astype(np.float64) - g["logmel"]
-                        ).max()
-                    ),
+                    float(np.abs(logmel_b[i, :Fi] - g["logmel"]).max()),
                 )
-                if cfg.features == "mfcc":
+                if k is not None:
                     # fp32 upstream + float64 epilogue
-                    k = C.chain_constants(cfg)
-                    logmel64 = stages["logmel"].astype(np.float64)
-                    ceps = logmel64 @ k["dct"]
+                    ceps = logmel_b[i, :Fi] @ k["dct"]
                     ceps = ceps * k["lifter"]
                     if cfg.append_energy:
-                        e64 = stages["energy"].astype(np.float64)
-                        ceps[:, 0] = np.log(e64)
+                        ceps[:, 0] = np.log(energy_b[i, :Fi])
                     want = g["features"][:, : cfg.n_ceps]
                     worst["features_fp64epi"] = max(
                         worst["features_fp64epi"],
                         float(np.abs(ceps - want).max()),
                     )
-            row[backend] = {k: round(v, 8) for k, v in worst.items()}
+            row[backend] = {kk: round(v, 8) for kk, v in worst.items()}
         report["configs"][cname] = row
     print(json.dumps(report, indent=1))
     return 0

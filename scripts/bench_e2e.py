@@ -36,6 +36,10 @@ def main() -> int:
     p.add_argument("--feed", default="mp")
     p.add_argument("--feed-dtype", default="i16")
     p.add_argument("--corpus-dir", default=None, help="reuse an existing corpus")
+    p.add_argument("--out-root", default=None,
+                   help="parent dir for the feature shards (e.g. /dev/shm to "
+                        "measure pipeline capacity without the ~150 MB/s "
+                        "disk cap of this VM; default: system tmp)")
     p.add_argument("--device-ms", type=float, default=None,
                    help="per-batch device ms (from bench.py) for the idle estimate")
     p.add_argument("-o", "--output", default=None)
@@ -57,7 +61,7 @@ def main() -> int:
         with open(q, "rb") as f:
             f.read()
 
-    out_dir = pathlib.Path(tempfile.mkdtemp(prefix="e2efeats"))
+    out_dir = pathlib.Path(tempfile.mkdtemp(prefix="e2efeats", dir=args.out_root))
     metrics_path = out_dir / "metrics.jsonl"
     from mfcc_tpu.cli import main as cli_main
 
@@ -89,6 +93,10 @@ def main() -> int:
         "config": args.config,
         "feed": args.feed,
         "feed_dtype": args.feed_dtype,
+        "out_root": args.out_root or "tmp-disk",
+        "shard_mb_written": round(
+            sum(f.stat().st_size for f in out_dir.glob("*.npz")) / 1e6, 1
+        ),
     }
     if args.device_ms:
         busy = batches * args.device_ms / 1e3
