@@ -293,6 +293,12 @@ def radix4_constants(cfg: FrontendConfig):
 # in HBM, ~3x the audio traffic (measured ~0.4 ms/step at batch-64 x 10 s).
 SLAB_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
+# Batch chunking triggers only for batches STRICTLY larger than this: at
+# B=128 × 10 s (the ~150 MB working-set edge) the single kernel call is
+# faster than chunked (1.955 vs 2.094 ms measured), while at B=256 × 10 s
+# chunking wins by 8.4% (docs/KERNEL.md §6).
+CHUNK_TRIGGER_BATCH = 128
+
 
 # In slab mode the chunk array carries PROLOGUE rows of zeros so that (a)
 # each block's aligned window includes the row before its first frame (the
@@ -602,10 +608,11 @@ def _fused_logmel_energy(
     if slab_mode:
         # per-utterance lengths for the in-kernel beyond-length zeroing go
         # in as a SCALAR-PREFETCH arg: fetched into SMEM ONCE before the
-        # grid starts. (A (B,1) SMEM BlockSpec with a constant index map
-        # was re-DMA'd per grid step — an O(B) cost per step, O(B²) total,
-        # measured as +19% kernel time per utterance at batch 256 vs 64:
-        # the round-1 "batch-256 anomaly".)
+        # grid starts (a (B,1) SMEM BlockSpec with a constant index map is
+        # re-DMA'd per grid step). Measurement note: this was NOT the
+        # batch-256 anomaly — per-utterance kernel time still grew
+        # 14.6→18.0 µs from batch 64→256 after this change; the actual
+        # mitigation is batch chunking in fused_logmel_stages.
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -640,6 +647,7 @@ def fused_logmel_stages(
     block_frames: int = 512,  # sweep: 512 beats 256 by ~1.5% at batch 64/256
     interpret: bool | None = None,
     dft_passes: str = "radix4",
+    max_kernel_batch: int | None = 64,
 ) -> dict[str, jnp.ndarray]:
     """Drop-in fused replacement for ops.chain.logmel_stages.
 
@@ -666,9 +674,34 @@ def fused_logmel_stages(
         dft_passes = "fp32"  # generic fallback for exotic n_fft
     F = cfg.num_frames(audio.shape[-1])
     audio = audio.astype(jnp.float32)
-    out = _fused_logmel_energy(
-        audio, lengths, cfg, F, block_frames, interpret, dft_passes
-    )
+    B = audio.shape[0]
+    c = max_kernel_batch
+    if c and B > max(c, CHUNK_TRIGGER_BATCH) and B % c == 0:
+        # Batch chunking (the round-1 "batch-256 anomaly", VERDICT r1
+        # item 3): per-utterance kernel time grows ~20% once the step's
+        # HBM working set passes ~150 MB (B=256 × 10 s: 14.9 → 18.0
+        # µs/utt; B=512 × 2 s at a ~118 MB set shows only +4%, and the
+        # lengths SMEM block was ruled out by scalar prefetch — the
+        # effect tracks bytes touched, not grid size or B). lax.map over
+        # ≤c-row kernel calls claws back ~8% (interleaved A/B medians at
+        # B=256: unchunked 4.60 ms, lax.map c=64 4.21, unrolled static
+        # slices 4.55 — the map's single reused per-chunk buffer beats
+        # both); the residual vs small-batch is the working-set effect
+        # itself, documented in docs/KERNEL.md §5.
+        out = jax.lax.map(
+            lambda t: _fused_logmel_energy(
+                t[0], t[1], cfg, F, block_frames, interpret, dft_passes
+            ),
+            (
+                audio.reshape(B // c, c, audio.shape[-1]),
+                lengths.reshape(B // c, c),
+            ),
+        )
+        out = out.reshape(B, *out.shape[2:])
+    else:
+        out = _fused_logmel_energy(
+            audio, lengths, cfg, F, block_frames, interpret, dft_passes
+        )
     fp = out.shape[1]
 
     # The hot path consumes only the contiguous [0:M+1] lane prefix (log-mel

@@ -56,6 +56,9 @@ def main() -> int:
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--variants", default="full,kernel,epilogue,jnp_full,hotloop",
                    help="comma subset of: full,kernel,epilogue,jnp_full,hotloop")
+    p.add_argument("--chunk", type=int, default=None,
+                   help="max_kernel_batch for the kernel variant "
+                        "(0 disables chunking; default: library default)")
     p.add_argument("--perturb", choices=["audio", "lengths"], default="audio",
                    help="anti-hoisting input variation: 'audio' multiplies "
                         "the whole [B,T] array per iteration (costs an "
@@ -122,8 +125,12 @@ def main() -> int:
     if backend == "pallas" and "kernel" in variants:
         from mfcc_tpu.kernels import fused_logmel_stages
 
+        kw = {}
+        if args.chunk is not None:
+            kw["max_kernel_batch"] = args.chunk or None
+
         def kernel_only(a, l):
-            st = fused_logmel_stages(a, l, cfg)
+            st = fused_logmel_stages(a, l, cfg, **kw)
             x = st.get("prefix_fp", st.get("logmel"))
             return x.sum()
 

@@ -262,3 +262,37 @@ def test_near_silent_energy_matches_oracle():
     c0_pl = float(np.asarray(f_pl)[0, 1, 0])
     c0_jnp = float(np.asarray(f_jnp)[0, 1, 0])
     assert abs(c0_pl - c0_jnp) < 1e-2, (c0_pl, c0_jnp)
+
+
+def test_batch_chunking_is_bit_identical(monkeypatch):
+    """max_kernel_batch splits the batch into sequential kernel calls
+    (the batch-256 mitigation, VERDICT r1 item 3). Each ≤c-row call runs
+    the identical grid program on its rows, so outputs must be
+    bit-identical to the unchunked kernel."""
+    from mfcc_tpu.kernels import frontend as fe
+
+    # production trigger is B > 128 (the working-set cliff); lower it so a
+    # 4-utterance interpret-mode batch exercises the lax.map path
+    monkeypatch.setattr(fe, "CHUNK_TRIGGER_BATCH", 0)
+    cfg = NAMED_CONFIGS["classic13"]
+    b, _ = _batch(cfg)  # 4 utterances
+    audio = jnp.asarray(b.audio)
+    lengths = jnp.asarray(b.lengths)
+
+    whole = fused_logmel_stages(
+        audio, lengths, cfg, interpret=True, max_kernel_batch=None
+    )
+    chunked = fused_logmel_stages(
+        audio, lengths, cfg, interpret=True, max_kernel_batch=2
+    )
+    for key in ("logmel", "energy", "prefix_fp"):
+        np.testing.assert_array_equal(
+            np.asarray(whole[key]), np.asarray(chunked[key])
+        )
+    # non-divisible chunk falls back to the single call
+    odd = fused_logmel_stages(
+        audio, lengths, cfg, interpret=True, max_kernel_batch=3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(whole["logmel"]), np.asarray(odd["logmel"])
+    )
