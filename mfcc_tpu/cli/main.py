@@ -3,6 +3,7 @@
 Commands:
   extract     wav files → feature shards (streaming, resumable, DP-sharded)
   apply-cmvn  second pass: normalize existing shards with global stats
+  plot        4-panel inspection PNGs (waveform/spectrogram/filterbank/features)
   info        devices / mesh / config dump
 
 The reference's entire driver was `for wav in wavs: mfcc(wav)` (SURVEY.md
@@ -395,6 +396,42 @@ def cmd_apply_cmvn(args) -> int:
     return 0
 
 
+def cmd_plot(args) -> int:
+    """Visual inspection, the reference's primary correctness tool
+    (SURVEY.md §4.1): 4-panel waveform/spectrogram/filterbank/features PNG
+    per wav (component C17, mfcc_tpu/viz.py)."""
+    from mfcc_tpu import named_config
+    from mfcc_tpu.io import read_wav
+    from mfcc_tpu.viz import plot_all
+
+    cfg = named_config(args.config)
+    files = _expand_files(args.files)
+    if not files:
+        log.error("no input files matched")
+        return 2
+    out_dir = pathlib.Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    expect_sr = cfg.input_sample_rate or cfg.sample_rate
+    failed = 0
+    for path in files:
+        try:
+            sr, samples = read_wav(path)
+        except (OSError, ValueError) as e:
+            log.warning("skipping %s: %s", path, e)
+            failed += 1
+            continue
+        if sr != expect_sr:
+            log.warning(
+                "skipping %s: sample rate %d != config's %d", path, sr, expect_sr
+            )
+            failed += 1
+            continue
+        out = out_dir / (pathlib.Path(path).stem + ".png")
+        plot_all(samples, cfg, out_path=out)
+        log.info("%s -> %s", path, out)
+    return 0 if failed == 0 else 1
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -473,6 +510,12 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--compress", choices=["none", "zlib"], default="none",
                    help="compression for rewritten shards")
     a.set_defaults(fn=cmd_apply_cmvn)
+
+    v = sub.add_parser("plot", help="4-panel inspection PNGs for wav files")
+    v.add_argument("files", nargs="+", help="wav paths, globs, or directories")
+    v.add_argument("--config", default="classic13")
+    v.add_argument("--output-dir", "-o", required=True)
+    v.set_defaults(fn=cmd_plot)
 
     i = sub.add_parser("info", help="show devices and configs")
     i.set_defaults(fn=cmd_info)

@@ -251,3 +251,21 @@ def test_extract_long_truncate_optin(tmp_path):
     feats = read_shard(sorted(out.glob("h0-*.npz"))[0])
     cfg = NAMED_CONFIGS["classic13"]
     assert feats[str(p)].shape[0] == cfg.num_frames(4 * 16000)
+
+
+def test_plot_command(corpus, tmp_path):
+    paths, _ = corpus
+    out = tmp_path / "plots"
+    rc = run_cli("plot", paths[0], paths[1], "--config", "classic13",
+                 "-o", str(out))
+    assert rc == 0
+    pngs = sorted(out.glob("*.png"))
+    assert len(pngs) == 2
+    assert all(p.stat().st_size > 10_000 for p in pngs)  # real figures
+
+
+def test_plot_command_bad_file(tmp_path):
+    bad = tmp_path / "notwav.wav"
+    bad.write_bytes(b"this is not a riff file")
+    rc = run_cli("plot", str(bad), "-o", str(tmp_path / "plots"))
+    assert rc == 1  # skipped + reported, not crashed
