@@ -19,11 +19,13 @@ pocketfft loop (SURVEY.md §2.2: "DFT-as-matmul … real GEMMs on the MXU"):
   * **Window, 1/√NFFT and zero-padding fold into the DFT constants** on
     host in float64 (rows ≥ L zero, lanes ≥ bins zero).
   * **Default DFT is a radix-4 DIF factorization** (radix4_constants):
-    VPU butterflies + twiddles on 128-aligned lane quarters, three dense
-    DFT_{N/4} matmuls — 2.3× fewer MACs than the direct matmul; real input
-    makes s=3 the conjugate mirror of s=1 so it is never computed. The
-    direct packed [nc*S, 2NB] matmul remains as the generic fallback and
-    as `dft_passes="fp32"`.
+    VPU butterflies on 128-aligned lane quarters, three dense DFT_{N/4}
+    matmuls totalling 6·N2² MACs/frame — 3.1× fewer than the direct
+    matmul. Real input makes s=3 the conjugate mirror of s=1 so it is
+    never computed; the twiddle rotations and the Hermitian trim of the
+    real s=0 sub-DFT are folded into the host-side matrices. The direct
+    packed [nc*S, 2NB] matmul remains as the generic fallback and as
+    `dft_passes="fp32"`.
   * **The packed spectrum layout needs no re/im slicing**: mel-filterbank
     rows are duplicated (or, for radix-4, permuted to the scrambled bin
     order) so melspec = reim² @ mel in one matmul, and **energy rides the
@@ -184,15 +186,27 @@ def radix4_constants(cfg: FrontendConfig):
     X[4q+s] = DFT_{N2}(z_s)[q] with z_s[n] = W_N^{ns} * Σ_{a<4} x[n+a*N2] W_4^{as}
     (N = n_fft, N2 = N/4). Real input ⇒ s=3 is the conjugate mirror of s=1
     (|X| equal), so only s ∈ {0,1,2} are computed: stage 1 is pure VPU work
-    on 128-aligned lane blocks (window fold + butterflies + twiddles), stage
-    2 is three dense MXU matmuls totalling 2.3x fewer MACs than the direct
-    [KW, 2NB] DFT matmul. The scrambled output ordering is absorbed by
-    permuting the mel-matrix rows (bin k's weights land on the lanes that
-    carry |X[k]|; conjugate-duplicate lanes get zero weight).
+    on 128-aligned lane blocks (window fold + butterflies), stage 2 is three
+    dense MXU matmuls. Two algebraic reductions are folded into the host-side
+    matrices (docs/KERNEL.md §2):
+
+      * the per-lane twiddle rotations z_s = T_s · s_s are diagonal complex
+        multiplies, so they move into stage 2 for free: f1 ← M1 @ f1 (same
+        shape) and f2 ← D2 @ f2, which HALVES the s=2 matmul's K dim (the
+        kernel feeds the real s2 directly, no [z2r|z2i] concat);
+      * s0 is real, so DFT_{N2}(s0) is Hermitian — only q ≤ h = N2/2 is
+        independent. f0 keeps re(q=0..h) and im(q=1..h-1) = exactly N2
+        columns (q=0 and q=h are the DC/Nyquist of DFT_{N2}: exactly real).
+
+    Stage-2 MACs: N2² + 4N2² + N2² = 6·N2² per frame (was 8·N2²; the direct
+    [KW, 2NB] matmul is 400·514 ≈ 12.3·N2² — 3.1x fewer). The scrambled
+    output ordering is absorbed by permuting the mel-matrix rows (bin k's
+    weights land on the lanes that carry |X[k]|; conjugate-duplicate lanes
+    get zero weight; real-only bins carry weight on a single lane).
 
     Returns: win4 [4, N2] (window slices, zero beyond frame_length),
-    tw [4, N2] (c1, d1, c2, d2 of W_N^{ns}), f0 [N2, 2N2], f1 [2N2, 2N2],
-    f2 [2N2, N2], mel [5N2, MP] (+ energy column), dims (nc, S, N2, MP).
+    f0 [N2, N2], f1 [2N2, 2N2], f2 [N2, N2], mel [4N2, MP] (+ energy
+    column), lanes_per_bin [NB], dims (nc, S, N2, MP).
     """
     assert radix4_applicable(cfg)
     L, S = cfg.frame_length, cfg.frame_step
@@ -215,32 +229,40 @@ def radix4_constants(cfg: FrontendConfig):
     win4[:] = wfull.reshape(4, N2)
 
     n = np.arange(N2, dtype=np.float64)
-    tw = np.stack([
-        np.cos(2 * np.pi * n * 1 / N), np.sin(2 * np.pi * n * 1 / N),
-        np.cos(2 * np.pi * n * 2 / N), np.sin(2 * np.pi * n * 2 / N),
-    ])  # [4, N2]: c1, d1, c2, d2
+    c1, d1 = np.cos(2 * np.pi * n / N), np.sin(2 * np.pi * n / N)
+    c2, d2 = np.cos(4 * np.pi * n / N), np.sin(4 * np.pi * n / N)
 
     scale = (1.0 / np.sqrt(N)) if cfg.power_scale_nfft else 1.0
     q = np.arange(N2, dtype=np.float64)[None, :]
     ang = -2.0 * np.pi * n[:, None] * q / N2
     Cm = np.cos(ang) * scale  # [N2, N2]
     Sm = np.sin(ang) * scale  # the IMAG part of W_{N2}^{nq} (already negative)
-
-    # s=0: real input -> [zr] @ [C | S] = [Xre | Xim]
-    f0 = np.concatenate([Cm, Sm], axis=1)  # [N2, 2N2]
-    # s=1: complex input [zr|zi] @ [[C, S], [-S, C]] = [Xre | Xim]
-    f1 = np.block([[Cm, Sm], [-Sm, Cm]])  # [2N2, 2N2]
-    # s=2: only q < N2/2 needed (bins 4q+2 <= N/2); trim columns
     h = N2 // 2
-    f2 = np.block([[Cm[:, :h], Sm[:, :h]], [-Sm[:, :h], Cm[:, :h]]])  # [2N2, N2]
+
+    # s=0: real input, Hermitian output -> keep re(q<=h) + im(0<q<h)
+    f0 = np.concatenate([Cm[:, : h + 1], Sm[:, 1:h]], axis=1)  # [N2, N2]
+    # s=1: complex input [z1r|z1i] @ [[C, S], [-S, C]]; twiddle z1 = T1·s1
+    # folded: [z1r|z1i] = [s1r|s1i] @ M1 with M1 block-diagonal-of-diagonals
+    f1 = np.block([[Cm, Sm], [-Sm, Cm]])  # [2N2, 2N2]
+    M1 = np.block([
+        [np.diag(c1), np.diag(-d1)],
+        [np.diag(d1), np.diag(c1)],
+    ])
+    f1 = M1 @ f1
+    # s=2: only q < h needed (bins 4q+2 <= N/2); z2 = (c2 - i·d2)·s2 folded
+    # through D2 [N2, 2N2] -> f2 [N2, N2], fed by the REAL s2 directly
+    f2_full = np.block([[Cm[:, :h], Sm[:, :h]], [-Sm[:, :h], Cm[:, :h]]])
+    D2 = np.concatenate([np.diag(c2), np.diag(-d2)], axis=1)  # [N2, 2N2]
+    f2 = D2 @ f2_full  # [N2, N2]
 
     # mel rows permuted to the scrambled lane order:
-    # lanes [0,2N2):   s=0, Xre q<N2 then Xim q<N2
-    # lanes [2N2,4N2): s=1, Xre then Xim
-    # lanes [4N2,5N2): s=2, Xre q<h then Xim q<h
+    # lanes [0,N2):    s=0, Xre q=0..h then Xim q=1..h-1
+    # lanes [N2,3N2):  s=1, Xre then Xim (all q)
+    # lanes [3N2,4N2): s=2, Xre q<h then Xim q<h
     melfb = host["mel"]  # [NB, n_mels]
-    mel = np.zeros((5 * N2, mp), dtype=np.float64)
+    mel = np.zeros((4 * N2, mp), dtype=np.float64)
     covered = set()
+    lanes_per_bin = np.zeros(NB, dtype=np.int32)
 
     def bin_of(s, qq):
         k = 4 * qq + s
@@ -249,34 +271,36 @@ def radix4_constants(cfg: FrontendConfig):
         kc = N - k
         return kc if 0 <= kc < NB else None
 
-    def assign(lane_re, lane_im, s, qq):
+    def assign(lanes, s, qq):
         k = bin_of(s, qq)
         if k is None or k in covered:
             return
         covered.add(k)
-        for lane in (lane_re, lane_im):
+        lanes_per_bin[k] = len(lanes)
+        for lane in lanes:
             mel[lane, : cfg.n_mels] = melfb[k]
             mel[lane, cfg.n_mels] = 1.0  # energy column
-
+    for qq in range(h + 1):
+        # q=0 / q=h have no imag lane (exactly real components)
+        im = [h + qq] if 0 < qq < h else []
+        assign([qq] + im, 0, qq)
     for qq in range(N2):
-        assign(qq, N2 + qq, 0, qq)
-    for qq in range(N2):
-        assign(2 * N2 + qq, 3 * N2 + qq, 1, qq)
+        assign([N2 + qq, 2 * N2 + qq], 1, qq)
     for qq in range(h):
-        assign(4 * N2 + qq, 4 * N2 + h + qq, 2, qq)
+        assign([3 * N2 + qq, 3 * N2 + h + qq], 2, qq)
     assert len(covered) == NB, (len(covered), NB)
 
     mel32 = mel.astype(np.float32)
     mel_h, mel_l = _bf16_split_np(mel32)
     return {
         "win4": win4.astype(np.float32),
-        "tw": tw.astype(np.float32),
         "f0": f0.astype(np.float32),
         "f1": f1.astype(np.float32),
         "f2": f2.astype(np.float32),
         "mel": mel32,
         "mel_h": mel_h,
         "mel_l": mel_l,
+        "lanes_per_bin": lanes_per_bin,
         "dims": (nc, S, N2, mp),
     }
 
@@ -472,32 +496,27 @@ def _make_radix4_kernel(
             lengths_ref = None
         chunk_refs = refs[:n_chunk_refs]
         rest = refs[n_chunk_refs:]
-        win_ref, tw_ref, f0_ref, f1_ref, f2_ref, mel_h, mel_l, out_ref = rest
+        win_ref, f0_ref, f1_ref, f2_ref, mel_h, mel_l, out_ref = rest
         frames = _gather_frames(
             chunk_refs, nc, S, block_frames, slab_mode, cfg.preemph,
             lengths_ref,
         )
         # stage 1 (VPU): windowed 128-aligned quarter blocks, radix-4
-        # butterflies, twiddles. s=3 skipped: real input makes it the
-        # conjugate mirror of s=1.
+        # butterflies. s=3 skipped: real input makes it the conjugate
+        # mirror of s=1. Twiddles are folded into f1/f2 on the host.
         x = [frames[:, a * n2 : (a + 1) * n2] * win_ref[a] for a in range(4)]
         s0 = x[0] + x[1] + x[2] + x[3]
         s1r = x[0] - x[2]
         s1i = x[3] - x[1]
         s2 = x[0] - x[1] + x[2] - x[3]
-        c1t, d1t, c2t, d2t = tw_ref[0], tw_ref[1], tw_ref[2], tw_ref[3]
-        z1r = c1t * s1r + d1t * s1i
-        z1i = c1t * s1i - d1t * s1r
-        z2r = c2t * s2
-        z2i = -d2t * s2
-        # stage 2 (MXU): three dense DFT_{N2} matmuls
+        # stage 2 (MXU): three dense DFT_{N2} matmuls (6·N2² MACs/frame)
         x0 = jnp.dot(s0, f0_ref[:], preferred_element_type=jnp.float32,
                      precision=hi)
-        x1 = jnp.dot(jnp.concatenate([z1r, z1i], axis=-1), f1_ref[:],
+        x1 = jnp.dot(jnp.concatenate([s1r, s1i], axis=-1), f1_ref[:],
                      preferred_element_type=jnp.float32, precision=hi)
-        x2 = jnp.dot(jnp.concatenate([z2r, z2i], axis=-1), f2_ref[:],
-                     preferred_element_type=jnp.float32, precision=hi)
-        y = jnp.concatenate([x0, x1, x2], axis=-1)  # [FBLK, 5*N2]
+        x2 = jnp.dot(s2, f2_ref[:], preferred_element_type=jnp.float32,
+                     precision=hi)
+        y = jnp.concatenate([x0, x1, x2], axis=-1)  # [FBLK, 4*N2]
         proj = _dot_pos_bf16x3(y * y, mel_h, mel_l)
         out_ref[0] = epilogue(proj)
 
@@ -583,10 +602,10 @@ def _fused_logmel_energy(
     )
 
     if dft_passes == "radix4":
-        consts = [jnp.asarray(k[name]) for name in ("win4", "tw", "f0", "f1", "f2", "mel_h", "mel_l")]
+        consts = [jnp.asarray(k[name]) for name in ("win4", "f0", "f1", "f2", "mel_h", "mel_l")]
         kernel = _make_radix4_kernel(cfg, nc, S, n2, mp, block_frames, slab_mode)
-        # stage-2 MACs: N2*2N2 + 2N2*2N2 + 2N2*N2 = 8*N2^2, x6 fp32 passes
-        mac_per_frame = 8 * n2 * n2 * 6 + 5 * n2 * mp
+        # stage-2 MACs: N2*N2 + 2N2*2N2 + N2*N2 = 6*N2^2, x6 fp32 passes
+        mac_per_frame = 6 * n2 * n2 * 6 + 4 * n2 * mp
     elif dft_passes == "bf16x3":
         consts = [jnp.asarray(k["dft_h"]), jnp.asarray(k["dft_l"]),
                   jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]

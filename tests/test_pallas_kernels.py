@@ -109,11 +109,15 @@ def test_radix4_bin_permutation_covers_all_bins():
     k = radix4_constants(cfg)
     mel = k["mel"][:, : cfg.n_mels]
     fb = C.mel_filterbank(cfg)  # [n_bins, n_mels]
-    # column sums: each bin contributes its weights on exactly 2 lanes
-    # (re+im), so total mass is 2x the filterbank's
-    np.testing.assert_allclose(mel.sum(axis=0), 2 * fb.sum(axis=0), rtol=1e-6)
-    # energy column counts every bin twice (re+im)
-    assert k["mel"][:, cfg.n_mels].sum() == 2 * cfg.n_bins
+    lanes = np.asarray(k["lanes_per_bin"], np.float64)  # 2 (re+im) or 1 (real-only)
+    # every bin is covered: 2 lanes for complex bins, 1 for the exactly-real
+    # s=0 DC/Nyquist components (their imag lanes are trimmed from f0)
+    assert set(np.unique(lanes)) <= {1.0, 2.0} and (lanes >= 1).all()
+    np.testing.assert_allclose(
+        mel.sum(axis=0), (fb * lanes[:, None]).sum(axis=0), rtol=1e-6
+    )
+    # energy column counts every bin once per carrying lane
+    assert k["mel"][:, cfg.n_mels].sum() == lanes.sum()
 
 
 def test_dirty_tail_zeroed_without_preemph():
