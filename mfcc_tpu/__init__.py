@@ -68,4 +68,14 @@ def extract(source, config="classic13", backend=None):
 
 __all__ = [
     "FrontendConfig", "named_config", "NAMED_CONFIGS", "extract", "__version__",
+    "compat",  # tutorial-lineage API surface (mfcc/fbank/logfbank/ssc/...)
 ]
+
+
+def __getattr__(name):
+    # lazy: keep `import mfcc_tpu` free of the compat module unless used
+    if name == "compat":
+        import mfcc_tpu.compat as compat
+
+        return compat
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
