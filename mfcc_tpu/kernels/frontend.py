@@ -658,12 +658,26 @@ def _fused_logmel_energy(
     return out  # [B, fp, MP]; caller trims frames at the very end
 
 
+_BLOCK_CANDIDATES = (256, 512, 1024)
+
+
+def _auto_block_frames(num_frames: int) -> int:
+    """Frame-axis grid block: minimize block padding first (padded frames
+    are real MXU work), then prefer the larger block — fewer grid steps.
+    Post-twiddle-fold sweep on v5e at 999 frames (batch 64, classic13):
+    1024 → 0.839 ms/step, 512 → 0.877, 256 → 0.920."""
+    return min(
+        _BLOCK_CANDIDATES,
+        key=lambda b: (-(-num_frames // b) * b, -b),
+    )
+
+
 def fused_logmel_stages(
     audio: jnp.ndarray,
     lengths: jnp.ndarray,
     cfg: FrontendConfig,
     *,
-    block_frames: int = 512,  # sweep: 512 beats 256 by ~1.5% at batch 64/256
+    block_frames: int | None = None,  # None: auto via _auto_block_frames
     interpret: bool | None = None,
     dft_passes: str = "radix4",
     max_kernel_batch: int | None = 64,
@@ -692,6 +706,8 @@ def fused_logmel_stages(
     if dft_passes == "radix4" and not radix4_applicable(cfg):
         dft_passes = "fp32"  # generic fallback for exotic n_fft
     F = cfg.num_frames(audio.shape[-1])
+    if block_frames is None:
+        block_frames = _auto_block_frames(F)
     audio = audio.astype(jnp.float32)
     B = audio.shape[0]
     c = max_kernel_batch
