@@ -1,0 +1,311 @@
+"""Streaming (online/causal) feature extraction.
+
+The reference family is strictly offline — a per-utterance loop over whole
+wav files (SURVEY.md §1.1 L3). Serving front-ends additionally need the
+*online* form: audio arrives in arbitrary-sized chunks and features must be
+emitted incrementally with bounded latency. This module provides that as a
+thin state machine around the existing jnp stage functions, with **exact
+offline parity**: for any chunking of an utterance,
+
+    concat(push(c) for c in chunks) + flush()
+        == ops.chain.extract_batch(whole, backend="jnp")   (same fp32 ops)
+
+including the pad-tail frame semantics and the delta edge replication at
+the true start/end of the stream (tests/test_streaming.py).
+
+Design (TPU-shaped):
+  * All device work happens in TWO jitted functions with FIXED shapes —
+    a base-feature block (`frames_per_block` frames from a
+    `(span+1,)` sample window) and a delta/finalize block with
+    `lookahead = deltas * delta_window` context rows on each side — so a
+    long stream never recompiles, regardless of chunk sizes.
+  * Latency = algorithmic lookahead (`deltas * delta_window` frames, e.g.
+    4 frames = 40 ms for Δ+ΔΔ) + block granularity (`frames_per_block`
+    hops). Lower `frames_per_block` for latency, raise it for throughput.
+  * Per-utterance CMVN is a whole-utterance statistic and cannot be
+    streamed; cfg.cmvn="utterance" is rejected — use cmvn="global" with
+    precomputed corpus moments (`cmvn_moments=`), the production pattern.
+
+Delta edge exactness: interior blocks carry `lookahead` real context rows
+on both sides, so no edge replication ever reaches an emitted row; the
+first block starts exactly at frame 0 (start-edge replication is then the
+offline rule applied at the true start) and the flush block passes
+`n_valid` so the tail replication lands on the true final frame.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mfcc_tpu.config import FrontendConfig
+from mfcc_tpu.ops import chain
+
+__all__ = ["StreamingExtractor", "stream_features"]
+
+
+def _make_base_block(cfg: FrontendConfig, K: int):
+    """Jitted: (span+1,) raw samples + valid count -> [K, D_base] features.
+
+    Input row 0 is the pre-context sample (x[t0*S - 1]; zero at stream
+    start) so pre-emphasis crosses block boundaries exactly.
+    """
+    L, S = cfg.frame_length, cfg.frame_step
+    span = (K - 1) * S + L
+    idx = np.arange(L)[None, :] + S * np.arange(K)[:, None]  # [K, L]
+    k = chain.device_constants(cfg)
+    dtype = chain.compute_dtype(cfg)
+    window = k["window"]
+    dct, lift = k["dct"], k["lifter"]
+
+    @jax.jit
+    def block(xwin: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+        xwin = xwin.astype(dtype)
+        y = xwin[1:] - cfg.preemph * xwin[:-1] if cfg.preemph else xwin[1:]
+        # offline zero_beyond: y is zero at t >= utterance length
+        y = y * (jnp.arange(span) < valid).astype(dtype)
+        frames = y[jnp.asarray(idx)]  # [K, L]
+        windowed = frames * window
+        pspec = chain.power_spectrum(windowed, cfg)
+        eps = jnp.asarray(cfg.log_eps, dtype)
+        e_raw = pspec.sum(axis=-1)
+        energy = jnp.where(e_raw <= 0, eps, e_raw)
+        melspec = jnp.matmul(
+            pspec, k["mel"], preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        logmel = chain.apply_log(melspec, cfg)
+        if cfg.features == "logmel":
+            return logmel
+        ceps = jnp.matmul(
+            logmel, dct, preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * lift
+        if cfg.append_energy:
+            ceps = jnp.concatenate(
+                [jnp.log(energy)[:, None], ceps[:, 1:]], axis=-1
+            )
+        return ceps
+
+    return block, span
+
+
+def _make_finalize(cfg: FrontendConfig, rows: int):
+    """Jitted: [rows, D_base] window + n_valid -> [rows, feat_dim].
+
+    Applies the delta stack with the SAME shift/replication ops as the
+    offline chain (chain.delta); rows >= n_valid are tail-replicated, which
+    is a no-op unless the window really ends the stream.
+    """
+
+    @jax.jit
+    def fin(base: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
+        parts = [base]
+        if cfg.deltas >= 1:
+            d = chain.delta(base, n_valid, cfg)
+            parts.append(d)
+            if cfg.deltas >= 2:
+                parts.append(chain.delta(d, n_valid, cfg))
+        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else base
+
+    return fin
+
+
+class StreamingExtractor:
+    """Incremental single-stream extractor; see module docstring.
+
+    push(samples) -> [k, feat_dim] float32 of newly finalized frames
+    flush()       -> remaining frames; the stream is then closed
+    """
+
+    def __init__(
+        self,
+        cfg: FrontendConfig,
+        *,
+        frames_per_block: int = 128,
+        cmvn_moments: tuple[np.ndarray, np.ndarray, float] | None = None,
+    ):
+        if cfg.cmvn == "utterance":
+            raise ValueError(
+                "per-utterance CMVN needs the whole utterance and cannot "
+                "be streamed; use cmvn='global' with cmvn_moments, or the "
+                "offline extract()/extract_batch()"
+            )
+        if cfg.cmvn == "global" and cmvn_moments is None:
+            raise ValueError("cfg.cmvn='global' requires cmvn_moments=(s1, s2, n)")
+        if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
+            raise ValueError(
+                "streaming operates at cfg.sample_rate; resample chunks "
+                "upstream (ops.resample) for 48 kHz inputs"
+            )
+        self.cfg = cfg
+        self.K = int(frames_per_block)
+        if self.K < 1:
+            raise ValueError("frames_per_block must be >= 1")
+        self._base_block, self.span = _make_base_block(cfg, self.K)
+        self.lookahead = cfg.deltas * cfg.delta_window  # finalize context rows
+        c = self.lookahead
+        self._fin_first = _make_finalize(cfg, self.K + c)  # starts at frame 0
+        self._fin_inner = _make_finalize(cfg, c + self.K + c)
+        self._moments = cmvn_moments
+        L, S = cfg.frame_length, cfg.frame_step
+        self._L, self._S = L, S
+
+        self._raw = np.zeros(0, dtype=np.float32)  # samples from t=_t0*S - 1
+        self._have_pre = False  # _raw[0] is the pre-context sample?
+        self._t0 = 0  # first frame not yet base-computed
+        self._n_samples = 0  # total samples pushed
+        self._base = np.zeros((0, self._base_dim()), dtype=np.float32)
+        self._base_at = 0  # frame index of _base[0]
+        self._emitted = 0  # frames finalized + returned
+        self._closed = False
+
+    # -- public ------------------------------------------------------------
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        """Feed a chunk of raw samples; returns newly finalized frames."""
+        if self._closed:
+            raise RuntimeError("stream already flushed")
+        samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+        self._raw = np.concatenate([self._raw, samples])
+        self._n_samples += samples.shape[0]
+        out = []
+        # base-compute every complete K-frame block available
+        while self._avail_samples() >= self.span:
+            self._run_base_block(valid=self.span)
+            out.append(self._drain_finalized(final=False))
+        return self._cat(out)
+
+    def flush(self) -> np.ndarray:
+        """Finish the stream: pad-tail frames + delta end edges; close."""
+        if self._closed:
+            raise RuntimeError("stream already flushed")
+        self._closed = True
+        if self._n_samples == 0:
+            return np.zeros((0, self.cfg.feat_dim), dtype=np.float32)
+        F = self.cfg.num_frames(self._n_samples)  # offline count (pad tail)
+        while self._t0 < F:  # remaining (partial) blocks, zero-padded
+            valid = max(0, min(self._avail_samples(), self.span))
+            self._run_base_block(valid=valid, pad=True)
+        # drop base rows beyond F (pad-block artifacts), then final drain
+        self._base = self._base[: max(0, F - self._base_at)]
+        return self._drain_finalized(final=True, total=F)
+
+    @property
+    def frames_emitted(self) -> int:
+        return self._emitted
+
+    @property
+    def samples_consumed(self) -> int:
+        return self._n_samples
+
+    # -- internals -----------------------------------------------------------
+
+    def _base_dim(self) -> int:
+        return self.cfg.n_ceps if self.cfg.features == "mfcc" else self.cfg.n_mels
+
+    def _avail_samples(self) -> int:
+        """Samples on hand counting from frame _t0's start."""
+        return self._raw.shape[0] - (1 if self._have_pre else 0)
+
+    def _run_base_block(self, valid: int, pad: bool = False) -> None:
+        """Base-compute frames [_t0, _t0+K) from the raw buffer."""
+        need = self.span + 1  # + pre-context row
+        win = np.zeros(need, dtype=np.float32)
+        src = self._raw if self._have_pre else np.concatenate(
+            [np.zeros(1, dtype=np.float32), self._raw]
+        )
+        n = min(src.shape[0], need)
+        win[:n] = src[:n]
+        if not pad and n < need:
+            raise AssertionError("block underflow")  # guarded by caller
+        base = np.asarray(self._base_block(jnp.asarray(win), jnp.int32(valid)))
+        self._base = np.concatenate([self._base, base], axis=0)
+        # advance: keep raw from sample (t0+K)*S - 1 onward
+        adv = self.K * self._S
+        drop = adv if self._have_pre else adv - 1
+        self._raw = self._raw[drop:]
+        self._have_pre = True
+        self._t0 += self.K
+
+    def _drain_finalized(self, final: bool, total: int | None = None) -> np.ndarray:
+        """Finalize frames whose lookahead is satisfied; emit and trim."""
+        c = self.lookahead
+        n_base = self._base_at + self._base.shape[0]  # frames base-computed
+        if final:
+            last = total if total is not None else n_base
+            ready = last  # everything remaining
+        else:
+            ready = n_base - c  # frames with full lookahead
+        start = self._emitted
+        if ready <= start:
+            return np.zeros((0, self.cfg.feat_dim), dtype=np.float32)
+
+        if c == 0:
+            rows = self._base[start - self._base_at : ready - self._base_at]
+            feat = rows  # no deltas; base == features
+            if self.cfg.deltas:
+                raise AssertionError("lookahead 0 with deltas set")
+        else:
+            # window: [left ctx | rows to emit | right ctx/tail]
+            w0 = max(0, start - c)
+            win = self._base[w0 - self._base_at :]
+            n_rows = win.shape[0]
+            if start == 0 and not final:
+                fn, width = self._fin_first, self.K + c
+            elif final:
+                fn, width = self._fin_inner, 2 * c + self.K
+                # flush may have fewer rows than width: zero-pad, n_valid trims
+            else:
+                fn, width = self._fin_inner, 2 * c + self.K
+            if n_rows < width:
+                win = np.concatenate(
+                    [win, np.zeros((width - n_rows, win.shape[1]), np.float32)]
+                )
+            elif n_rows > width:
+                raise AssertionError("finalize window overflow")
+            n_valid = n_rows if final else width
+            out = np.asarray(fn(jnp.asarray(win), jnp.int32(n_valid)))
+            feat = out[start - w0 : start - w0 + (ready - start)]
+
+        feat = self._post(feat)
+        self._emitted = ready
+        # trim base history: keep from (ready - c) for the next window's ctx
+        keep_from = max(0, ready - c)
+        if keep_from > self._base_at:
+            self._base = self._base[keep_from - self._base_at :]
+            self._base_at = keep_from
+        return feat
+
+    def _post(self, feat: np.ndarray) -> np.ndarray:
+        if self.cfg.cmvn == "global":
+            s1, s2, n = self._moments
+            mu = (s1 / n).astype(np.float32)
+            feat = feat - mu
+            if self.cfg.cmvn_var_norm:
+                var = (s2 / n - (s1 / n) ** 2).astype(np.float32)
+                feat = feat / np.sqrt(var + np.float32(self.cfg.cmvn_eps))
+        return feat
+
+    def _cat(self, parts: list[np.ndarray]) -> np.ndarray:
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return np.zeros((0, self.cfg.feat_dim), dtype=np.float32)
+        return np.concatenate(parts, axis=0)
+
+
+def stream_features(chunks, cfg: FrontendConfig, **kw):
+    """Generator convenience: yields [k, feat_dim] arrays per input chunk,
+    then the flush remainder. `chunks` is any iterable of sample arrays."""
+    ex = StreamingExtractor(cfg, **kw)
+    for chunk in chunks:
+        out = ex.push(chunk)
+        if out.size:
+            yield out
+    tail = ex.flush()
+    if tail.size:
+        yield tail
