@@ -10,6 +10,7 @@ from mfcc_tpu.pipeline.longform import (  # noqa: F401
     long_moments,
     segment_plan,
 )
+from mfcc_tpu.pipeline.serving import MultiStreamExtractor  # noqa: F401
 from mfcc_tpu.pipeline.streaming import (  # noqa: F401
     StreamingExtractor,
     stream_features,

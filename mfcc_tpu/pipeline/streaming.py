@@ -49,7 +49,9 @@ __all__ = ["StreamingExtractor", "stream_features"]
 
 
 def _make_base_block(cfg: FrontendConfig, K: int):
-    """Jitted: (span+1,) raw samples + valid count -> [K, D_base] features.
+    """(span+1,) raw samples + valid count -> [K, D_base] features (unjitted;
+    the single-stream extractor jits it directly, the multi-stream serving
+    pool jits its vmap).
 
     Input row 0 is the pre-context sample (x[t0*S - 1]; zero at stream
     start) so pre-emphasis crosses block boundaries exactly.
@@ -62,7 +64,6 @@ def _make_base_block(cfg: FrontendConfig, K: int):
     window = k["window"]
     dct, lift = k["dct"], k["lifter"]
 
-    @jax.jit
     def block(xwin: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         xwin = xwin.astype(dtype)
         y = xwin[1:] - cfg.preemph * xwin[:-1] if cfg.preemph else xwin[1:]
@@ -95,14 +96,13 @@ def _make_base_block(cfg: FrontendConfig, K: int):
 
 
 def _make_finalize(cfg: FrontendConfig, rows: int):
-    """Jitted: [rows, D_base] window + n_valid -> [rows, feat_dim].
+    """[rows, D_base] window + n_valid -> [rows, feat_dim] (unjitted).
 
     Applies the delta stack with the SAME shift/replication ops as the
     offline chain (chain.delta); rows >= n_valid are tail-replicated, which
     is a no-op unless the window really ends the stream.
     """
 
-    @jax.jit
     def fin(base: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
         parts = [base]
         if cfg.deltas >= 1:
@@ -146,11 +146,15 @@ class StreamingExtractor:
         self.K = int(frames_per_block)
         if self.K < 1:
             raise ValueError("frames_per_block must be >= 1")
-        self._base_block, self.span = _make_base_block(cfg, self.K)
+        blk, self.span = _make_base_block(cfg, self.K)
+        self._base_block = jax.jit(blk)
         self.lookahead = cfg.deltas * cfg.delta_window  # finalize context rows
         c = self.lookahead
-        self._fin_first = _make_finalize(cfg, self.K + c)  # starts at frame 0
-        self._fin_inner = _make_finalize(cfg, c + self.K + c)
+        self._fin = {
+            # "first" starts at frame 0 (no left context rows exist yet)
+            "first": jax.jit(_make_finalize(cfg, self.K + c)),
+            "inner": jax.jit(_make_finalize(cfg, c + self.K + c)),
+        }
         self._moments = cmvn_moments
         L, S = cfg.frame_length, cfg.frame_step
         self._L, self._S = L, S
@@ -176,8 +180,14 @@ class StreamingExtractor:
         out = []
         # base-compute every complete K-frame block available
         while self._avail_samples() >= self.span:
-            self._run_base_block(valid=self.span)
-            out.append(self._drain_finalized(final=False))
+            win = self._prepare_base()
+            base = np.asarray(
+                self._base_block(jnp.asarray(win), jnp.int32(self.span))
+            )
+            self._commit_base(base)
+            plan = self._drain_plan(final=False)
+            if plan is not None:
+                out.append(self._drain_commit(plan, self._run_fin(plan)))
         return self._cat(out)
 
     def flush(self) -> np.ndarray:
@@ -190,10 +200,17 @@ class StreamingExtractor:
         F = self.cfg.num_frames(self._n_samples)  # offline count (pad tail)
         while self._t0 < F:  # remaining (partial) blocks, zero-padded
             valid = max(0, min(self._avail_samples(), self.span))
-            self._run_base_block(valid=valid, pad=True)
+            win = self._prepare_base(pad=True)
+            base = np.asarray(
+                self._base_block(jnp.asarray(win), jnp.int32(valid))
+            )
+            self._commit_base(base)
         # drop base rows beyond F (pad-block artifacts), then final drain
         self._base = self._base[: max(0, F - self._base_at)]
-        return self._drain_finalized(final=True, total=F)
+        plan = self._drain_plan(final=True, total=F)
+        if plan is None:
+            return np.zeros((0, self.cfg.feat_dim), dtype=np.float32)
+        return self._drain_commit(plan, self._run_fin(plan))
 
     @property
     def frames_emitted(self) -> int:
@@ -212,8 +229,10 @@ class StreamingExtractor:
         """Samples on hand counting from frame _t0's start."""
         return self._raw.shape[0] - (1 if self._have_pre else 0)
 
-    def _run_base_block(self, valid: int, pad: bool = False) -> None:
-        """Base-compute frames [_t0, _t0+K) from the raw buffer."""
+    def _prepare_base(self, pad: bool = False) -> np.ndarray:
+        """Host-only: assemble the (span+1,) sample window for frames
+        [_t0, _t0+K); row 0 is the pre-context sample, data past the buffer
+        is zero (only legal for pad/flush blocks)."""
         need = self.span + 1  # + pre-context row
         win = np.zeros(need, dtype=np.float32)
         src = self._raw if self._have_pre else np.concatenate(
@@ -223,7 +242,10 @@ class StreamingExtractor:
         win[:n] = src[:n]
         if not pad and n < need:
             raise AssertionError("block underflow")  # guarded by caller
-        base = np.asarray(self._base_block(jnp.asarray(win), jnp.int32(valid)))
+        return win
+
+    def _commit_base(self, base: np.ndarray) -> None:
+        """Record the device result for the last prepared block; advance."""
         self._base = np.concatenate([self._base, base], axis=0)
         # advance: keep raw from sample (t0+K)*S - 1 onward
         adv = self.K * self._S
@@ -232,50 +254,63 @@ class StreamingExtractor:
         self._have_pre = True
         self._t0 += self.K
 
-    def _drain_finalized(self, final: bool, total: int | None = None) -> np.ndarray:
-        """Finalize frames whose lookahead is satisfied; emit and trim."""
+    def _drain_plan(self, final: bool, total: int | None = None) -> dict | None:
+        """Host-only: which frames can finalize now, and the device request.
+
+        None = nothing new emittable (caller must not change state). Else a
+        dict for `_run_fin` + `_drain_commit`; kind None is the deltaless
+        path (no device work)."""
         c = self.lookahead
         n_base = self._base_at + self._base.shape[0]  # frames base-computed
         if final:
-            last = total if total is not None else n_base
-            ready = last  # everything remaining
+            ready = total if total is not None else n_base  # everything
         else:
             ready = n_base - c  # frames with full lookahead
         start = self._emitted
         if ready <= start:
-            return np.zeros((0, self.cfg.feat_dim), dtype=np.float32)
+            return None
 
         if c == 0:
-            rows = self._base[start - self._base_at : ready - self._base_at]
-            feat = rows  # no deltas; base == features
             if self.cfg.deltas:
                 raise AssertionError("lookahead 0 with deltas set")
-        else:
-            # window: [left ctx | rows to emit | right ctx/tail]
-            w0 = max(0, start - c)
-            win = self._base[w0 - self._base_at :]
-            n_rows = win.shape[0]
-            if start == 0 and not final:
-                fn, width = self._fin_first, self.K + c
-            elif final:
-                fn, width = self._fin_inner, 2 * c + self.K
-                # flush may have fewer rows than width: zero-pad, n_valid trims
-            else:
-                fn, width = self._fin_inner, 2 * c + self.K
-            if n_rows < width:
-                win = np.concatenate(
-                    [win, np.zeros((width - n_rows, win.shape[1]), np.float32)]
-                )
-            elif n_rows > width:
-                raise AssertionError("finalize window overflow")
-            n_valid = n_rows if final else width
-            out = np.asarray(fn(jnp.asarray(win), jnp.int32(n_valid)))
-            feat = out[start - w0 : start - w0 + (ready - start)]
+            return {"kind": None, "start": start, "ready": ready, "w0": start}
 
+        # window: [left ctx | rows to emit | right ctx/tail]
+        w0 = max(0, start - c)
+        win = self._base[w0 - self._base_at :]
+        n_rows = win.shape[0]
+        if start == 0 and not final:
+            kind, width = "first", self.K + c
+        else:
+            # flush may have fewer rows than width: zero-pad, n_valid trims
+            kind, width = "inner", 2 * c + self.K
+        if n_rows < width:
+            win = np.concatenate(
+                [win, np.zeros((width - n_rows, win.shape[1]), np.float32)]
+            )
+        elif n_rows > width:
+            raise AssertionError("finalize window overflow")
+        n_valid = n_rows if final else width
+        return {"kind": kind, "win": win, "n_valid": n_valid,
+                "start": start, "ready": ready, "w0": w0}
+
+    def _run_fin(self, plan: dict) -> np.ndarray | None:
+        if plan["kind"] is None:
+            return None
+        fn = self._fin[plan["kind"]]
+        return np.asarray(fn(jnp.asarray(plan["win"]), jnp.int32(plan["n_valid"])))
+
+    def _drain_commit(self, plan: dict, out: np.ndarray | None) -> np.ndarray:
+        """Emit rows [start, ready) from the finalize output; trim history."""
+        start, ready, w0 = plan["start"], plan["ready"], plan["w0"]
+        if plan["kind"] is None:
+            feat = self._base[start - self._base_at : ready - self._base_at]
+        else:
+            feat = out[start - w0 : start - w0 + (ready - start)]
         feat = self._post(feat)
         self._emitted = ready
         # trim base history: keep from (ready - c) for the next window's ctx
-        keep_from = max(0, ready - c)
+        keep_from = max(0, ready - self.lookahead)
         if keep_from > self._base_at:
             self._base = self._base[keep_from - self._base_at :]
             self._base_at = keep_from
