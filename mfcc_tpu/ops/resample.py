@@ -129,3 +129,110 @@ def resample_numpy(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 
     g = math.gcd(sr_in, sr_out)
     return scipy.signal.resample_poly(x, sr_out // g, sr_in // g)
+
+
+class StreamingResampler:
+    """Streaming twin of `resample_batch`/scipy `resample_poly`
+    (padtype='constant'): push arbitrary-sized chunks at sr_in, get back
+    resampled samples at sr_out, with
+
+        concat(push(c) for c in chunks) + flush() == resample_numpy(x)
+
+    for any chunking (the zero edges at stream start/end are exactly
+    scipy's constant padding, so parity is sample-exact in float64).
+
+    Fixed block structure: J output samples per block with J % up == 0, so
+    every block reads a window of the same width W at the same polyphase
+    alignment and the block apply is one precomputed float64 [J, W]
+    banded-matrix product on host (the sample-domain work is ~1 MFLOP per
+    second of audio — host arithmetic keeps push() free of device
+    dispatches, which the serving pool batches separately). Algorithmic
+    latency is the filter look-ahead: ~(half_len + n_pre_pad)/sr_in seconds
+    (0.7 ms for 48 kHz→16 kHz).
+    """
+
+    def __init__(self, sr_in: int, sr_out: int, block_out: int = 512,
+                 dtype=np.float32):
+        if sr_in == sr_out:
+            raise ValueError("sr_in == sr_out; nothing to resample")
+        d = _design(sr_out, sr_in)
+        self.up, self.down = d["up"], d["down"]
+        npr = d["n_pre_remove"]
+        h = d["taps"]
+        lh = h.shape[0]
+        self.J = J = -(-int(block_out) // self.up) * self.up
+        # output j is upfirdn index (j + npr): it reads zero-stuffed input
+        # at m = (j+npr)*down - k for k in [0, lh), i.e. x[m/up] where
+        # up | m. Window origin = lowest x index output 0 can touch (may be
+        # negative at stream start -> zero-filled).
+        self.origin = math.ceil((npr * self.down - (lh - 1)) / self.up)
+        hi = ((J - 1 + npr) * self.down) // self.up
+        self.W = W = hi - self.origin + 1
+        M = np.zeros((J, W), dtype=np.float64)
+        for j in range(J):
+            mh = (j + npr) * self.down
+            k0 = mh % self.up  # smallest k with up | (mh - k)
+            for k in range(k0, min(lh, mh - self.origin * self.up + 1), self.up):
+                M[j, (mh - k) // self.up - self.origin] += h[k]
+        self.M = M
+        self.step = J * self.down // self.up  # input samples per block
+        self.dtype = dtype
+        self._buf = np.zeros(0, dtype=np.float64)
+        self._pos = 0  # absolute input index of _buf[0]
+        self._n_in = 0
+        self._emitted = 0
+        self._closed = False
+
+    def push(self, x: np.ndarray) -> np.ndarray:
+        """Feed input samples; returns every output sample whose full filter
+        window is now available."""
+        if self._closed:
+            raise RuntimeError("resampler already flushed")
+        x = np.asarray(x, dtype=np.float64).reshape(-1)
+        self._buf = np.concatenate([self._buf, x])
+        self._n_in += x.shape[0]
+        out = []
+        while True:
+            b = self._emitted // self.J
+            if self.origin + b * self.step + self.W > self._n_in:
+                break  # block b still needs future input
+            out.append(self._run_block(b))
+        if not out:
+            return np.zeros(0, dtype=self.dtype)
+        return np.concatenate(out).astype(self.dtype)
+
+    def flush(self) -> np.ndarray:
+        """Emit the remaining ceil(n_in*up/down) - emitted samples (their
+        windows zero-fill past the end, = scipy's constant padding); close."""
+        if self._closed:
+            raise RuntimeError("resampler already flushed")
+        self._closed = True
+        nu = self._n_in * self.up
+        n_out = nu // self.down + bool(nu % self.down)
+        out = []
+        before = self._emitted
+        while self._emitted < n_out:
+            out.append(self._run_block(self._emitted // self.J))
+        if not out:
+            return np.zeros(0, dtype=self.dtype)
+        return np.concatenate(out)[: n_out - before].astype(self.dtype)
+
+    @property
+    def samples_out(self) -> int:
+        return self._emitted
+
+    def _run_block(self, b: int) -> np.ndarray:
+        start = self.origin + b * self.step
+        w = np.zeros(self.W, dtype=np.float64)
+        lo = max(start, self._pos)
+        hi = min(start + self.W, self._pos + self._buf.shape[0])
+        if hi > lo:
+            w[lo - start : hi - start] = self._buf[lo - self._pos : hi - self._pos]
+        y = self.M @ w
+        self._emitted += self.J
+        keep_from = self.origin + (b + 1) * self.step
+        if keep_from > self._pos:
+            drop = min(keep_from - self._pos, self._buf.shape[0])
+            self._buf = self._buf[drop:]
+            self._pos += drop
+        return y

@@ -129,10 +129,7 @@ class MultiStreamExtractor:
         slot = self._slot(sid)
         if slot.ended:
             raise RuntimeError(f"stream {sid} already ended")
-        samples = np.asarray(samples, dtype=np.float32).reshape(-1)
-        ex = slot.ex
-        ex._raw = np.concatenate([ex._raw, samples])
-        ex._n_samples += samples.shape[0]
+        slot.ex._ingest(samples)
 
     def end(self, sid: int) -> None:
         """Mark stream sid complete; its pad-tail + delta end edges are
@@ -141,6 +138,7 @@ class MultiStreamExtractor:
         if slot.ended:
             raise RuntimeError(f"stream {sid} already ended")
         slot.ended = True
+        slot.ex._ingest_tail()  # drain the resampler look-ahead, if any
         n = slot.ex._n_samples
         slot.total_frames = self.cfg.num_frames(n) if n > 0 else 0
 

@@ -138,10 +138,16 @@ class StreamingExtractor:
         if cfg.cmvn == "global" and cmvn_moments is None:
             raise ValueError("cfg.cmvn='global' requires cmvn_moments=(s1, s2, n)")
         if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
-            raise ValueError(
-                "streaming operates at cfg.sample_rate; resample chunks "
-                "upstream (ops.resample) for 48 kHz inputs"
+            # 48 kHz-input configs: an exact streaming polyphase stage feeds
+            # the feature stream at cfg.sample_rate (host float64 math,
+            # sample-exact vs the offline resampler's scipy semantics)
+            from mfcc_tpu.ops.resample import StreamingResampler
+
+            self._resampler = StreamingResampler(
+                cfg.input_sample_rate, cfg.sample_rate
             )
+        else:
+            self._resampler = None
         self.cfg = cfg
         self.K = int(frames_per_block)
         if self.K < 1:
@@ -171,12 +177,11 @@ class StreamingExtractor:
     # -- public ------------------------------------------------------------
 
     def push(self, samples: np.ndarray) -> np.ndarray:
-        """Feed a chunk of raw samples; returns newly finalized frames."""
+        """Feed a chunk of raw samples (at cfg.input_sample_rate); returns
+        newly finalized frames."""
         if self._closed:
             raise RuntimeError("stream already flushed")
-        samples = np.asarray(samples, dtype=np.float32).reshape(-1)
-        self._raw = np.concatenate([self._raw, samples])
-        self._n_samples += samples.shape[0]
+        self._ingest(samples)
         out = []
         # base-compute every complete K-frame block available
         while self._avail_samples() >= self.span:
@@ -194,6 +199,7 @@ class StreamingExtractor:
         """Finish the stream: pad-tail frames + delta end edges; close."""
         if self._closed:
             raise RuntimeError("stream already flushed")
+        self._ingest_tail()
         self._closed = True
         if self._n_samples == 0:
             return np.zeros((0, self.cfg.feat_dim), dtype=np.float32)
@@ -228,6 +234,22 @@ class StreamingExtractor:
     def _avail_samples(self) -> int:
         """Samples on hand counting from frame _t0's start."""
         return self._raw.shape[0] - (1 if self._have_pre else 0)
+
+    def _ingest(self, samples: np.ndarray) -> None:
+        """Buffer a chunk (resampling to cfg.sample_rate when configured);
+        _n_samples counts feature-rate samples."""
+        samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+        if self._resampler is not None:
+            samples = self._resampler.push(samples)
+        self._raw = np.concatenate([self._raw, samples])
+        self._n_samples += samples.shape[0]
+
+    def _ingest_tail(self) -> None:
+        """Drain the resampler's look-ahead tail at end of stream."""
+        if self._resampler is not None:
+            tail = self._resampler.flush()
+            self._raw = np.concatenate([self._raw, tail])
+            self._n_samples += tail.shape[0]
 
     def _prepare_base(self, pad: bool = False) -> np.ndarray:
         """Host-only: assemble the (span+1,) sample window for frames

@@ -105,3 +105,42 @@ def test_mfcc39_48k_batched():
             feat[i, :fv], g["features"], atol=FEATURE_ATOL_FP32, rtol=FEATURE_RTOL
         )
         assert int(np.asarray(mask)[i].sum()) == fv
+
+
+# -- StreamingResampler ------------------------------------------------------
+
+def test_streaming_resampler_sample_exact():
+    from mfcc_tpu.ops.resample import StreamingResampler, resample_numpy
+
+    g = np.random.default_rng(0)
+    r = np.random.default_rng(1)
+    for sr_in, sr_out in [(48000, 16000), (44100, 16000), (8000, 16000)]:
+        for n in [1, 37, 48001]:
+            x = g.standard_normal(n)
+            want = resample_numpy(x, sr_in, sr_out)
+            for one_push in (True, False):
+                rs = StreamingResampler(sr_in, sr_out, dtype=np.float64)
+                parts = []
+                if one_push:
+                    parts.append(rs.push(x))
+                else:
+                    pos = 0
+                    while pos < n:
+                        c = int(min(n - pos, r.integers(1, 3000)))
+                        parts.append(rs.push(x[pos : pos + c]))
+                        pos += c
+                parts.append(rs.flush())
+                got = np.concatenate(parts)
+                assert got.shape == want.shape
+                np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_streaming_resampler_lifecycle():
+    from mfcc_tpu.ops.resample import StreamingResampler
+
+    rs = StreamingResampler(48000, 16000)
+    assert rs.flush().shape == (0,)
+    with pytest.raises(RuntimeError):
+        rs.push(np.zeros(10))
+    with pytest.raises(ValueError):
+        StreamingResampler(16000, 16000)

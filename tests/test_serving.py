@@ -133,6 +133,30 @@ def test_poll_without_data_is_empty():
     assert pool.poll() == {}
 
 
+def test_pool_resampled_config():
+    # 48 kHz sessions resample per-slot on host; parity vs the offline chain
+    cfg = named_config("mfcc39_48k")
+    if cfg.cmvn != "off":
+        cfg = cfg.replace(cmvn="off")
+    x = RNG.standard_normal(48000 + 443).astype(np.float32)
+    pool = MultiStreamExtractor(cfg, n_streams=2, frames_per_block=16)
+    sid = pool.open()
+    pool.push(sid, x[:10000])
+    pool.push(sid, x[10000:])
+    pool.end(sid)
+    parts = []
+    while not pool.done(sid):
+        out = pool.poll()
+        if sid in out:
+            parts.append(out[sid])
+    got = np.concatenate(parts, axis=0)
+    want = offline(x, cfg)
+    assert got.shape == want.shape
+    from tests.test_streaming import ATOL_48K  # fp64-vs-fp32 resampler gate
+
+    np.testing.assert_allclose(got, want, rtol=0, atol=ATOL_48K)
+
+
 def test_global_cmvn_moments():
     cfg = named_config("classic13_deltas_gcmvn")
     x = RNG.standard_normal(16000).astype(np.float32)
