@@ -28,17 +28,24 @@ def input_fingerprint(ids: list) -> str:
 
 
 class ShardWriter:
-    def __init__(self, out_dir, cfg: FrontendConfig, compress: str = "none"):
+    def __init__(self, out_dir, cfg: FrontendConfig, compress: str = "none",
+                 fmt: str = "npz"):
         """compress: "none" (default — fp32 features deflate poorly, ~1.1×,
-        and zlib caps the writer at ~tens of MB/s/core) or "zlib"."""
+        and zlib caps the writer at ~tens of MB/s/core) or "zlib".
+        fmt: "npz" (one ragged shard file per batch, the native layout) or
+        "htk" (one big-endian HTK parameter file per utterance — toolchain
+        interop, `io/htk.py`); markers/resume work identically for both."""
         if compress not in ("none", "zlib"):
             raise ValueError(f"compress={compress!r} not in ('none', 'zlib')")
+        if fmt not in ("npz", "htk"):
+            raise ValueError(f"fmt={fmt!r} not in ('npz', 'htk')")
         self.out_dir = pathlib.Path(out_dir)
         self.done_dir = self.out_dir / "done"
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.done_dir.mkdir(parents=True, exist_ok=True)
         self.cfg = cfg
         self.compress = compress
+        self.fmt = fmt
 
     def _marker(self, shard_name: str) -> pathlib.Path:
         return self.done_dir / f"{shard_name}.json"
@@ -52,11 +59,15 @@ class ShardWriter:
             meta = json.loads(marker.read_text())
         except (OSError, json.JSONDecodeError):
             return False
-        return (
-            meta.get("config_hash") == self.cfg.config_hash()
-            and meta.get("input_fingerprint") == input_fingerprint(ids)
-            and (self.out_dir / f"{shard_name}.npz").exists()
-        )
+        if (
+            meta.get("config_hash") != self.cfg.config_hash()
+            or meta.get("input_fingerprint") != input_fingerprint(ids)
+            or meta.get("format", "npz") != self.fmt
+        ):
+            return False
+        if self.fmt == "htk":
+            return all((self.out_dir / f).exists() for f in meta.get("files", []))
+        return (self.out_dir / f"{shard_name}.npz").exists()
 
     def marker_meta(self, shard_name: str) -> dict | None:
         """Parsed done-marker of a shard, or None."""
@@ -76,34 +87,56 @@ class ShardWriter:
         if len(ids) != len(features):
             raise ValueError("ids/features length mismatch")
         lengths = np.array([f.shape[0] for f in features], dtype=np.int64)
-        offsets = np.concatenate([[0], np.cumsum(lengths)])
-        flat = (
-            np.concatenate(features, axis=0)
-            if features
-            else np.zeros((0, self.cfg.feat_dim), dtype=np.float32)
-        )
-        path = self.out_dir / f"{shard_name}.npz"
-        # np.savez appends ".npz" unless the name already ends with it
-        tmp = self.out_dir / f"{shard_name}.tmp.npz"
-        save = np.savez_compressed if self.compress == "zlib" else np.savez
-        save(
-            tmp,
-            features=flat.astype(np.float32),
-            offsets=offsets,
-            ids=np.array([str(i) for i in ids]),
-        )
-        tmp.rename(path)  # atomic: readers never see partial shards
         meta = {
             "config_hash": self.cfg.config_hash(),
             "input_fingerprint": input_fingerprint(ids),
+            "format": self.fmt,
             "num_utterances": len(ids),
             "num_frames": int(lengths.sum()),
             "written_at": time.time(),
         }
+        if self.fmt == "htk":
+            path = self.out_dir
+            meta["files"] = self._write_htk_files(ids, features)
+        else:
+            offsets = np.concatenate([[0], np.cumsum(lengths)])
+            flat = (
+                np.concatenate(features, axis=0)
+                if features
+                else np.zeros((0, self.cfg.feat_dim), dtype=np.float32)
+            )
+            path = self.out_dir / f"{shard_name}.npz"
+            # np.savez appends ".npz" unless the name already ends with it
+            tmp = self.out_dir / f"{shard_name}.tmp.npz"
+            save = np.savez_compressed if self.compress == "zlib" else np.savez
+            save(
+                tmp,
+                features=flat.astype(np.float32),
+                offsets=offsets,
+                ids=np.array([str(i) for i in ids]),
+            )
+            tmp.rename(path)  # atomic: readers never see partial shards
         if extra_meta:
             meta["extra"] = extra_meta
         self._marker(shard_name).write_text(json.dumps(meta))
         return path
+
+    def _write_htk_files(self, ids: list, features: list[np.ndarray]) -> list[str]:
+        """One <stem>-<idhash>.htk per utterance; the hash suffix keeps
+        same-named wavs from different directories from colliding."""
+        from mfcc_tpu.io.htk import write_htk
+
+        names = []
+        for i, feat in zip(ids, features):
+            sid = str(i)
+            stem = pathlib.Path(sid).stem or "utt"
+            suffix = hashlib.sha256(sid.encode()).hexdigest()[:8]
+            name = f"{stem}-{suffix}.htk"
+            tmp = self.out_dir / f"{name}.tmp"
+            write_htk(tmp, feat, self.cfg)
+            tmp.rename(self.out_dir / name)
+            names.append(name)
+        return names
 
 
 def read_shard(path) -> dict:
