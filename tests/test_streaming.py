@@ -179,13 +179,34 @@ def test_stream_features_generator():
     np.testing.assert_allclose(got, offline(x, cfg), rtol=0, atol=ATOL)
 
 
-def test_custom_convention_knobs():
-    # streaming honors the convention matrix like the offline chain
-    cfg = FrontendConfig(window="hann_periodic", mel_variant="tf_continuous",
-                         log_kind="ln_stab", dct_norm="htk",
-                         append_energy=False, lifter=0, deltas=1)
+@pytest.mark.parametrize(
+    "knobs",
+    [
+        dict(window="hann_periodic", mel_variant="tf_continuous",
+             log_kind="ln_stab", dct_norm="htk", append_energy=False,
+             lifter=0, deltas=1),
+        dict(window="hamming_periodic"),
+        dict(window="hann_sym", dct_norm="htk"),
+        dict(log_kind="db", append_energy=False),
+        dict(frame_tail="drop"),
+        dict(power_scale_nfft=False, lifter=0),
+        dict(preemph=0.0),
+        dict(features="logmel", n_mels=40, deltas=0),
+    ],
+)
+def test_convention_matrix_streams(knobs):
+    # streaming honors every Appendix-C convention knob like the offline
+    # chain (pad/drop tail, window/mel/log/DCT variants, energy, lifter)
+    cfg = FrontendConfig(deltas=2, **{k: v for k, v in knobs.items()
+                                      if k != "deltas"} )
+    if "deltas" in knobs:
+        cfg = cfg.replace(deltas=knobs["deltas"])
     n = 9000
-    x = RNG.standard_normal(n).astype(np.float32)
+    x = np.random.default_rng(77).standard_normal(n).astype(np.float32)
     got = run_stream(x, cfg, [1024] * (n // 1024) + [n % 1024],
                      frames_per_block=16)
-    np.testing.assert_allclose(got, offline(x, cfg), rtol=0, atol=ATOL)
+    want = offline(x, cfg)
+    assert got.shape == want.shape
+    # db log is ln * 10/ln(10): same relative accuracy, ~4.34x the scale
+    atol = ATOL * (10 / np.log(10) if knobs.get("log_kind") == "db" else 1.0)
+    np.testing.assert_allclose(got, want, rtol=0, atol=atol)
