@@ -11,10 +11,14 @@ Format (HTK Book §5.10): a 12-byte big-endian header
 followed by nSamples * sampSize bytes of big-endian float32.
 
 parmKind mapping from FrontendConfig: MFCC (6) / FBANK (7) base, _E when
-energy is carried (note: the psf lineage REPLACES c0 with ln-energy rather
-than appending a column — the kind code is nominal metadata, the layout is
-exactly the extractor's feat_dim columns), _D/_A for the delta stack, _Z
-when CMVN is applied.
+energy is carried, _D/_A for the delta stack, _Z when CMVN is applied.
+
+Layout: HTK's _E convention puts energy LAST in each static/Δ/ΔΔ block;
+the psf-lineage extractor carries ln-energy in column 0 of each block
+(c0 replaced). `write_htk` therefore rolls column 0 of every block to the
+block's end so the bytes follow the advertised parmKind exactly —
+[c1..c12, E, Δc1..Δc12, ΔE, ...] — and HTK-family consumers decode the
+columns correctly. `read_htk` returns the file's (HTK) layout.
 """
 
 from __future__ import annotations
@@ -25,7 +29,8 @@ import numpy as np
 
 from mfcc_tpu.config import FrontendConfig
 
-__all__ = ["parm_kind", "write_htk", "read_htk", "KIND_NAMES"]
+__all__ = ["parm_kind", "write_htk", "read_htk", "energy_last_permutation",
+           "KIND_NAMES"]
 
 _BASE_MFCC = 6
 _BASE_FBANK = 7
@@ -60,11 +65,29 @@ def kind_string(kind: int) -> str:
     return s
 
 
+def energy_last_permutation(cfg: FrontendConfig) -> np.ndarray | None:
+    """Column permutation mapping the extractor layout (energy first per
+    block) to HTK's _E layout (energy last per block), or None if the
+    config carries no energy column."""
+    if cfg.features != "mfcc" or not cfg.append_energy:
+        return None
+    d = cfg.n_ceps
+    blocks = [
+        np.concatenate([np.arange(b * d + 1, (b + 1) * d), [b * d]])
+        for b in range(1 + cfg.deltas)
+    ]
+    return np.concatenate(blocks)
+
+
 def write_htk(path, feat: np.ndarray, cfg: FrontendConfig) -> None:
-    """Write one utterance's [F, D] features as an HTK parameter file."""
+    """Write one utterance's [F, D] extractor-layout features as an HTK
+    parameter file (energy columns rolled to block ends, see module doc)."""
     feat = np.ascontiguousarray(np.asarray(feat, dtype=np.float32))
     if feat.ndim != 2:
         raise ValueError(f"expected [F, D] features, got shape {feat.shape}")
+    perm = energy_last_permutation(cfg)
+    if perm is not None and feat.shape[1] == perm.shape[0]:
+        feat = feat[:, perm]
     sample_period = round(cfg.frame_step / cfg.sample_rate * 1e7)  # 100 ns
     header = struct.pack(
         ">iihh", feat.shape[0], sample_period, 4 * feat.shape[1], parm_kind(cfg)
@@ -81,6 +104,8 @@ def read_htk(path) -> tuple[np.ndarray, dict]:
     if len(raw) < 12:
         raise ValueError(f"{path}: truncated HTK header ({len(raw)} bytes)")
     n, period, samp_size, kind = struct.unpack(">iihh", raw[:12])
+    if n < 0:
+        raise ValueError(f"{path}: bad nSamples {n}")
     if samp_size <= 0 or samp_size % 4:
         raise ValueError(f"{path}: bad sampSize {samp_size} (not float32 rows)")
     dim = samp_size // 4

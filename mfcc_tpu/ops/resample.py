@@ -131,6 +131,35 @@ def resample_numpy(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     return scipy.signal.resample_poly(x, sr_out // g, sr_in // g)
 
 
+@functools.lru_cache(maxsize=16)
+def _stream_design(up: int, down: int, J: int):
+    """Block-invariant polyphase apply for J outputs (J % up == 0): the
+    read-only float64 [J, W] matrix plus the window algebra. Cached and
+    shared across StreamingResampler instances — a serving pool opening one
+    resampler per session would otherwise pay ~34 ms of Python tap
+    placement and ~7 MB per admission for an identical matrix."""
+    d = _design(up, down)  # gcd-reduced already; reuses the tap cache
+    npr = d["n_pre_remove"]
+    h = d["taps"]
+    lh = h.shape[0]
+    # output j is upfirdn index (j + npr): it reads zero-stuffed input at
+    # m = (j+npr)*down - k for k in [0, lh), i.e. x[m/up] where up | m.
+    # Window origin = lowest x index output 0 can touch (may be negative
+    # at stream start -> zero-filled).
+    origin = math.ceil((npr * down - (lh - 1)) / up)
+    hi = ((J - 1 + npr) * down) // up
+    W = hi - origin + 1
+    M = np.zeros((J, W), dtype=np.float64)
+    for j in range(J):
+        mh = (j + npr) * down
+        k0 = mh % up  # smallest k with up | (mh - k)
+        for k in range(k0, min(lh, mh - origin * up + 1), up):
+            M[j, (mh - k) // up - origin] += h[k]
+    M.setflags(write=False)
+    step = J * down // up  # input samples per block
+    return M, origin, W, step
+
+
 class StreamingResampler:
     """Streaming twin of `resample_batch`/scipy `resample_poly`
     (padtype='constant'): push arbitrary-sized chunks at sr_in, get back
@@ -157,25 +186,11 @@ class StreamingResampler:
             raise ValueError("sr_in == sr_out; nothing to resample")
         d = _design(sr_out, sr_in)
         self.up, self.down = d["up"], d["down"]
-        npr = d["n_pre_remove"]
-        h = d["taps"]
-        lh = h.shape[0]
-        self.J = J = -(-int(block_out) // self.up) * self.up
-        # output j is upfirdn index (j + npr): it reads zero-stuffed input
-        # at m = (j+npr)*down - k for k in [0, lh), i.e. x[m/up] where
-        # up | m. Window origin = lowest x index output 0 can touch (may be
-        # negative at stream start -> zero-filled).
-        self.origin = math.ceil((npr * self.down - (lh - 1)) / self.up)
-        hi = ((J - 1 + npr) * self.down) // self.up
-        self.W = W = hi - self.origin + 1
-        M = np.zeros((J, W), dtype=np.float64)
-        for j in range(J):
-            mh = (j + npr) * self.down
-            k0 = mh % self.up  # smallest k with up | (mh - k)
-            for k in range(k0, min(lh, mh - self.origin * self.up + 1), self.up):
-                M[j, (mh - k) // self.up - self.origin] += h[k]
-        self.M = M
-        self.step = J * self.down // self.up  # input samples per block
+        J = -(-int(block_out) // self.up) * self.up
+        self.M, self.origin, self.W, self.step = _stream_design(
+            self.up, self.down, J
+        )
+        self.J = J
         self.dtype = dtype
         self._buf = np.zeros(0, dtype=np.float64)
         self._pos = 0  # absolute input index of _buf[0]
@@ -213,6 +228,7 @@ class StreamingResampler:
         before = self._emitted
         while self._emitted < n_out:
             out.append(self._run_block(self._emitted // self.J))
+        self._emitted = n_out  # the final block is truncated to n_out
         if not out:
             return np.zeros(0, dtype=self.dtype)
         return np.concatenate(out)[: n_out - before].astype(self.dtype)

@@ -49,13 +49,12 @@ __all__ = ["MultiStreamExtractor"]
 
 
 class _Slot:
-    __slots__ = ("ex", "ended", "total_frames", "done", "trimmed")
+    __slots__ = ("ex", "ended", "total_frames", "trimmed")
 
     def __init__(self, ex: StreamingExtractor):
         self.ex = ex
         self.ended = False
         self.total_frames: int | None = None
-        self.done = False
         self.trimmed = False
 
 
@@ -156,8 +155,6 @@ class MultiStreamExtractor:
             reqs: list[tuple[int, _Slot, int]] = []
             wins = None
             for sid, slot in list(self._slots.items()):
-                if slot.done:
-                    continue
                 need = self._base_need(slot)
                 if need is None:
                     continue
@@ -182,8 +179,6 @@ class MultiStreamExtractor:
             # phase 2: finalize/drain, batched per finalize width
             plans: list[tuple[int, _Slot, dict]] = []
             for sid, slot in list(self._slots.items()):  # _finish mutates
-                if slot.done:
-                    continue
                 ex = slot.ex
                 if slot.ended and ex._t0 >= (slot.total_frames or 0):
                     if not slot.trimmed:
@@ -194,7 +189,7 @@ class MultiStreamExtractor:
                         slot.trimmed = True
                     plan = ex._drain_plan(final=True, total=slot.total_frames)
                     if plan is None:
-                        self._finish(sid, out, finished)
+                        self._finish(sid, finished)
                         progressed = True
                         continue
                     plan["final"] = True
@@ -224,7 +219,7 @@ class MultiStreamExtractor:
                     feat = slot.ex._drain_commit(plan, res[row])
                     out.setdefault(sid, []).append(feat)
                     if plan["final"]:
-                        self._finish(sid, out, finished)
+                        self._finish(sid, finished)
                 progressed = True
             # deltaless streams: no device work in finalize
             for sid, slot, plan in plans:
@@ -232,7 +227,7 @@ class MultiStreamExtractor:
                     feat = slot.ex._drain_commit(plan, None)
                     out.setdefault(sid, []).append(feat)
                     if plan["final"]:
-                        self._finish(sid, out, finished)
+                        self._finish(sid, finished)
                     progressed = True
 
             if not progressed:
@@ -260,9 +255,8 @@ class MultiStreamExtractor:
         except KeyError:
             raise KeyError(f"stream {sid} is not open") from None
 
-    def _finish(self, sid: int, out: dict, finished: list[int]) -> None:
+    def _finish(self, sid: int, finished: list[int]) -> None:
         if sid in self._slots:
-            self._slots[sid].done = True
             del self._slots[sid]
             finished.append(sid)
 

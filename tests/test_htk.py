@@ -10,7 +10,13 @@ import scipy.io.wavfile
 
 from mfcc_tpu.cli.main import main as cli_entry
 from mfcc_tpu.config import named_config
-from mfcc_tpu.io.htk import kind_string, parm_kind, read_htk, write_htk
+from mfcc_tpu.io.htk import (
+    energy_last_permutation,
+    kind_string,
+    parm_kind,
+    read_htk,
+    write_htk,
+)
 from mfcc_tpu.io.writer import ShardWriter
 from mfcc_tpu.ops import reference_numpy as ref
 from tests.test_jnp_chain import FEATURE_ATOL_FP32, FEATURE_RTOL
@@ -18,13 +24,16 @@ from tests.test_jnp_chain import FEATURE_ATOL_FP32, FEATURE_RTOL
 RNG = np.random.default_rng(9)
 
 
-def test_round_trip_and_header():
+def test_round_trip_and_header(tmp_path):
     cfg = named_config("classic13_deltas")
     feat = RNG.standard_normal((57, cfg.feat_dim)).astype(np.float32)
-    p = pathlib.Path("/tmp") / "rt.htk"
+    p = tmp_path / "rt.htk"
     write_htk(p, feat, cfg)
     got, meta = read_htk(p)
-    np.testing.assert_array_equal(got, feat)
+    # file layout is HTK's: energy last per static/delta/acc block
+    perm = energy_last_permutation(cfg)
+    assert perm is not None and perm[12] == 0 and perm[0] == 1
+    np.testing.assert_array_equal(got, feat[:, perm])
     assert meta["num_frames"] == 57
     assert meta["feat_dim"] == cfg.feat_dim
     assert meta["sample_period_100ns"] == 100000  # 10 ms hop
@@ -51,6 +60,9 @@ def test_read_rejects_garbage(tmp_path):
     p.write_bytes(struct.pack(">iihh", 3, 100000, 7, 6))  # sampSize % 4 != 0
     with pytest.raises(ValueError, match="sampSize"):
         read_htk(p)
+    p.write_bytes(struct.pack(">iihh", -1, 100000, 8, 6) + b"\x00" * 32)
+    with pytest.raises(ValueError, match="nSamples"):
+        read_htk(p)
     p.write_bytes(struct.pack(">iihh", 10, 100000, 8, 6) + b"\x00" * 8)
     with pytest.raises(ValueError, match="data bytes"):
         read_htk(p)
@@ -66,9 +78,10 @@ def test_shard_writer_htk(tmp_path):
     meta = w.marker_meta("s0")
     assert meta["format"] == "htk" and len(meta["files"]) == 2
     assert len(set(meta["files"])) == 2
+    perm = energy_last_permutation(cfg)
     for f, want in zip(meta["files"], feats):
         got, _ = read_htk(tmp_path / f)
-        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(got, want[:, perm])
     assert w.is_done("s0", ids)
     assert not w.is_done("s0", ids[::-1])  # fingerprint mismatch
     # an npz-format writer must not treat the htk marker as done
@@ -93,8 +106,9 @@ def test_cli_format_htk(tmp_path):
     assert len(files) == 3
     assert list((out / "done").glob("*.json"))  # markers written
     by_stem = {f.name.rsplit("-", 1)[0]: f for f in files}
+    perm = energy_last_permutation(cfg)
     for w in wavs:
-        want = ref.extract(sigs[w.stem], cfg)
+        want = ref.extract(sigs[w.stem], cfg)[:, perm]
         got, meta = read_htk(by_stem[w.stem])
         assert meta["parm_kind_str"] == "MFCC_E"
         assert meta["sample_period_100ns"] == 100000

@@ -144,3 +144,11 @@ def test_streaming_resampler_lifecycle():
         rs.push(np.zeros(10))
     with pytest.raises(ValueError):
         StreamingResampler(16000, 16000)
+    # samples_out tracks EMITTED samples, including flush's truncated block
+    rs = StreamingResampler(48000, 16000)
+    n = len(rs.push(np.zeros(4801)))
+    n += len(rs.flush())
+    assert n == 1601 and rs.samples_out == 1601
+    # the polyphase design is shared, not rebuilt per instance
+    a, b = StreamingResampler(48000, 16000), StreamingResampler(48000, 16000)
+    assert a.M is b.M and not a.M.flags.writeable
