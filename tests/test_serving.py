@@ -157,6 +157,55 @@ def test_pool_resampled_config():
     np.testing.assert_allclose(got, want, rtol=0, atol=ATOL_48K)
 
 
+def test_pool_lifecycle_fuzz():
+    # random arrivals/pushes/ends/closes over many rounds with slot churn:
+    # every completed stream must match its own single-stream run exactly
+    # in shape and at the vmap fp32 bound in values
+    cfg = named_config("classic13_deltas")
+    K = 8
+    r = np.random.default_rng(31)
+    pool = MultiStreamExtractor(cfg, n_streams=3, frames_per_block=K)
+    live = {}   # sid -> dict(x=list of chunks fed, ended=bool, got=[...])
+    finished = {}
+    n_spawned = 0
+    while n_spawned < 12 or live:
+        # maybe admit a new session
+        if n_spawned < 12 and pool.n_active < 3 and r.random() < 0.6:
+            sid = pool.open()
+            live[sid] = {"chunks": [], "got": [], "ended": False}
+            n_spawned += 1
+        # feed / end random live sessions
+        for sid, st in list(live.items()):
+            if st["ended"]:
+                continue
+            act = r.random()
+            if act < 0.55:
+                c = r.standard_normal(int(r.integers(1, 4000))).astype(np.float32)
+                st["chunks"].append(c)
+                pool.push(sid, c)
+            elif act < 0.75:
+                pool.end(sid)
+                st["ended"] = True
+            elif act < 0.80 and not st["chunks"]:
+                pool.close(sid)  # abandoned before any audio
+                del live[sid]
+        for sid, v in pool.poll().items():
+            if sid in live:
+                live[sid]["got"].append(v)
+        for sid in [s for s in live if pool.done(s)]:
+            finished[sid] = live.pop(sid)
+    assert len(finished) >= 8
+    for sid, st in finished.items():
+        got = np.concatenate(st["got"], axis=0) if st["got"] else \
+            np.zeros((0, cfg.feat_dim), np.float32)
+        x = (np.concatenate(st["chunks"]) if st["chunks"]
+             else np.zeros(0, np.float32))
+        ex = StreamingExtractor(cfg, frames_per_block=K)
+        want = np.concatenate([ex.push(x), ex.flush()], axis=0)
+        assert got.shape == want.shape, (sid, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=0, atol=ATOL)
+
+
 def test_global_cmvn_moments():
     cfg = named_config("classic13_deltas_gcmvn")
     x = RNG.standard_normal(16000).astype(np.float32)
