@@ -121,6 +121,28 @@ def test_cli_format_htk(tmp_path):
     assert {f: f.stat().st_mtime_ns for f in files} == mtimes
 
 
+def test_cli_htk_long_split(tmp_path):
+    # long utterances go through the split/stitch path and then the same
+    # fmt-aware writer: one HTK file for the full stitched length
+    cfg = named_config("classic13")
+    n = 16000 * 5 + 333  # > --max-len-s 2.0 -> long-split
+    x = (RNG.standard_normal(n) * 2000).astype(np.int16)
+    p = tmp_path / "long.wav"
+    scipy.io.wavfile.write(p, 16000, x)
+    out = tmp_path / "out"
+    rc = cli_entry(["extract", str(p), "--config", "classic13", "-o", str(out),
+                    "--format", "htk", "--backend", "jnp",
+                    "--max-len-s", "2.0"])
+    assert rc == 0
+    files = list(out.glob("*.htk"))
+    assert len(files) == 1
+    got, meta = read_htk(files[0])
+    assert meta["num_frames"] == cfg.num_frames(n)
+    want = ref.extract(x.astype(np.float64), cfg)[:, energy_last_permutation(cfg)]
+    np.testing.assert_allclose(got, want, atol=FEATURE_ATOL_FP32,
+                               rtol=FEATURE_RTOL)
+
+
 def test_cli_htk_rejects_global_cmvn(tmp_path):
     p = tmp_path / "u.wav"
     scipy.io.wavfile.write(p, 16000, np.zeros(4000, np.int16))

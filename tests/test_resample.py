@@ -152,3 +152,33 @@ def test_streaming_resampler_lifecycle():
     # the polyphase design is shared, not rebuilt per instance
     a, b = StreamingResampler(48000, 16000), StreamingResampler(48000, 16000)
     assert a.M is b.M and not a.M.flags.writeable
+
+
+def test_streaming_resampler_properties():
+    from mfcc_tpu.ops.resample import StreamingResampler
+
+    # linearity and tone preservation through the streaming path: a 1 kHz
+    # tone at 48 kHz resampled to 16 kHz stays a 1 kHz tone (interior
+    # samples; edges carry the filter transient)
+    sr_in, sr_out, f0 = 48000, 16000, 1000.0
+    t_in = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * f0 * t_in)
+    rs = StreamingResampler(sr_in, sr_out, dtype=np.float64)
+    y = np.concatenate([rs.push(x), rs.flush()])
+    t_out = np.arange(y.shape[0]) / sr_out
+    want = np.sin(2 * np.pi * f0 * t_out)
+    interior = slice(100, -100)
+    # bound = the scipy kaiser(5.0) design's own passband ripple (~1e-3);
+    # sample-exactness vs scipy itself is tested above
+    np.testing.assert_allclose(y[interior], want[interior], atol=2.5e-3)
+    # linearity: resample(a*x1 + x2) == a*resample(x1) + resample(x2)
+    g = np.random.default_rng(2)
+    x1, x2 = g.standard_normal(9731), g.standard_normal(9731)
+
+    def run(sig):
+        r = StreamingResampler(sr_in, sr_out, dtype=np.float64)
+        return np.concatenate([r.push(sig), r.flush()])
+
+    np.testing.assert_allclose(
+        run(3.0 * x1 + x2), 3.0 * run(x1) + run(x2), rtol=0, atol=1e-10
+    )
