@@ -384,16 +384,26 @@ def _gather_frames(
     return jnp.concatenate(parts, axis=-1)
 
 
-def _dot_pos_bf16x3(x, b_h, b_l):
+# Experimental radix-4 variant: project each stage-2 output through its own
+# mel row-group instead of concatenating to [FBLK, 4N2] first (A/B-measured
+# in scripts/bench_kernel_ab.py; see docs/KERNEL.md).
+_RADIX4_SPLIT_MEL = False
+
+
+def _dot_pos_bf16x3(x, b_h, b_l, rows=None):
     """3-pass bf16 matmul for ALL-POSITIVE contractions (the mel/energy
     projection of |X|²): with no sign cancellation the relative error is the
     plain ~2^-16 operand truncation, well inside the 1e-4 log-mel gate —
     unlike the DFT, where cancellation amplifies the same truncation ~20x.
-    Halves the mel-projection MXU passes vs precision=HIGHEST."""
+    Halves the mel-projection MXU passes vs precision=HIGHEST.
+
+    rows=(lo, hi) contracts against that row slice of the matrix only."""
     xh, xl = _bf16_split(x)
-    out = jnp.dot(xh, b_h[:], preferred_element_type=jnp.float32)
-    out = out + jnp.dot(xl, b_h[:], preferred_element_type=jnp.float32)
-    out = out + jnp.dot(xh, b_l[:], preferred_element_type=jnp.float32)
+    bh = b_h[:] if rows is None else b_h[rows[0] : rows[1], :]
+    bl = b_l[:] if rows is None else b_l[rows[0] : rows[1], :]
+    out = jnp.dot(xh, bh, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(xl, bh, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(xh, bl, preferred_element_type=jnp.float32)
     return out
 
 
@@ -516,8 +526,21 @@ def _make_radix4_kernel(
                      preferred_element_type=jnp.float32, precision=hi)
         x2 = jnp.dot(s2, f2_ref[:], preferred_element_type=jnp.float32,
                      precision=hi)
-        y = jnp.concatenate([x0, x1, x2], axis=-1)  # [FBLK, 4*N2]
-        proj = _dot_pos_bf16x3(y * y, mel_h, mel_l)
+        if _RADIX4_SPLIT_MEL:
+            # mel projection per stage-2 output: skips the [FBLK, 4N2] lane
+            # concat + full-width square (a lane relayout) at the cost of
+            # two extra (smaller) matmul calls — same total MACs
+            n2_ = x0.shape[-1]
+            proj = _dot_pos_bf16x3(x0 * x0, mel_h, mel_l, rows=(0, n2_))
+            proj = proj + _dot_pos_bf16x3(
+                x1 * x1, mel_h, mel_l, rows=(n2_, 3 * n2_)
+            )
+            proj = proj + _dot_pos_bf16x3(
+                x2 * x2, mel_h, mel_l, rows=(3 * n2_, 4 * n2_)
+            )
+        else:
+            y = jnp.concatenate([x0, x1, x2], axis=-1)  # [FBLK, 4*N2]
+            proj = _dot_pos_bf16x3(y * y, mel_h, mel_l)
         out_ref[0] = epilogue(proj)
 
     return kernel
