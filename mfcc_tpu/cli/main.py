@@ -438,6 +438,136 @@ def cmd_plot(args) -> int:
     return 0 if failed == 0 else 1
 
 
+def cmd_serve(args) -> int:
+    """Online serving front-end: JSON-lines protocol over stdin/stdout
+    driving the MultiStreamExtractor pool (pipeline/serving.py). One
+    process serves up to --streams concurrent sessions with O(1) device
+    dispatches per poll round regardless of session count.
+
+    Requests (one JSON object per line on stdin):
+      {"op":"open"[, "id":<client tag>]}       -> {"event":"opened","sid":N}
+      {"op":"push","sid":N,"pcm16":"<b64>"}    little-endian int16 samples
+      {"op":"push","sid":N,"samples":[...]}    float samples (int16 range)
+      {"op":"end","sid":N}      audio complete; tail frames follow
+      {"op":"close","sid":N}    abandon (no tail extraction)
+      {"op":"poll"}             force a poll round (also runs after every line)
+      {"op":"stats"}            -> {"event":"stats", ...pool counters}
+
+    Responses (one JSON object per line on stdout):
+      {"event":"frames","sid":N,"n":k,"dim":D,"data":"<b64 f32 row-major>"}
+      (with --emit list: "frames":[[...]] instead of "data")
+      {"event":"done","sid":N}             stream finished, slot freed
+      {"event":"error","msg":...}          recoverable; the loop continues
+
+    EOF on stdin flushes: still-open streams are end()ed, tails drained,
+    and a final stats event is emitted. The reference family has no online
+    mode at all (SURVEY.md §1.1); per-stream output is bit-identical to the
+    offline chain (tests/test_serving.py)."""
+    import base64
+
+    from mfcc_tpu import named_config
+    from mfcc_tpu.parallel import CmvnAccumulator
+    from mfcc_tpu.pipeline import MultiStreamExtractor
+    from mfcc_tpu.utils import MetricsLogger
+
+    cfg = named_config(args.config)
+    moments = None
+    if args.cmvn_stats:
+        acc = CmvnAccumulator(cfg.feat_dim)
+        for mpath in args.cmvn_stats:
+            acc.merge(CmvnAccumulator.load(mpath))
+        moments = (acc.s1, acc.s2, acc.n)
+    try:
+        pool = MultiStreamExtractor(
+            cfg, n_streams=args.streams,
+            frames_per_block=args.frames_per_block, cmvn_moments=moments,
+        )
+    except ValueError as e:
+        log.error("%s", e)
+        return 2
+
+    fin, fout = sys.stdin, sys.stdout
+    metrics = MetricsLogger(args.metrics, context={"config": args.config})
+    t0 = time.perf_counter()
+    audio_s = 0.0
+    sr_in = cfg.input_sample_rate or cfg.sample_rate
+
+    def emit(obj) -> None:
+        fout.write(json.dumps(obj) + "\n")
+        fout.flush()
+
+    def drain() -> None:
+        nonlocal audio_s
+        for sid, feat in pool.poll().items():
+            if feat.shape[0]:
+                if args.emit == "list":
+                    emit({"event": "frames", "sid": sid, "n": feat.shape[0],
+                          "dim": feat.shape[1],
+                          "frames": [[round(float(v), 6) for v in row]
+                                     for row in feat]})
+                else:
+                    emit({
+                        "event": "frames", "sid": sid,
+                        "n": int(feat.shape[0]), "dim": int(feat.shape[1]),
+                        "data": base64.b64encode(
+                            np.ascontiguousarray(feat, dtype="<f4").tobytes()
+                        ).decode("ascii"),
+                    })
+            if pool.done(sid):
+                emit({"event": "done", "sid": sid})
+
+    for line in fin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            op = req["op"]
+            if op == "open":
+                sid = pool.open()
+                emit({"event": "opened", "sid": sid,
+                      **({"id": req["id"]} if "id" in req else {})})
+            elif op == "push":
+                if "pcm16" in req:
+                    x = np.frombuffer(
+                        base64.b64decode(req["pcm16"]), dtype="<i2"
+                    ).astype(np.float32)
+                else:
+                    x = np.asarray(req["samples"], dtype=np.float32)
+                pool.push(req["sid"], x)
+                audio_s += x.shape[0] / sr_in
+            elif op == "end":
+                pool.end(req["sid"])
+            elif op == "close":
+                pool.close(req["sid"])
+                emit({"event": "done", "sid": req["sid"]})
+            elif op == "poll":
+                pass  # the unconditional drain below
+            elif op == "stats":
+                emit({"event": "stats", "active": pool.n_active, **pool.stats})
+            else:
+                emit({"event": "error", "msg": f"unknown op {op!r}"})
+        except (KeyError, ValueError, RuntimeError, TypeError) as e:
+            emit({"event": "error", "msg": f"{type(e).__name__}: {e}"})
+        drain()
+
+    # EOF: flush semantics — end still-open streams, drain their tails
+    for sid in list(pool._slots):
+        if not pool._slots[sid].ended:
+            pool.end(sid)
+    while pool.n_active:
+        drain()
+    wall = time.perf_counter() - t0
+    metrics.set(audio_seconds=round(audio_s, 3), wall_s=round(wall, 3),
+                rtf=round(audio_s / wall, 2) if wall > 0 else 0.0,
+                **pool.stats)
+    snap = metrics.emit("done")
+    emit({"event": "stats", "active": 0,
+          **{k: snap[k] for k in pool.stats}, "audio_seconds": snap["audio_seconds"],
+          "wall_s": snap["wall_s"], "rtf": snap["rtf"]})
+    return 0
+
+
 def cmd_info(args) -> int:
     import jax
 
@@ -520,6 +650,23 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--compress", choices=["none", "zlib"], default="none",
                    help="compression for rewritten shards")
     a.set_defaults(fn=cmd_apply_cmvn)
+
+    s = sub.add_parser(
+        "serve", help="online JSON-lines serving over stdin/stdout"
+    )
+    s.add_argument("--config", default="classic13")
+    s.add_argument("--streams", type=int, default=16,
+                   help="max concurrent sessions (pool slots)")
+    s.add_argument("--frames-per-block", type=int, default=16,
+                   help="frames per device block (latency/throughput knob)")
+    s.add_argument("--cmvn-stats", nargs="+", default=None,
+                   help="cmvn moment .npz files (required for global-CMVN "
+                        "configs; merged)")
+    s.add_argument("--emit", choices=["b64", "list"], default="b64",
+                   help="frame payload encoding: b64 float32 (compact) or "
+                        "JSON lists (debuggable)")
+    s.add_argument("--metrics", default=None, help="JSON-lines metrics file")
+    s.set_defaults(fn=cmd_serve)
 
     v = sub.add_parser("plot", help="4-panel inspection PNGs for wav files")
     v.add_argument("files", nargs="+", help="wav paths, globs, or directories")

@@ -90,6 +90,12 @@ class MultiStreamExtractor:
         self._slots: dict[int, _Slot] = {}
         self._next_sid = 0
         self._proto = proto  # reused for the first open()
+        # observability counters (consumed by the CLI serve --metrics)
+        self.stats = {
+            "sessions_opened": 0, "sessions_finished": 0,
+            "poll_rounds": 0, "base_dispatches": 0, "fin_dispatches": 0,
+            "frames_emitted": 0,
+        }
 
     # -- session management --------------------------------------------------
 
@@ -100,6 +106,7 @@ class MultiStreamExtractor:
             raise RuntimeError(f"all {self.n_streams} stream slots in use")
         sid = self._next_sid
         self._next_sid += 1
+        self.stats["sessions_opened"] += 1
         if self._proto is not None:
             ex, self._proto = self._proto, None
         else:
@@ -149,6 +156,7 @@ class MultiStreamExtractor:
         finished stream's slot is freed before poll returns."""
         out: dict[int, list[np.ndarray]] = {}
         finished: list[int] = []
+        self.stats["poll_rounds"] += 1
         while True:
             progressed = False
             # phase 1: one base block per stream that has one ready
@@ -175,6 +183,7 @@ class MultiStreamExtractor:
                 for sid, slot, row in reqs:
                     slot.ex._commit_base(base[row])
                 progressed = True
+                self.stats["base_dispatches"] += 1
 
             # phase 2: finalize/drain, batched per finalize width
             plans: list[tuple[int, _Slot, dict]] = []
@@ -215,6 +224,7 @@ class MultiStreamExtractor:
                 res = np.asarray(
                     self._fin_b[kind](jnp.asarray(bwin), jnp.asarray(bval))
                 )
+                self.stats["fin_dispatches"] += 1
                 for row, (sid, slot, plan) in enumerate(group):
                     feat = slot.ex._drain_commit(plan, res[row])
                     out.setdefault(sid, []).append(feat)
@@ -241,6 +251,7 @@ class MultiStreamExtractor:
             )
             for sid, parts in out.items()
         }
+        self.stats["frames_emitted"] += sum(r.shape[0] for r in result.values())
         for sid in finished:
             result.setdefault(
                 sid, np.zeros((0, self.cfg.feat_dim), dtype=np.float32)
@@ -259,6 +270,7 @@ class MultiStreamExtractor:
         if sid in self._slots:
             del self._slots[sid]
             finished.append(sid)
+            self.stats["sessions_finished"] += 1
 
     def _base_need(self, slot: _Slot):
         """(window, valid) if the stream has a base block to compute."""

@@ -269,3 +269,117 @@ def test_plot_command_bad_file(tmp_path):
     bad.write_bytes(b"this is not a riff file")
     rc = run_cli("plot", str(bad), "-o", str(tmp_path / "plots"))
     assert rc == 1  # skipped + reported, not crashed
+
+
+# -- serve (JSON-lines online protocol) --------------------------------------
+
+
+def _run_serve(monkeypatch, capsys, lines, *argv):
+    import io
+    import sys as _sys
+
+    monkeypatch.setattr(_sys, "stdin", io.StringIO("".join(l + "\n" for l in lines)))
+    rc = run_cli("serve", *argv)
+    out = capsys.readouterr().out
+    return rc, [json.loads(l) for l in out.splitlines() if l.strip()]
+
+
+def _gather_frames(events, sid):
+    import base64
+
+    rows = []
+    for ev in events:
+        if ev.get("event") == "frames" and ev["sid"] == sid:
+            if "data" in ev:
+                a = np.frombuffer(base64.b64decode(ev["data"]), dtype="<f4")
+                rows.append(a.reshape(ev["n"], ev["dim"]))
+            else:
+                rows.append(np.asarray(ev["frames"], dtype=np.float32))
+    if not rows:
+        return np.zeros((0, 0), np.float32)
+    return np.concatenate(rows, axis=0)
+
+
+def test_serve_parity_two_sessions(monkeypatch, capsys):
+    """Two interleaved sessions over the wire protocol reproduce the offline
+    chain exactly; done + stats events arrive; one stream uses pcm16 b64,
+    the other float sample lists."""
+    import base64
+
+    from mfcc_tpu.ops import chain
+
+    g = np.random.default_rng(77)
+    x0 = (g.standard_normal(9000) * 3000).astype(np.int16)
+    x1 = (g.standard_normal(4777) * 2000).astype(np.int16)
+    b0 = base64.b64encode(x0.tobytes()).decode()
+    lines = [
+        json.dumps({"op": "open", "id": "utt-a"}),
+        json.dumps({"op": "open"}),
+        json.dumps({"op": "push", "sid": 0, "pcm16": b0}),
+        json.dumps({"op": "push", "sid": 1,
+                    "samples": x1[:3000].astype(float).tolist()}),
+        json.dumps({"op": "end", "sid": 0}),
+        json.dumps({"op": "push", "sid": 1,
+                    "samples": x1[3000:].astype(float).tolist()}),
+        json.dumps({"op": "end", "sid": 1}),
+        json.dumps({"op": "stats"}),
+    ]
+    rc, events = _run_serve(
+        monkeypatch, capsys, lines,
+        "--config", "classic13_deltas", "--streams", "4",
+        "--frames-per-block", "8",
+    )
+    assert rc == 0
+    opened = [e for e in events if e.get("event") == "opened"]
+    assert [e["sid"] for e in opened] == [0, 1]
+    assert opened[0]["id"] == "utt-a"
+    assert {e["sid"] for e in events if e.get("event") == "done"} == {0, 1}
+
+    cfg = NAMED_CONFIGS["classic13_deltas"]
+    for sid, x in ((0, x0), (1, x1)):
+        want = chain.extract_single(x.astype(np.float32), cfg, backend="jnp")
+        got = _gather_frames(events, sid)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-5)
+
+    stats = [e for e in events if e.get("event") == "stats"]
+    assert stats, "no stats event"
+    final = stats[-1]
+    assert final["sessions_opened"] == 2 and final["sessions_finished"] == 2
+    total = sum(
+        chain.extract_single(x.astype(np.float32), cfg, backend="jnp").shape[0]
+        for x in (x0, x1)
+    )
+    assert final["frames_emitted"] == total
+    assert final["base_dispatches"] >= 1 and final["poll_rounds"] >= len(lines)
+
+
+def test_serve_eof_flush_and_errors(monkeypatch, capsys):
+    """A session left open at EOF is end()ed and drained (flush semantics);
+    bad requests produce error events without killing the loop."""
+    from mfcc_tpu.ops import chain
+
+    g = np.random.default_rng(78)
+    x = (g.standard_normal(6000) * 3000).astype(np.int16)
+    lines = [
+        json.dumps({"op": "open"}),
+        json.dumps({"op": "nope"}),                      # unknown op
+        json.dumps({"op": "push", "sid": 99, "samples": [0.0]}),  # bad sid
+        "not json at all",
+        json.dumps({"op": "push", "sid": 0,
+                    "samples": x.astype(float).tolist()}),
+        # NO end: EOF must flush it
+    ]
+    rc, events = _run_serve(
+        monkeypatch, capsys, lines,
+        "--config", "classic13", "--streams", "2", "--emit", "list",
+    )
+    assert rc == 0
+    errs = [e for e in events if e.get("event") == "error"]
+    assert len(errs) == 3
+    assert any(e.get("event") == "done" and e["sid"] == 0 for e in events)
+    cfg = NAMED_CONFIGS["classic13"]
+    want = chain.extract_single(x.astype(np.float32), cfg, backend="jnp")
+    got = _gather_frames(events, 0)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-5)
