@@ -461,8 +461,9 @@ def cmd_serve(args) -> int:
 
     EOF on stdin flushes: still-open streams are end()ed, tails drained,
     and a final stats event is emitted. The reference family has no online
-    mode at all (SURVEY.md §1.1); per-stream output is bit-identical to the
-    offline chain (tests/test_serving.py)."""
+    mode at all (SURVEY.md §1.1); per-stream output is bit-identical to a
+    single-stream StreamingExtractor run and matches the offline chain to
+    fp32 op-order tolerance (tests/test_serving.py, tests/test_cli.py)."""
     import base64
 
     from mfcc_tpu import named_config
@@ -492,9 +493,19 @@ def cmd_serve(args) -> int:
     audio_s = 0.0
     sr_in = cfg.input_sample_rate or cfg.sample_rate
 
+    client_gone = False
+
     def emit(obj) -> None:
-        fout.write(json.dumps(obj) + "\n")
-        fout.flush()
+        # a consumer that closed its read end must not crash the server
+        # mid-stream; flag it so the loop winds down and metrics still land
+        nonlocal client_gone
+        if client_gone:
+            return
+        try:
+            fout.write(json.dumps(obj) + "\n")
+            fout.flush()
+        except (BrokenPipeError, OSError):
+            client_gone = True
 
     def drain() -> None:
         nonlocal audio_s
@@ -533,9 +544,11 @@ def cmd_serve(args) -> int:
                         base64.b64decode(req["pcm16"]), dtype="<i2"
                     ).astype(np.float32)
                 else:
-                    x = np.asarray(req["samples"], dtype=np.float32)
+                    x = np.asarray(
+                        req["samples"], dtype=np.float32
+                    ).reshape(-1)
                 pool.push(req["sid"], x)
-                audio_s += x.shape[0] / sr_in
+                audio_s += x.size / sr_in
             elif op == "end":
                 pool.end(req["sid"])
             elif op == "close":
@@ -547,14 +560,14 @@ def cmd_serve(args) -> int:
                 emit({"event": "stats", "active": pool.n_active, **pool.stats})
             else:
                 emit({"event": "error", "msg": f"unknown op {op!r}"})
-        except (KeyError, ValueError, RuntimeError, TypeError) as e:
+        except (KeyError, IndexError, ValueError, RuntimeError, TypeError) as e:
             emit({"event": "error", "msg": f"{type(e).__name__}: {e}"})
         drain()
+        if client_gone:
+            break
 
     # EOF: flush semantics — end still-open streams, drain their tails
-    for sid in list(pool._slots):
-        if not pool._slots[sid].ended:
-            pool.end(sid)
+    pool.end_all()
     while pool.n_active:
         drain()
     wall = time.perf_counter() - t0

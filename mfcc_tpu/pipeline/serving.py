@@ -118,6 +118,14 @@ class MultiStreamExtractor:
         """Abandon a stream (no tail extraction) and free its slot."""
         self._slot(sid)
         del self._slots[sid]
+        self.stats["sessions_finished"] += 1  # opened == finished + active
+
+    def end_all(self) -> None:
+        """end() every stream not yet ended (flush semantics for shutdown);
+        poll() until all are done() to drain the tails."""
+        for sid, slot in list(self._slots.items()):
+            if not slot.ended:
+                self.end(sid)
 
     def done(self, sid: int) -> bool:
         """True once a stream is no longer active: its end()ed tail has been

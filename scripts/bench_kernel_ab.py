@@ -64,6 +64,7 @@ def main() -> int:
     fb, _ = jax.jit(lambda a, l: chain.extract_batch(a, l, cfg, backend="pallas"))(audio, lengths)
     err = float(jnp.abs(fa - fb).max())
     print(f"max |A-B| on features: {err:.3e}")
+    assert err == 0.0, f"kernel variants diverged: max|A-B| = {err:.3e}"
 
     def slope(fn):
         t0 = time.time(); float(fn(audio, lengths, I1)); a = time.time() - t0

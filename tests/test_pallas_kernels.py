@@ -300,3 +300,34 @@ def test_batch_chunking_is_bit_identical(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(whole["logmel"]), np.asarray(odd["logmel"])
     )
+
+
+@pytest.mark.parametrize("config_name", ["classic13", "logmel80"])
+def test_split_mel_variant_matches(monkeypatch, config_name):
+    """The per-stage mel projection experiment (_RADIX4_SPLIT_MEL, off by
+    default; scripts/bench_kernel_ab.py) projects x0/x1/x2 through their own
+    mel row-groups instead of concat + full-width square. On real TPU the
+    variants are bit-identical (asserted in the bench and the TPU lane); in
+    interpret mode XLA:CPU sums the three partial dots in a different fp32
+    order, so this CI guard on the row-group slicing uses the same
+    loud-bin tolerance as the kernel/twin gate."""
+    from mfcc_tpu.kernels import frontend as fe
+
+    cfg = NAMED_CONFIGS[config_name]
+    b, _ = _batch(cfg)
+    audio = jnp.asarray(b.audio)
+    lengths = jnp.asarray(b.lengths)
+
+    base = fused_logmel_stages(audio, lengths, cfg, interpret=True)
+    monkeypatch.setattr(fe, "_RADIX4_SPLIT_MEL", True)
+    split = fused_logmel_stages(audio, lengths, cfg, interpret=True)
+    lm_b = np.asarray(base["logmel"], dtype=np.float64)
+    lm_s = np.asarray(split["logmel"], dtype=np.float64)
+    lin_b = np.exp(lm_b)
+    rowmax = lin_b.max(axis=-1, keepdims=True) + 1e-300
+    loud = lin_b > rowmax * 1e-4
+    assert (np.abs(lm_s - lm_b) * loud).max() < 2e-5
+    np.testing.assert_allclose(
+        np.asarray(split["energy"]), np.asarray(base["energy"]),
+        rtol=1e-5, atol=1e-12,
+    )

@@ -158,3 +158,18 @@ def test_zero_and_one_frame_utts_on_tpu(tpu):
     assert np.isfinite(f_pl).all()
     assert m[2:].sum() == 0 and (f_pl[2:] == 0).all()
     np.testing.assert_allclose(f_pl, np.asarray(f_jn), atol=1e-3, rtol=2e-3)
+
+
+def test_split_mel_variant_bit_identical_on_tpu(tpu, signals, monkeypatch):
+    """Mosaic compiles the per-stage mel projection (_RADIX4_SPLIT_MEL) to
+    the exact same fp32 values as the concat + full-width square default
+    (measured 0.0 — scripts/bench_kernel_ab.py asserts the same); interpret
+    mode differs at fp32 noise, so bit-identity is gated here, on hardware."""
+    from mfcc_tpu.kernels import frontend as fe
+
+    cfg = NAMED_CONFIGS["classic13_deltas"]
+    audio, lengths = _batch(signals, cfg)
+    base, _ = chain.extract_batch(audio, lengths, cfg, backend="pallas")
+    monkeypatch.setattr(fe, "_RADIX4_SPLIT_MEL", True)
+    split, _ = chain.extract_batch(audio, lengths, cfg, backend="pallas")
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(split))
