@@ -76,10 +76,10 @@ def cmd_extract(args) -> int:
     n_dev = mesh.shape["data"]
     batch_size = pad_batch_to_shards(args.batch_size, mesh)
 
-    if args.format == "htk" and cfg.cmvn == "global":
-        log.error("--format htk does not support the two-pass global-CMVN "
+    if args.format != "npz" and cfg.cmvn == "global":
+        log.error("--format %s does not support the two-pass global-CMVN "
                   "rewrite (apply-cmvn operates on npz shards); extract to "
-                  "npz and convert, or use cmvn=utterance/off")
+                  "npz and convert, or use cmvn=utterance/off", args.format)
         return 2
     writer = ShardWriter(args.output_dir, cfg, compress=args.compress,
                          fmt=args.format)
@@ -634,10 +634,11 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--compress", choices=["none", "zlib"], default="none",
                    help="shard npz compression (default none: fp32 features "
                         "deflate ~1.1x and zlib would gate the writer)")
-    e.add_argument("--format", choices=["npz", "htk"], default="npz",
+    e.add_argument("--format", choices=["npz", "htk", "kaldi"], default="npz",
                    help="npz: ragged shard files (native); htk: one "
                         "big-endian HTK parameter file per utterance "
-                        "(toolchain interop, io/htk.py)")
+                        "(io/htk.py); kaldi: one binary .ark + .scp pair "
+                        "per shard (io/kaldi.py)")
     e.add_argument("--write-threads", type=int, default=2,
                    help="async shard-writer threads")
     e.add_argument("--resume", action=argparse.BooleanOptionalAction, default=True)

@@ -32,13 +32,14 @@ class ShardWriter:
                  fmt: str = "npz"):
         """compress: "none" (default — fp32 features deflate poorly, ~1.1×,
         and zlib caps the writer at ~tens of MB/s/core) or "zlib".
-        fmt: "npz" (one ragged shard file per batch, the native layout) or
+        fmt: "npz" (one ragged shard file per batch, the native layout),
         "htk" (one big-endian HTK parameter file per utterance — toolchain
-        interop, `io/htk.py`); markers/resume work identically for both."""
+        interop, `io/htk.py`), or "kaldi" (one binary .ark + .scp pair per
+        shard — `io/kaldi.py`); markers/resume work identically for all."""
         if compress not in ("none", "zlib"):
             raise ValueError(f"compress={compress!r} not in ('none', 'zlib')")
-        if fmt not in ("npz", "htk"):
-            raise ValueError(f"fmt={fmt!r} not in ('npz', 'htk')")
+        if fmt not in ("npz", "htk", "kaldi"):
+            raise ValueError(f"fmt={fmt!r} not in ('npz', 'htk', 'kaldi')")
         self.out_dir = pathlib.Path(out_dir)
         self.done_dir = self.out_dir / "done"
         self.out_dir.mkdir(parents=True, exist_ok=True)
@@ -65,7 +66,7 @@ class ShardWriter:
             or meta.get("format", "npz") != self.fmt
         ):
             return False
-        if self.fmt == "htk":
+        if self.fmt in ("htk", "kaldi"):
             return all((self.out_dir / f).exists() for f in meta.get("files", []))
         return (self.out_dir / f"{shard_name}.npz").exists()
 
@@ -98,6 +99,9 @@ class ShardWriter:
         if self.fmt == "htk":
             path = self.out_dir
             meta["files"] = self._write_htk_files(ids, features)
+        elif self.fmt == "kaldi":
+            path = self.out_dir
+            meta["files"] = self._write_kaldi_shard(shard_name, ids, features)
         else:
             offsets = np.concatenate([[0], np.cumsum(lengths)])
             flat = (
@@ -137,6 +141,17 @@ class ShardWriter:
             tmp.rename(self.out_dir / name)
             names.append(name)
         return names
+
+    def _write_kaldi_shard(self, shard_name: str, ids: list,
+                           features: list[np.ndarray]) -> list[str]:
+        """One binary <shard>.ark + <shard>.scp per shard (Kaldi archives
+        are multi-utterance by design; the scp carries absolute offsets)."""
+        from mfcc_tpu.io.kaldi import ArkWriter
+
+        with ArkWriter(self.out_dir / shard_name) as w:
+            for i, feat in zip(ids, features):
+                w.add(i, feat)
+        return [f"{shard_name}.ark", f"{shard_name}.scp"]
 
 
 def read_shard(path) -> dict:
