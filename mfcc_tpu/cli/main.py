@@ -3,6 +3,8 @@
 Commands:
   extract     wav files → feature shards (streaming, resumable, DP-sharded)
   apply-cmvn  second pass: normalize existing shards with global stats
+  convert     npz shards → HTK / Kaldi files (resumable exporter)
+  serve       online JSON-lines serving over stdin/stdout
   plot        4-panel inspection PNGs (waveform/spectrogram/filterbank/features)
   info        devices / mesh / config dump
 
@@ -79,7 +81,8 @@ def cmd_extract(args) -> int:
     if args.format != "npz" and cfg.cmvn == "global":
         log.error("--format %s does not support the two-pass global-CMVN "
                   "rewrite (apply-cmvn operates on npz shards); extract to "
-                  "npz and convert, or use cmvn=utterance/off", args.format)
+                  "npz, apply-cmvn, then `mfcc_tpu convert --to %s`, or use "
+                  "cmvn=utterance/off", args.format, args.format)
         return 2
     writer = ShardWriter(args.output_dir, cfg, compress=args.compress,
                          fmt=args.format)
@@ -438,6 +441,58 @@ def cmd_plot(args) -> int:
     return 0 if failed == 0 else 1
 
 
+def cmd_convert(args) -> int:
+    """Convert native npz feature shards to HTK or Kaldi files — the
+    second step of the documented global-CMVN interop path (extract to
+    npz → apply-cmvn → convert), and a general exporter for existing
+    corpora. Conversion is resumable via the same done-marker scheme as
+    extraction (one marker per source shard in the output dir)."""
+    import concurrent.futures
+
+    from mfcc_tpu import named_config
+    from mfcc_tpu.io import ShardWriter, read_shard
+
+    cfg = named_config(args.config)
+    shard_dir = pathlib.Path(args.shard_dir)
+    paths = [p for p in sorted(shard_dir.glob("*.npz"))
+             if not p.name.endswith(".tmp.npz")
+             and not p.name.startswith("cmvn_moments")]
+    if not paths:
+        log.error("no feature shards (*.npz) in %s", shard_dir)
+        return 2
+    writer = ShardWriter(args.output_dir, cfg, fmt=args.to)
+
+    def convert_one(spath: pathlib.Path) -> tuple[str, int]:
+        feats = read_shard(spath)
+        bad = [i for i, f in feats.items() if f.shape[1] != cfg.feat_dim]
+        if bad:
+            raise ValueError(
+                f"{spath.name}: feat dim {feats[bad[0]].shape[1]} != config "
+                f"{args.config}'s {cfg.feat_dim} (e.g. {bad[0]}) — wrong --config?"
+            )
+        name = spath.stem
+        ids = list(feats)
+        if writer.is_done(name, ids):
+            return "skipped", len(ids)
+        writer.write(name, ids, list(feats.values()))
+        return "converted", len(ids)
+
+    counts = {"converted": 0, "skipped": 0}
+    utts = 0
+    with concurrent.futures.ThreadPoolExecutor(max_workers=args.jobs) as pool:
+        try:
+            for outcome, n in pool.map(convert_one, paths):
+                counts[outcome] += 1
+                utts += n
+        except ValueError as e:
+            log.error("%s", e)
+            return 2
+    log.info("%d shards -> %s (%d already done), %d utterances, format=%s",
+             counts["converted"], args.output_dir, counts["skipped"], utts,
+             args.to)
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Online serving front-end: JSON-lines protocol over stdin/stdout
     driving the MultiStreamExtractor pool (pipeline/serving.py). One
@@ -664,6 +719,18 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--compress", choices=["none", "zlib"], default="none",
                    help="compression for rewritten shards")
     a.set_defaults(fn=cmd_apply_cmvn)
+
+    c = sub.add_parser(
+        "convert", help="convert npz feature shards to HTK/Kaldi files"
+    )
+    c.add_argument("shard_dir", help="directory of extracted npz shards")
+    c.add_argument("--output-dir", "-o", required=True)
+    c.add_argument("--to", choices=["htk", "kaldi"], required=True)
+    c.add_argument("--config", default="classic13",
+                   help="the config the shards were extracted with (HTK "
+                        "parmKind/hop and a feat-dim sanity check)")
+    c.add_argument("--jobs", type=int, default=4)
+    c.set_defaults(fn=cmd_convert)
 
     s = sub.add_parser(
         "serve", help="online JSON-lines serving over stdin/stdout"

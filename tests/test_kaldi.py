@@ -4,6 +4,7 @@ resume markers). The wire format is checked byte-for-byte against the
 documented Kaldi float-matrix encoding (io/kaldi.py module doc) since no
 Kaldi reader is installed in this environment."""
 
+import pathlib
 import struct
 
 import numpy as np
@@ -159,3 +160,62 @@ def test_cli_kaldi_long_split(tmp_path):
     assert len(arks) == 1
     got = read_ark(arks[0])
     assert got[ark_key(str(p))].shape[0] == cfg.num_frames(n)
+
+
+def test_cli_convert_gcmvn_workflow(tmp_path):
+    """The documented global-CMVN interop path: extract npz -> apply-cmvn
+    -> convert --to kaldi/htk. Converted features must be bit-identical to
+    the normalized npz shards; HTK files must advertise _Z; conversion is
+    resumable."""
+    from mfcc_tpu.io import read_htk, read_shard
+    from mfcc_tpu.io.htk import energy_last_permutation
+
+    cfg = named_config("classic13_deltas_gcmvn")
+    wavs = []
+    for i in range(3):
+        p = tmp_path / f"u{i}.wav"
+        x = (RNG.standard_normal(6000 + 640 * i) * 3000).astype(np.int16)
+        scipy.io.wavfile.write(p, 16000, x)
+        wavs.append(str(p))
+    out = tmp_path / "npz"
+    stats = tmp_path / "cmvn.npz"
+    assert cli_entry(["extract", *wavs, "--config", "classic13_deltas_gcmvn",
+                      "-o", str(out), "--backend", "jnp", "--batch-size", "4",
+                      "--cmvn-stats", str(stats)]) == 0
+    assert cli_entry(["apply-cmvn", str(out), "--stats", str(stats),
+                      "--config", "classic13_deltas_gcmvn"]) == 0
+    npz = {}
+    for s in out.glob("h0-*.npz"):
+        npz.update(read_shard(s))
+
+    kout = tmp_path / "kaldi"
+    assert cli_entry(["convert", str(out), "-o", str(kout), "--to", "kaldi",
+                      "--config", "classic13_deltas_gcmvn"]) == 0
+    got = {}
+    for s in kout.glob("*.scp"):
+        got.update(read_scp(s))
+    assert set(got) == {ark_key(k) for k in npz}
+    for k, v in npz.items():
+        np.testing.assert_array_equal(got[ark_key(k)], v)
+
+    hout = tmp_path / "htk"
+    assert cli_entry(["convert", str(out), "-o", str(hout), "--to", "htk",
+                      "--config", "classic13_deltas_gcmvn"]) == 0
+    perm = energy_last_permutation(cfg)
+    hfiles = sorted(hout.glob("*.htk"))
+    assert len(hfiles) == 3
+    by_stem = {f.name.rsplit("-", 1)[0]: f for f in hfiles}
+    for k, v in npz.items():
+        feat, meta = read_htk(by_stem[pathlib.Path(k).stem])
+        assert meta["parm_kind_str"] == "MFCC_E_D_A_Z"
+        np.testing.assert_array_equal(feat, v[:, perm].astype(np.float32))
+
+    # resume: second convert rewrites nothing
+    mtimes = {f: f.stat().st_mtime_ns for f in kout.glob("*.ark")}
+    assert cli_entry(["convert", str(out), "-o", str(kout), "--to", "kaldi",
+                      "--config", "classic13_deltas_gcmvn"]) == 0
+    assert {f: f.stat().st_mtime_ns for f in kout.glob("*.ark")} == mtimes
+
+    # wrong-dim config is a clean rc=2, not silently mis-labeled output
+    assert cli_entry(["convert", str(out), "-o", str(tmp_path / "x"),
+                      "--to", "kaldi", "--config", "classic13"]) == 2
