@@ -235,7 +235,8 @@ def lifter(cepstra, L=22):
 # ---------------------------------------------------------------------------
 
 _KNOWN_WINDOWS = ("rect", "hamming_sym", "hann_sym", "hamming_periodic",
-                  "hann_periodic")
+                  "hann_periodic", "blackman_sym", "blackman_periodic",
+                  "povey")
 
 
 def as_config(samplerate=16000, winlen=0.025, winstep=0.01, numcep=13,

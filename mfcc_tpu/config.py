@@ -23,7 +23,8 @@ from typing import Optional
 # Enum values (strings keep the dataclass trivially hashable/serializable).
 # ---------------------------------------------------------------------------
 
-WINDOWS = ("hamming_sym", "hamming_periodic", "hann_sym", "hann_periodic", "rect")
+WINDOWS = ("hamming_sym", "hamming_periodic", "hann_sym", "hann_periodic",
+           "blackman_sym", "blackman_periodic", "povey", "rect")
 MEL_VARIANTS = ("psf_quantized", "tf_continuous")
 LOG_KINDS = ("ln", "ln_stab", "db")
 DCT_NORMS = ("ortho", "htk")

@@ -51,13 +51,22 @@ def window_vector(kind: str, length: int) -> np.ndarray:
     n = np.arange(length, dtype=np.float64)
     if kind == "rect":
         return np.ones(length, dtype=np.float64)
+    if kind == "povey":
+        # Kaldi's default analysis window (src/feat/feature-window.cc):
+        # a Hann raised to 0.85, symmetric — between Hamming and Hann in
+        # sidelobe behaviour, without Hamming's nonzero endpoints
+        return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / (length - 1))) ** 0.85
+    denom = (length - 1) if kind.endswith("_sym") else length
     if kind.startswith("hamming"):
         a, b = 0.54, 0.46
     elif kind.startswith("hann"):
         a, b = 0.5, 0.5
+    elif kind.startswith("blackman"):
+        # classic 3-term Blackman (np.blackman / scipy sym convention)
+        x = 2.0 * np.pi * n / denom
+        return 0.42 - 0.5 * np.cos(x) + 0.08 * np.cos(2.0 * x)
     else:
         raise ValueError(f"unknown window {kind!r}")
-    denom = (length - 1) if kind.endswith("_sym") else length
     return a - b * np.cos(2.0 * np.pi * n / denom)
 
 

@@ -157,5 +157,8 @@ def test_as_config_matches_compat_on_framework_path():
 def test_as_config_rect_default_and_reject_unknown():
     assert compat.as_config().window == "rect"
     assert compat.as_config(winfunc=np.hanning).window == "hann_sym"
+    # blackman is resolvable since the r2 window widening...
+    assert compat.as_config(winfunc=np.blackman).window == "blackman_sym"
+    # ...but a window outside the enum still rejects cleanly
     with pytest.raises(ValueError, match="winfunc"):
-        compat.as_config(winfunc=lambda n: np.blackman(n))
+        compat.as_config(winfunc=np.bartlett)

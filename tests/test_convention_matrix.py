@@ -19,6 +19,8 @@ VARIANTS = {
     "hann_sym": dict(window="hann_sym"),
     "hamming_periodic": dict(window="hamming_periodic"),
     "rect": dict(window="rect"),
+    "blackman": dict(window="blackman_sym"),
+    "povey": dict(window="povey"),
     "tf_mel": dict(mel_variant="tf_continuous"),
     "mel_range": dict(mel_low_hz=125.0, mel_high_hz=7200.0),
     "drop_tail": dict(frame_tail="drop"),

@@ -49,6 +49,35 @@ def test_periodic_differs_from_symmetric():
     assert np.max(np.abs(a - b)) > 0.01
 
 
+def test_blackman_matches_numpy_scipy():
+    w = C.window_vector("blackman_sym", 400)
+    np.testing.assert_allclose(w, np.blackman(400), atol=1e-15)
+    np.testing.assert_allclose(
+        w, scipy.signal.windows.blackman(400, sym=True), atol=1e-15
+    )
+    wp = C.window_vector("blackman_periodic", 400)
+    np.testing.assert_allclose(
+        wp, scipy.signal.windows.blackman(400, sym=False), atol=1e-15
+    )
+
+
+def test_povey_matches_kaldi_formula():
+    """Kaldi src/feat/feature-window.cc: pow(0.5 - 0.5*cos(2*pi*n/(M-1)),
+    0.85) — no scipy oracle exists; certified against the published
+    formula plus window properties."""
+    M = 400
+    n = np.arange(M)
+    want = (0.5 - 0.5 * np.cos(2 * np.pi * n / (M - 1))) ** 0.85
+    w = C.window_vector("povey", M)
+    np.testing.assert_allclose(w, want, atol=0)
+    assert w[0] == 0.0 and w[-1] == 0.0  # zero endpoints (unlike Hamming)
+    assert abs(w[M // 2] - 1.0) < 1e-4  # unit peak near center
+    np.testing.assert_allclose(w, w[::-1], atol=1e-15)  # symmetric
+    # sits between Hann^1 and Hamming in mainlobe energy
+    hann = C.window_vector("hann_sym", M)
+    assert (w >= hann - 1e-15).all()
+
+
 # ---------------------------------------------------------------------------
 # Pre-emphasis == lfilter([1, -a], [1], x) except the y[0] convention
 # ---------------------------------------------------------------------------
