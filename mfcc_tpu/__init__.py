@@ -16,7 +16,8 @@ Layers (SURVEY.md §1.2):
     testing      golden vectors + tolerance gates
 """
 
-from mfcc_tpu.config import FrontendConfig, named_config, NAMED_CONFIGS
+from mfcc_tpu.config import (FrontendConfig, config_with_overrides,
+                             named_config, NAMED_CONFIGS)
 
 __version__ = "0.1.0"
 
@@ -67,7 +68,8 @@ def extract(source, config="classic13", backend=None):
 
 
 __all__ = [
-    "FrontendConfig", "named_config", "NAMED_CONFIGS", "extract", "__version__",
+    "FrontendConfig", "config_with_overrides", "named_config",
+    "NAMED_CONFIGS", "extract", "__version__",
     "compat",  # tutorial-lineage API surface (mfcc/fbank/logfbank/ssc/...)
 ]
 

@@ -41,6 +41,17 @@ def _expand_files(patterns) -> list[str]:
     return out
 
 
+def _resolve_config(args):
+    """named config + any --set key=value overrides (validated)."""
+    from mfcc_tpu import named_config
+    from mfcc_tpu.config import config_with_overrides
+
+    cfg = named_config(args.config)
+    if getattr(args, "set", None):
+        cfg = config_with_overrides(cfg, args.set)
+    return cfg
+
+
 def cmd_extract(args) -> int:
     import jax
 
@@ -57,8 +68,8 @@ def cmd_extract(args) -> int:
 
     distributed_init()
     try:
-        cfg = named_config(args.config)
-    except KeyError as e:
+        cfg = _resolve_config(args)
+    except (KeyError, ValueError) as e:
         log.error("%s", e.args[0])
         return 2
     files = _expand_files(args.files)
@@ -409,11 +420,14 @@ def cmd_plot(args) -> int:
     """Visual inspection, the reference's primary correctness tool
     (SURVEY.md §4.1): 4-panel waveform/spectrogram/filterbank/features PNG
     per wav (component C17, mfcc_tpu/viz.py)."""
-    from mfcc_tpu import named_config
     from mfcc_tpu.io import read_wav
     from mfcc_tpu.viz import plot_all
 
-    cfg = named_config(args.config)
+    try:
+        cfg = _resolve_config(args)
+    except (KeyError, ValueError) as e:
+        log.error("%s", e.args[0])
+        return 2
     files = _expand_files(args.files)
     if not files:
         log.error("no input files matched")
@@ -521,12 +535,15 @@ def cmd_serve(args) -> int:
     fp32 op-order tolerance (tests/test_serving.py, tests/test_cli.py)."""
     import base64
 
-    from mfcc_tpu import named_config
     from mfcc_tpu.parallel import CmvnAccumulator
     from mfcc_tpu.pipeline import MultiStreamExtractor
     from mfcc_tpu.utils import MetricsLogger
 
-    cfg = named_config(args.config)
+    try:
+        cfg = _resolve_config(args)
+    except (KeyError, ValueError) as e:
+        log.error("%s", e.args[0])
+        return 2
     moments = None
     if args.cmvn_stats:
         acc = CmvnAccumulator(cfg.feat_dim)
@@ -659,9 +676,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbose", action="store_true")
     sub = p.add_subparsers(dest="command", required=True)
 
+    set_help = ("override a FrontendConfig field on top of --config, e.g. "
+                "--set window=povey --set n_mels=40 (repeatable; the "
+                "config hash and resume markers track the overridden "
+                "config)")
+
     e = sub.add_parser("extract", help="extract features from wav files")
     e.add_argument("files", nargs="+", help="wav paths, globs, or directories")
     e.add_argument("--config", default="classic13")
+    e.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help=set_help)
     e.add_argument("--output-dir", "-o", required=True)
     e.add_argument("--backend", choices=["jnp", "pallas"], default="pallas")
     e.add_argument("--batch-size", type=int, default=64)
@@ -736,6 +760,8 @@ def build_parser() -> argparse.ArgumentParser:
         "serve", help="online JSON-lines serving over stdin/stdout"
     )
     s.add_argument("--config", default="classic13")
+    s.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help=set_help)
     s.add_argument("--streams", type=int, default=16,
                    help="max concurrent sessions (pool slots)")
     s.add_argument("--frames-per-block", type=int, default=16,
@@ -752,6 +778,8 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("plot", help="4-panel inspection PNGs for wav files")
     v.add_argument("files", nargs="+", help="wav paths, globs, or directories")
     v.add_argument("--config", default="classic13")
+    v.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help=set_help)
     v.add_argument("--output-dir", "-o", required=True)
     v.set_defaults(fn=cmd_plot)
 

@@ -181,3 +181,42 @@ def named_config(name: str) -> FrontendConfig:
         return NAMED_CONFIGS[name]
     except KeyError:
         raise KeyError(f"unknown config {name!r}; known: {sorted(NAMED_CONFIGS)}")
+
+
+def config_with_overrides(base: FrontendConfig, sets) -> FrontendConfig:
+    """Apply "key=value" override strings to a config, parsing each value
+    by the field's declared type (the CLI's `--set window=povey` path).
+
+    Accepted value forms: ints/floats per the field type, true/false for
+    bools, none/null for Optional fields, anything else verbatim for str
+    enums (validated by FrontendConfig.__post_init__). Unknown keys and
+    unparseable values raise ValueError with the legal field list."""
+    fields = {f.name: f for f in dataclasses.fields(FrontendConfig)}
+    kw = {}
+    for s in sets:
+        key, sep, raw = s.partition("=")
+        key = key.strip()
+        if not sep or key not in fields:
+            raise ValueError(
+                f"--set {s!r}: expected key=value with key one of "
+                f"{sorted(fields)}"
+            )
+        raw = raw.strip()
+        ftype = fields[key].type  # stringified by `from __future__ import annotations`
+        try:
+            if raw.lower() in ("none", "null") and "Optional" in ftype:
+                val = None
+            elif ftype == "bool":
+                if raw.lower() not in ("true", "false", "1", "0"):
+                    raise ValueError("expected true/false")
+                val = raw.lower() in ("true", "1")
+            elif "int" in ftype:  # int | Optional[int]
+                val = int(raw)
+            elif "float" in ftype:  # float | Optional[float]
+                val = float(raw)
+            else:
+                val = raw
+        except ValueError as e:
+            raise ValueError(f"--set {s!r}: cannot parse as {ftype}: {e}")
+        kw[key] = val
+    return base.replace(**kw)  # __post_init__ re-validates enums/ranges

@@ -383,3 +383,53 @@ def test_serve_eof_flush_and_errors(monkeypatch, capsys):
     got = _gather_frames(events, 0)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-5)
+
+
+# -- --set config overrides ---------------------------------------------------
+
+
+def test_config_with_overrides_parsing():
+    from mfcc_tpu.config import FrontendConfig, config_with_overrides
+
+    base = FrontendConfig()
+    c = config_with_overrides(base, [
+        "window=povey", "n_mels=40", "n_ceps=20", "preemph=0.95",
+        "append_energy=false", "mel_high_hz=none", "deltas=2",
+    ])
+    assert (c.window, c.n_mels, c.n_ceps, c.preemph) == ("povey", 40, 20, 0.95)
+    assert c.append_energy is False and c.mel_high_hz is None and c.deltas == 2
+    assert c.config_hash() != base.config_hash()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="key=value"):
+        config_with_overrides(base, ["nope=1"])
+    with _pt.raises(ValueError, match="cannot parse"):
+        config_with_overrides(base, ["n_mels=many"])
+    with _pt.raises(ValueError, match="window="):  # enum re-validated
+        config_with_overrides(base, ["window=kaiser"])
+    with _pt.raises(ValueError, match="cannot parse"):
+        config_with_overrides(base, ["append_energy=maybe"])
+
+
+def test_extract_with_set_overrides(corpus, tmp_path):
+    """--set applies on top of --config: features match the oracle built
+    with the same overridden config, and a bad --set is a clean rc=2."""
+    paths, sigs = corpus
+    out = tmp_path / "feats"
+    rc = run_cli(
+        "extract", paths[0], paths[1], "--config", "classic13",
+        "--set", "window=povey", "--set", "n_mels=40",
+        "-o", str(out), "--backend", "jnp", "--batch-size", "2",
+    )
+    assert rc == 0
+    from mfcc_tpu.config import NAMED_CONFIGS as NC
+    cfg = NC["classic13"].replace(window="povey", n_mels=40)
+    shard = {}
+    for s in out.glob("h0-*.npz"):
+        shard.update(read_shard(s))
+    for p in (paths[0], paths[1]):
+        want = ref.extract(sigs[p], cfg)
+        np.testing.assert_allclose(
+            shard[p], want, atol=FEATURE_ATOL_FP32, rtol=FEATURE_RTOL
+        )
+    assert run_cli("extract", paths[0], "--config", "classic13",
+                   "--set", "window=bogus", "-o", str(tmp_path / "x")) == 2
