@@ -36,12 +36,13 @@ def extract(source, config="classic13", backend=None):
 
     from mfcc_tpu.ops import chain
 
+    cfg = named_config(config) if isinstance(config, str) else config
     if backend is None:
         import jax
 
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-
-    cfg = named_config(config) if isinstance(config, str) else config
+        if cfg.features == "ssc":  # needs raw pspec; jnp path only
+            backend = "jnp"
     expect_sr = cfg.input_sample_rate or cfg.sample_rate
     if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
         from mfcc_tpu.io import decode_wav_bytes, read_wav

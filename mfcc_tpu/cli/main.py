@@ -108,6 +108,9 @@ def cmd_extract(args) -> int:
     shard_idx = 0
     host = f"h{jax.process_index()}"
     backend = args.backend
+    if cfg.features == "ssc" and backend == "pallas":
+        log.info("features=ssc runs on the jnp backend (needs raw pspec)")
+        backend = "jnp"
     # pipeline of dispatched batches: shard N-D is written while N computes;
     # depth > 1 hides device->host latency (significant on relayed devices)
     import collections

@@ -30,7 +30,7 @@ LOG_KINDS = ("ln", "ln_stab", "db")
 DCT_NORMS = ("ortho", "htk")
 FRAME_TAILS = ("pad", "drop")
 CMVN_MODES = ("off", "utterance", "global")
-FEATURES = ("mfcc", "logmel")
+FEATURES = ("mfcc", "logmel", "ssc")
 
 
 @dataclass(frozen=True)
@@ -65,7 +65,9 @@ class FrontendConfig:
     log_kind: str = "ln"  # "ln": ln(max(x, eps)); "ln_stab": ln(x + 1e-6); "db": 10*log10
     log_eps: float = 2.220446049250313e-16  # np.finfo(float64).eps — psf clamp
     # cepstra
-    features: str = "mfcc"  # "mfcc": DCT to n_ceps; "logmel": stop after log
+    features: str = "mfcc"  # "mfcc": DCT to n_ceps; "logmel": stop after log;
+    # "ssc": spectral subband centroids (power-weighted mean frequency per
+    # mel band, psf lineage) — log/DCT/lifter/energy knobs are unused
     n_ceps: int = 13
     dct_norm: str = "ortho"  # "ortho": scipy ortho; "htk": ortho with bin0 * sqrt(2)
     lifter: int = 22  # 0 disables

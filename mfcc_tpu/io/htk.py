@@ -34,17 +34,19 @@ __all__ = ["parm_kind", "write_htk", "read_htk", "energy_last_permutation",
 
 _BASE_MFCC = 6
 _BASE_FBANK = 7
+_BASE_USER = 9  # HTK's user-defined kind — used for SSC (no native kind)
 _Q_E = 0o000100
 _Q_D = 0o000400
 _Q_A = 0o001000
 _Q_Z = 0o004000
 
-KIND_NAMES = {_BASE_MFCC: "MFCC", _BASE_FBANK: "FBANK"}
+KIND_NAMES = {_BASE_MFCC: "MFCC", _BASE_FBANK: "FBANK", _BASE_USER: "USER"}
 
 
 def parm_kind(cfg: FrontendConfig) -> int:
     """HTK parmKind code for this config's output layout."""
-    kind = _BASE_MFCC if cfg.features == "mfcc" else _BASE_FBANK
+    kind = {"mfcc": _BASE_MFCC, "logmel": _BASE_FBANK,
+            "ssc": _BASE_USER}[cfg.features]
     if cfg.features == "mfcc" and cfg.append_energy:
         kind |= _Q_E
     if cfg.deltas >= 1:

@@ -292,6 +292,19 @@ def features_from_logmel(
             )
     elif cfg.features == "logmel":
         base = stages["logmel"]
+    elif cfg.features == "ssc":
+        # spectral subband centroids need the raw power spectrum, which
+        # only the jnp twin materializes (the fused kernel's epilogue
+        # folds pspec into log-mel lanes) — extract_batch guards this
+        pspec = stages["pspec"]
+        eps = jnp.asarray(cfg.log_eps, pspec.dtype)
+        p = jnp.where(pspec <= 0, eps, pspec)
+        hp = jax.lax.Precision.HIGHEST
+        num = jnp.matmul(p * k["freqs"], k["mel"],
+                         preferred_element_type=p.dtype, precision=hp)
+        den = jnp.matmul(p, k["mel"],
+                         preferred_element_type=p.dtype, precision=hp)
+        base = num / den
     else:
         logmel, energy = stages["logmel"], stages["energy"]
         ceps = jnp.matmul(
@@ -346,6 +359,12 @@ def extract_batch(
         )
         lengths = resample.output_lengths(
             lengths, cfg.input_sample_rate, cfg.sample_rate
+        )
+    if backend == "pallas" and cfg.features == "ssc":
+        raise ValueError(
+            "features='ssc' needs the raw power spectrum, which the fused "
+            "kernel's epilogue does not materialize; use backend='jnp' "
+            "(extract() auto-selects it)"
         )
     if backend == "jnp":
         stages = logmel_stages(audio, lengths, cfg)

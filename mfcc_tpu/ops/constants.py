@@ -193,4 +193,7 @@ def chain_constants(cfg: FrontendConfig) -> dict[str, np.ndarray]:
         "dct": dct_matrix(cfg.n_mels, cfg.n_ceps, cfg.dct_norm),
         "lifter": lifter_vector(cfg.n_ceps, cfg.lifter),
         "dct_aug": dct_augmented(cfg),
+        # SSC frequency grid — the psf lineage's linspace(1, sr/2, bins)
+        # (compat.ssc); only features="ssc" consumes it
+        "freqs": np.linspace(1.0, cfg.sample_rate / 2.0, cfg.n_bins),
     }

@@ -143,6 +143,11 @@ def extract_stages(x: np.ndarray, cfg: FrontendConfig) -> dict[str, np.ndarray]:
     stages = logmel_chain(x, cfg)
     if cfg.features == "logmel":
         base = stages["logmel"]
+    elif cfg.features == "ssc":
+        # spectral subband centroids (compat.ssc semantics): clamp the
+        # power spectrum, then power-weighted mean frequency per band
+        p = np.where(stages["pspec"] <= 0, cfg.log_eps, stages["pspec"])
+        base = (p * k["freqs"][None, :]) @ k["mel"] / (p @ k["mel"])
     else:
         ceps = stages["logmel"] @ k["dct"]  # (8) DCT-II slice to n_ceps
         ceps = ceps * k["lifter"][None, :]  # (9) lifter...

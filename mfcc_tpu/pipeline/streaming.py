@@ -82,6 +82,19 @@ def _make_base_block(cfg: FrontendConfig, K: int):
         logmel = chain.apply_log(melspec, cfg)
         if cfg.features == "logmel":
             return logmel
+        if cfg.features == "ssc":
+            # spectral subband centroids: same clamp + matmul pair as the
+            # offline chain (ops/chain.py features_from_logmel)
+            p = jnp.where(pspec <= 0, eps, pspec)
+            num = jnp.matmul(
+                p * k["freqs"], k["mel"], preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            den = jnp.matmul(
+                p, k["mel"], preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return num / den
         ceps = jnp.matmul(
             logmel, dct, preferred_element_type=dtype,
             precision=jax.lax.Precision.HIGHEST,

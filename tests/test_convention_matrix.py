@@ -34,6 +34,8 @@ VARIANTS = {
     "cmvn_novar": dict(cmvn="utterance", cmvn_var_norm=False),
     "delta1": dict(deltas=1),
     "wide_delta": dict(deltas=2, delta_window=4),
+    "ssc": dict(features="ssc"),
+    "ssc_deltas_cmvn": dict(features="ssc", deltas=2, cmvn="utterance"),
     "n20_mels": dict(n_mels=20, n_ceps=20),
     "nfft1024": dict(n_fft=1024),
     "hop20ms": dict(hop_s=0.020),
