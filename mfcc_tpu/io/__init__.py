@@ -17,6 +17,7 @@ from mfcc_tpu.io.reader import (  # noqa: F401
     stream_batches_direct,
     stream_batches_mp,
 )
+from mfcc_tpu.io.dataset import ShardDataset  # noqa: F401
 from mfcc_tpu.io.htk import read_htk, write_htk  # noqa: F401
 from mfcc_tpu.io.kaldi import ArkWriter, read_ark, read_scp  # noqa: F401
 from mfcc_tpu.io.writer import ShardWriter, read_shard, trim_batch  # noqa: F401
