@@ -362,10 +362,13 @@ def cmd_apply_cmvn(args) -> int:
     import hashlib
     import os
 
-    from mfcc_tpu import named_config
     from mfcc_tpu.parallel import CmvnAccumulator
 
-    cfg = named_config(args.config)
+    try:
+        cfg = _resolve_config(args)
+    except (KeyError, ValueError) as e:
+        log.error("%s", e.args[0])
+        return 2
     acc = CmvnAccumulator(cfg.feat_dim)
     for mpath in args.stats:
         acc.merge(CmvnAccumulator.load(mpath))
@@ -466,32 +469,39 @@ def cmd_convert(args) -> int:
     extraction (one marker per source shard in the output dir)."""
     import concurrent.futures
 
-    from mfcc_tpu import named_config
-    from mfcc_tpu.io import ShardWriter, read_shard
+    from mfcc_tpu.io import ShardWriter
+    from mfcc_tpu.io.writer import iter_feature_shards
 
-    cfg = named_config(args.config)
+    try:
+        cfg = _resolve_config(args)
+    except (KeyError, ValueError) as e:
+        log.error("%s", e.args[0])
+        return 2
     shard_dir = pathlib.Path(args.shard_dir)
-    paths = [p for p in sorted(shard_dir.glob("*.npz"))
-             if not p.name.endswith(".tmp.npz")
-             and not p.name.startswith("cmvn_moments")]
+    paths = iter_feature_shards(shard_dir)
     if not paths:
         log.error("no feature shards (*.npz) in %s", shard_dir)
         return 2
     writer = ShardWriter(args.output_dir, cfg, fmt=args.to)
 
     def convert_one(spath: pathlib.Path) -> tuple[str, int]:
-        feats = read_shard(spath)
-        bad = [i for i, f in feats.items() if f.shape[1] != cfg.feat_dim]
-        if bad:
-            raise ValueError(
-                f"{spath.name}: feat dim {feats[bad[0]].shape[1]} != config "
-                f"{args.config}'s {cfg.feat_dim} (e.g. {bad[0]}) — wrong --config?"
-            )
         name = spath.stem
-        ids = list(feats)
-        if writer.is_done(name, ids):
-            return "skipped", len(ids)
-        writer.write(name, ids, list(feats.values()))
+        with np.load(spath, allow_pickle=False) as z:
+            # npz members load lazily per key: the resume check touches
+            # only ids, so a finished rerun never reads feature bytes
+            ids = [str(i) for i in z["ids"]]
+            if writer.is_done(name, ids):
+                return "skipped", len(ids)
+            feats, offsets = z["features"], z["offsets"]
+        if feats.shape[1] != cfg.feat_dim:
+            raise ValueError(
+                f"{spath.name}: feat dim {feats.shape[1]} != config "
+                f"{args.config}'s {cfg.feat_dim} — wrong --config/--set?"
+            )
+        writer.write(
+            name, ids,
+            [feats[offsets[i] : offsets[i + 1]] for i in range(len(ids))],
+        )
         return "converted", len(ids)
 
     counts = {"converted": 0, "skipped": 0}
@@ -501,7 +511,7 @@ def cmd_convert(args) -> int:
             for outcome, n in pool.map(convert_one, paths):
                 counts[outcome] += 1
                 utts += n
-        except ValueError as e:
+        except (ValueError, KeyError, OSError) as e:
             log.error("%s", e)
             return 2
     log.info("%d shards -> %s (%d already done), %d utterances, format=%s",
@@ -737,6 +747,8 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--stats", nargs="+", required=True,
                    help="one or more cmvn moment .npz files (merged)")
     a.add_argument("--config", default="classic13")
+    a.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help=set_help)
     a.add_argument("--force", action="store_true",
                    help="re-normalize even shards already carrying a stats "
                         "fingerprint (stacks normalizations — only after "
@@ -756,6 +768,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--config", default="classic13",
                    help="the config the shards were extracted with (HTK "
                         "parmKind/hop and a feat-dim sanity check)")
+    c.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help=set_help)
     c.add_argument("--jobs", type=int, default=4)
     c.set_defaults(fn=cmd_convert)
 

@@ -27,7 +27,10 @@ __all__ = ["ShardDataset"]
 
 def _count(shard_dir: pathlib.Path, paths) -> tuple[int, int]:
     """(utterances, frames) totals from done markers, falling back to the
-    npz headers when a marker is missing or foreign."""
+    npy HEADERS inside the npz when a marker is missing or foreign — no
+    feature bytes are read either way."""
+    from mfcc_tpu.io.writer import npz_member_shape
+
     utts = frames = 0
     for p in paths:
         marker = shard_dir / "done" / f"{p.stem}.json"
@@ -36,9 +39,8 @@ def _count(shard_dir: pathlib.Path, paths) -> tuple[int, int]:
             utts += int(meta["num_utterances"])
             frames += int(meta["num_frames"])
         except (OSError, KeyError, ValueError, json.JSONDecodeError):
-            with np.load(p, allow_pickle=False) as z:
-                utts += z["ids"].shape[0]
-                frames += int(z["features"].shape[0])
+            utts += npz_member_shape(p, "ids")[0]
+            frames += npz_member_shape(p, "features")[0]
     return utts, frames
 
 
@@ -59,11 +61,9 @@ class ShardDataset:
         self.seed = seed
         self.min_frames = int(min_frames)
         self._epoch = 0
-        self._paths = [
-            p for p in sorted(self.shard_dir.glob("*.npz"))
-            if not p.name.endswith(".tmp.npz")
-            and not p.name.startswith("cmvn_moments")
-        ]
+        from mfcc_tpu.io.writer import iter_feature_shards
+
+        self._paths = iter_feature_shards(self.shard_dir)
         if not self._paths:
             raise FileNotFoundError(f"no feature shards in {self.shard_dir}")
         # utterance/frame totals come from the done markers when present
@@ -136,8 +136,15 @@ class ShardDataset:
         class _TorchShardDataset(tud.IterableDataset):
             def __iter__(self):
                 info = tud.get_worker_info()
-                src = (ds if info is None or info.num_workers <= 1
-                       else ds.split(info.id, info.num_workers))
+                if info is None:  # num_workers=0: in-process, counter works
+                    yield from ds
+                    return
+                # worker processes iterate a PICKLED COPY, so ds._epoch
+                # never advances over there; torch reseeds workers every
+                # epoch (info.seed = base_seed + id, base_seed fresh per
+                # epoch), so folding it in restores per-epoch reshuffling
+                src = ds.split(info.id, max(info.num_workers, 1))
+                src._epoch = info.seed
                 yield from src
 
             def __len__(self):

@@ -38,8 +38,20 @@ _FLOAT_MATRIX = b"FM "
 
 
 def ark_key(utt_id) -> str:
-    """Whitespace-free Kaldi key for an utterance id."""
-    return "_".join(str(utt_id).split()) or "utt"
+    """Whitespace-free Kaldi key for an utterance id.
+
+    Ids without whitespace (the normal case: file paths) pass through
+    unchanged, so distinct paths keep distinct keys. When whitespace is
+    replaced, a short id-hash suffix disambiguates — otherwise 'u 1.wav'
+    and 'u_1.wav' would collide on one key (same trick as the HTK
+    writer's filename hashing, writer.py _write_htk_files)."""
+    import hashlib
+
+    sid = str(utt_id)
+    key = "_".join(sid.split())
+    if key == sid:
+        return key
+    return f"{key or 'utt'}-{hashlib.sha256(sid.encode()).hexdigest()[:8]}"
 
 
 def _matrix_bytes(feat: np.ndarray) -> bytes:

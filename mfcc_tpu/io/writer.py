@@ -154,6 +154,41 @@ class ShardWriter:
         return [f"{shard_name}.ark", f"{shard_name}.scp"]
 
 
+def iter_feature_shards(shard_dir) -> list[pathlib.Path]:
+    """The feature-shard npz files in a directory, sorted — skipping tmp
+    leftovers, moment checkpoints, and any other non-feature npz (e.g. a
+    cmvn stats file written into the same directory, the README flow):
+    membership is probed from the zip directory only, no array bytes."""
+    out = []
+    for p in sorted(pathlib.Path(shard_dir).glob("*.npz")):
+        if p.name.endswith(".tmp.npz"):
+            continue
+        try:
+            with np.load(p, allow_pickle=False) as z:
+                if "features" in z.files:
+                    out.append(p)
+        except (OSError, ValueError):  # unreadable/corrupt: not a shard
+            continue
+    return out
+
+
+def npz_member_shape(path, member: str) -> tuple:
+    """Shape of one npz member from its npy header — no data bytes read
+    (np.load's member access would decompress the full array)."""
+    import zipfile
+
+    from numpy.lib import format as npfmt
+
+    with zipfile.ZipFile(path) as zf:
+        with zf.open(member + ".npy") as f:
+            version = npfmt.read_magic(f)
+            if version == (1, 0):
+                shape, _, _ = npfmt.read_array_header_1_0(f)
+            else:
+                shape, _, _ = npfmt.read_array_header_2_0(f)
+            return shape
+
+
 def read_shard(path) -> dict:
     """Load a shard back into {id: [F, D]} (consumer-side convenience)."""
     with np.load(path, allow_pickle=False) as z:

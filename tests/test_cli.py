@@ -433,3 +433,38 @@ def test_extract_with_set_overrides(corpus, tmp_path):
         )
     assert run_cli("extract", paths[0], "--config", "classic13",
                    "--set", "window=bogus", "-o", str(tmp_path / "x")) == 2
+
+
+def test_set_overrides_compose_with_second_pass_commands(corpus, tmp_path):
+    """--set configs must work through the FULL documented pipeline:
+    extract (global CMVN, overridden dims) -> apply-cmvn -> convert.
+    Regression: apply-cmvn/convert used to resolve only named configs, so
+    any dimension-changing --set broke the second pass."""
+    paths, sigs = corpus
+    out = tmp_path / "npz"
+    stats = out / "cmvn.npz"  # stats INSIDE the shard dir (README flow)
+    overrides = ["--set", "features=logmel", "--set", "n_mels=40",
+                 "--set", "cmvn=global", "--set", "append_energy=false",
+                 "--set", "lifter=0"]
+    assert run_cli("extract", paths[0], paths[1], "--config", "classic13",
+                   *overrides, "-o", str(out), "--backend", "jnp",
+                   "--batch-size", "2", "--cmvn-stats", str(stats)) == 0
+    assert run_cli("apply-cmvn", str(out), "--stats", str(stats),
+                   "--config", "classic13", *overrides) == 0
+    kout = tmp_path / "ark"
+    # convert must skip the stats npz sitting in the shard dir (regression)
+    assert run_cli("convert", str(out), "-o", str(kout), "--to", "kaldi",
+                   "--config", "classic13", *overrides) == 0
+    from mfcc_tpu.io.kaldi import ark_key, read_scp
+
+    got = {}
+    for s in kout.glob("*.scp"):
+        got.update(read_scp(s))
+    assert set(got) == {ark_key(p) for p in (paths[0], paths[1])}
+    for p in (paths[0], paths[1]):
+        assert got[ark_key(p)].shape[1] == 40
+        # normalized over the 2-utterance corpus: near zero-mean per dim
+        # (exact equality is covered by the npz-vs-ark bit-identity path)
+    allf = np.concatenate([got[ark_key(p)] for p in (paths[0], paths[1])])
+    assert np.abs(allf.mean(axis=0)).max() < 1e-4
+    assert np.abs(allf.std(axis=0) - 1).max() < 1e-2

@@ -99,3 +99,33 @@ def test_torch_bridge(shards):
     assert set(got) == set(truth)
     for k in truth:
         np.testing.assert_array_equal(got[k], truth[k])
+
+
+def test_foreign_npz_in_dir_is_skipped(shards):
+    """The README flow writes cmvn stats npz into the output dir; the
+    dataset must skip any npz without a features member."""
+    root, truth = shards
+    np.savez(root / "cmvn.npz", s1=np.zeros(13), s2=np.zeros(13),
+             n=np.float64(1))
+    (root / "garbage.npz").write_bytes(b"not a zip at all")
+    ds = ShardDataset(root)
+    assert ds.num_shards == 4 and len(ds) == 20
+    assert set(dict(ds)) == set(truth)
+
+
+def test_torch_workers_reshuffle_each_epoch(shards):
+    """With worker processes, each epoch must still see a fresh order
+    (workers iterate pickled copies; torch's per-epoch worker seed is
+    folded into the rng)."""
+    root, truth = shards
+    import torch
+    import torch.utils.data as tud
+
+    ds = ShardDataset(root, shuffle=True, seed=5).as_torch_iterable()
+    g = torch.Generator()
+    g.manual_seed(11)
+    loader = tud.DataLoader(ds, batch_size=None, num_workers=2, generator=g)
+    e1 = [k for k, _ in loader]
+    e2 = [k for k, _ in loader]
+    assert set(e1) == set(e2) == set(truth)  # complete both epochs
+    assert e1 != e2  # reshuffled across epochs

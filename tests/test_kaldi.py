@@ -58,8 +58,15 @@ def test_round_trip_ark_and_scp(tmp_path):
 
 
 def test_keys_and_errors(tmp_path):
-    assert ark_key("/corpus/a b/utt 1.wav") == "/corpus/a_b/utt_1.wav"
-    assert ark_key("   ") == "utt"
+    # paths (no whitespace) pass through untouched
+    assert ark_key("/corpus/a/utt_1.wav") == "/corpus/a/utt_1.wav"
+    # whitespace replacement carries an id-hash suffix so that sanitized
+    # ids can't collide with each other or with clean ids
+    sanitized = ark_key("/corpus/a b/utt 1.wav")
+    assert sanitized.startswith("/corpus/a_b/utt_1.wav-")
+    assert sanitized != ark_key("/corpus/a_b/utt_1.wav")
+    assert ark_key("u 1.wav") != ark_key("u_1.wav")
+    assert ark_key("   ").startswith("utt-")
     with ArkWriter(tmp_path / "dup") as w:
         w.add("k", np.zeros((1, 2), np.float32))
         with pytest.raises(ValueError, match="duplicate"):
