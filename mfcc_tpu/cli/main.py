@@ -681,7 +681,35 @@ def cmd_info(args) -> int:
             f"mels={cfg.n_mels} feat={cfg.features}:{cfg.feat_dim} cmvn={cfg.cmvn} "
             f"hash={cfg.config_hash()}"
         )
-    return 0
+    if not args.self_test:
+        return 0
+
+    # deployment smoke: both backends against the float64 oracle on this
+    # machine's actual default device (catches broken installs, relay
+    # faults, and accuracy regressions in one command)
+    import numpy as np
+
+    from mfcc_tpu.ops import chain, reference_numpy as ref
+
+    g = np.random.default_rng(0)
+    x = (g.standard_normal(16000) * 3000.0).astype(np.float64)
+    failures = 0
+    for cname in ("classic13_deltas", "logmel80"):
+        cfg = NAMED_CONFIGS[cname]
+        want = ref.extract(x, cfg)
+        for backend in ("jnp", "pallas"):
+            t0 = time.perf_counter()
+            got = chain.extract_single(x, cfg, backend=backend)
+            dt = (time.perf_counter() - t0) * 1e3
+            err = float(np.abs(np.asarray(got, np.float64) - want).max())
+            # the documented TPU-fp32 floor (docs/ACCURACY.md): 1.34e-3
+            # worst-case lifted cepstra on pathological goldens
+            ok = got.shape == want.shape and err < 2e-3
+            failures += not ok
+            print(f"self-test {cname:18s} {backend:6s} "
+                  f"max|err|={err:.2e} {'ok' if ok else 'FAIL'} ({dt:.0f} ms)")
+    print("self-test:", "PASS" if failures == 0 else f"{failures} FAILURES")
+    return 0 if failures == 0 else 1
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -801,6 +829,9 @@ def build_parser() -> argparse.ArgumentParser:
     v.set_defaults(fn=cmd_plot)
 
     i = sub.add_parser("info", help="show devices and configs")
+    i.add_argument("--self-test", action="store_true",
+                   help="run an end-to-end accuracy smoke (both backends "
+                        "vs the float64 oracle) on this machine's device")
     i.set_defaults(fn=cmd_info)
     return p
 

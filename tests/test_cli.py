@@ -468,3 +468,9 @@ def test_set_overrides_compose_with_second_pass_commands(corpus, tmp_path):
     allf = np.concatenate([got[ark_key(p)] for p in (paths[0], paths[1])])
     assert np.abs(allf.mean(axis=0)).max() < 1e-4
     assert np.abs(allf.std(axis=0) - 1).max() < 1e-2
+
+
+def test_info_self_test(capsys):
+    assert run_cli("info", "--self-test") == 0
+    out = capsys.readouterr().out
+    assert out.count("ok") >= 4 and "PASS" in out
