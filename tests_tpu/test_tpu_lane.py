@@ -82,6 +82,8 @@ def test_golden_parity_on_tpu(tpu, config_name):
     "knobs",
     [
         dict(window="hann_periodic"),
+        dict(window="povey"),
+        dict(window="blackman_sym"),
         dict(mel_variant="tf_continuous"),
         dict(log_kind="db", append_energy=False),
         dict(dct_norm="htk"),
