@@ -75,7 +75,10 @@ def main() -> int:
     p.add_argument("--seconds", type=float, default=8.0)
     p.add_argument("--threads", type=int, default=4)
     p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--paths", default="arrays,direct,shm")
+    # NOTE: this host's CPU timing is highly contended — compare paths only
+    # within one invocation, and prefer large --utts; recorded capacity
+    # numbers (E2E_r02.json: 117k audio-s/s mp_i16) came from quiet runs
+    p.add_argument("--paths", default="arrays,direct,mp")
     p.add_argument("--corpus-dir", default=None)
     args = p.parse_args()
 
