@@ -474,3 +474,52 @@ def test_info_self_test(capsys):
     assert run_cli("info", "--self-test") == 0
     out = capsys.readouterr().out
     assert out.count("ok") >= 4 and "PASS" in out
+
+
+def test_serve_with_global_cmvn_stats(monkeypatch, capsys, tmp_path):
+    """serve --cmvn-stats: frames arrive normalized with the corpus
+    moments, matching offline extraction + moment-applied CMVN."""
+    import base64
+
+    from mfcc_tpu.ops import chain
+    from mfcc_tpu.parallel import CmvnAccumulator
+
+    cfg0 = NAMED_CONFIGS["classic13_deltas_gcmvn"]
+    g = np.random.default_rng(91)
+    x = (g.standard_normal(7000) * 3000).astype(np.int16)
+    # corpus moments from an offline pass over a small "corpus"
+    corpus = [x, (g.standard_normal(5000) * 2000).astype(np.int16)]
+    acc = CmvnAccumulator(cfg0.feat_dim)
+    feats = []
+    for u in corpus:
+        f = chain.extract_single(
+            u.astype(np.float32), cfg0.replace(cmvn="off"), backend="jnp"
+        )
+        feats.append(f)
+        acc.add(f.astype(np.float64).sum(0), (f.astype(np.float64)**2).sum(0),
+                f.shape[0])
+    stats_path = tmp_path / "m.npz"
+    acc.save(stats_path)
+
+    lines = [
+        json.dumps({"op": "open"}),
+        json.dumps({"op": "push", "sid": 0,
+                    "pcm16": base64.b64encode(x.tobytes()).decode()}),
+        json.dumps({"op": "end", "sid": 0}),
+    ]
+    rc, events = _run_serve(
+        monkeypatch, capsys, lines,
+        "--config", "classic13_deltas_gcmvn",
+        "--cmvn-stats", str(stats_path),
+    )
+    assert rc == 0
+    got = _gather_frames(events, 0)
+    stats = acc.finalize(cfg0)
+    want = (feats[0] - stats.mean) / stats.std
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+    # and without stats, a global-CMVN config is a clean rc=2
+    rc2, events2 = _run_serve(
+        monkeypatch, capsys, [], "--config", "classic13_deltas_gcmvn",
+    )
+    assert rc2 == 2
