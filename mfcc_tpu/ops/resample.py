@@ -73,15 +73,37 @@ def output_lengths(lengths: jnp.ndarray, sr_in: int, sr_out: int) -> jnp.ndarray
     return q * up + ru // down + (ru % down > 0).astype(lengths.dtype)
 
 
+def _block_J(up: int) -> int:
+    """Outputs per device block: the smallest multiple of `up` >= 128, so
+    the matmul's output dim fills MXU lanes and every block shares one
+    polyphase alignment (J % up == 0, the _stream_design invariant)."""
+    return -(-128 // up) * up
+
+
 def resample_batch(
-    audio: jnp.ndarray, sr_in: int, sr_out: int
+    audio: jnp.ndarray, sr_in: int, sr_out: int, method: str = "auto"
 ) -> jnp.ndarray:
     """Resample [..., T] along the last axis; sr_in -> sr_out.
+
+    method: "auto" (Pallas kernel on TPU for fp32 integer decimation,
+    XLA otherwise), "pallas" (force the kernel — interpret mode off-TPU),
+    or "xla" (the blocked-matmul fallback; also the float64 path).
 
     Zero padding beyond each utterance's length behaves exactly like
     scipy's 'constant' edge mode, so a padded batch resamples to the same
     values as each utterance alone (valid output range per row:
     output_lengths(lengths)).
+
+    Device mapping: the polyphase apply is BLOCKED — J outputs per block
+    read one W-wide input window at a fixed alignment, so the whole
+    resample is overlapping static gathers + one `[B·n_blk, W] @ [W, J]`
+    MXU matmul against the banded block matrix (shared with
+    StreamingResampler via _stream_design). The previous
+    `conv_general_dilated(lhs_dilation=up, stride=down)` formulation
+    lowered to a non-MXU strided conv and cost 17.4 ms/step at
+    batch-64 × 10 s × 48 kHz — 21× the entire feature chain; the blocked
+    matmul does ~(3 + lh/(up·J))× the minimal MACs but puts them on the
+    systolic array.
     """
     if sr_in == sr_out:
         return audio
@@ -89,37 +111,60 @@ def resample_batch(
     up, down = d["up"], d["down"]
     n_in = audio.shape[-1]
     n_out = output_length(n_in, sr_in, sr_out)
-    lh = d["taps"].shape[0]
 
+    if method != "xla":
+        from mfcc_tpu.kernels import resample as K
+
+        ok = K.applicable(up, down, n_in, audio.dtype)
+        if method == "pallas" and not ok:
+            raise ValueError(
+                "pallas resample kernel not applicable here (needs fp32 "
+                "integer decimation with a <=128-sample halo)"
+            )
+        if ok and (method == "pallas" or jax.default_backend() == "tpu"):
+            lead = audio.shape[:-1]
+            y = K.resample_pallas(
+                audio.reshape((-1, n_in)), up, down, n_out
+            )
+            return y.reshape(lead + (n_out,))
+
+    J = _block_J(up)
+    M, origin, W, step = _stream_design(up, down, J)
     dtype = audio.dtype
     lead = audio.shape[:-1]
-    x = audio.reshape((-1, 1, n_in))
-    # correlation with the flipped kernel == convolution with h
-    w = jnp.asarray(d["taps"][::-1].copy(), dtype=dtype).reshape((1, 1, lh))
+    x = audio.reshape((-1, n_in))
 
-    # y[j] = sum_i h[i] * xup[(j + n_pre_remove)*down - i]
-    # conv output j' reads dilated input at [j'*down - pad_lo + k]; choose
-    # pad_lo so j' = 0 lands on upfirdn index n_pre_remove*down.
-    pad_lo = lh - 1 - d["n_pre_remove"] * down
-    # highest dilated index touched: (n_out-1)*down - pad_lo + (lh-1)
-    n_up = (n_in - 1) * up + 1
-    pad_hi = max(0, (n_out - 1) * down - pad_lo + (lh - 1) - (n_up - 1))
-    if pad_lo < 0:
-        # fold a negative low pad into a shift (can't happen for the scipy
-        # designs where n_pre_remove*down <= half_len + n_pre_pad = lh-1,
-        # but keep the algebra safe)
-        raise AssertionError("negative pad_lo; filter design violated")
-
-    y = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(down,),
-        padding=[(pad_lo, pad_hi)],
-        lhs_dilation=(up,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
+    n_blk = -(-n_out // J)
+    # block b reads input [origin + b*step, origin + b*step + W); shift by
+    # pad_lo so all indices are >= 0, zero-fill outside (= scipy constant)
+    pad_lo = max(0, -origin)
+    o = origin + pad_lo
+    E = W - step  # inter-block halo (~taps/up samples; E <= step always
+    # for the scipy designs: E ~ 20*down/up < J*down/up = step since J > 20)
+    need = o + (n_blk + 1) * step
+    pad_hi = max(0, need - (n_in + pad_lo))
+    x = jnp.pad(x, ((0, 0), (pad_lo, pad_hi)))
+    B = x.shape[0]
+    if 0 < E <= step:
+        # overlapping windows as two strided reshapes + one concat — a
+        # gather here (jnp.take over a [n_blk, W] index matrix) costs ~6 ms
+        # at batch-64 x 10 s x 48 kHz, 20x the matmul it feeds
+        main = x[:, o : o + n_blk * step].reshape(B, n_blk, step)
+        halo = x[:, o + step : o + (n_blk + 1) * step].reshape(
+            B, n_blk, step
+        )[:, :, :E]
+        win = jnp.concatenate([main, halo], axis=-1)  # [B, n_blk, W]
+    elif E <= 0:
+        win = x[:, o : o + n_blk * step].reshape(B, n_blk, step)[:, :, :W]
+    else:  # exotic design with halo wider than a block: gather fallback
+        idx = o + step * np.arange(n_blk)[:, None] + np.arange(W)
+        win = jnp.take(x, jnp.asarray(idx), axis=-1)
+    y = jnp.matmul(
+        win, jnp.asarray(M.T, dtype=dtype),
+        preferred_element_type=dtype,
         precision=jax.lax.Precision.HIGHEST,
-    )
-    y = y[..., :n_out]
+    )  # [B, n_blk, J]
+    y = y.reshape(x.shape[0], n_blk * J)[..., :n_out]
     return y.reshape(lead + (n_out,))
 
 

@@ -76,8 +76,16 @@ def test_mfcc39_48k_end_to_end():
         g = load_golden("mfcc39_48k", sname)
         feat = chain.extract_single(g["signal_input"], cfg)
         assert feat.shape == g["features"].shape
+        # atol 8e-4 (vs the usual 5e-4): the blocked-matmul resampler's
+        # W~450-term fp32 reductions move this config's measured CPU floor
+        # from 4.1e-4 to 6.8e-4 (scripts/accuracy_report.py; the fp64-
+        # epilogue variant is identical, so the residual originates in the
+        # resampled spectrum's summation order, not the epilogue) — the
+        # price of a ~25x resample-stage speedup. The float64 path still
+        # certifies the algebra at 1e-15 (test_matches_scipy_fp64), and
+        # the TPU floor (docs/ACCURACY.md) is unchanged at ~1.4e-3.
         np.testing.assert_allclose(
-            feat, g["features"], atol=FEATURE_ATOL_FP32, rtol=FEATURE_RTOL
+            feat, g["features"], atol=8e-4, rtol=2e-5
         )
 
 
@@ -182,3 +190,40 @@ def test_streaming_resampler_properties():
     np.testing.assert_allclose(
         run(3.0 * x1 + x2), 3.0 * run(x1) + run(x2), rtol=0, atol=1e-10
     )
+
+
+def test_pallas_kernel_matches_xla_path():
+    """The VMEM-slab resample kernel (interpret mode here) must agree with
+    the blocked-matmul XLA path — same banded matrix, same fp32 matmul
+    class — and with scipy in the sample domain."""
+    import scipy.signal
+
+    from mfcc_tpu.ops import resample
+
+    g = np.random.default_rng(7)
+    for n in (48000, 480000 // 4, 1234):
+        x = (g.standard_normal((3, n)) * 3000).astype(np.float32)
+        a = np.asarray(resample.resample_batch(
+            jnp.asarray(x), 48000, 16000, method="pallas"))
+        b = np.asarray(resample.resample_batch(
+            jnp.asarray(x), 48000, 16000, method="xla"))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-6)  # fp32 order
+        want = scipy.signal.resample_poly(x[0].astype(np.float64), 1, 3)
+        np.testing.assert_allclose(a[0], want, atol=2e-3, rtol=1e-5)
+
+
+def test_pallas_kernel_gating():
+    """Non-applicable designs raise under method='pallas' and silently use
+    XLA under 'auto' (44.1 kHz is a rational ratio -> up=160)."""
+    from mfcc_tpu.kernels import resample as K
+    from mfcc_tpu.ops import resample
+
+    assert K.applicable(1, 3, 480000, jnp.float32)
+    assert not K.applicable(160, 441, 480000, jnp.float32)
+    assert not K.applicable(1, 3, 480000, jnp.float64)
+    x = jnp.asarray(np.zeros((1, 44100), np.float32))
+    with pytest.raises(ValueError, match="not applicable"):
+        resample.resample_batch(x, 44100, 16000, method="pallas")
+    y = resample.resample_batch(x, 44100, 16000)  # auto -> xla, no raise
+    assert y.shape[-1] == resample.output_length(44100, 44100, 16000)

@@ -175,3 +175,22 @@ def test_split_mel_variant_bit_identical_on_tpu(tpu, signals, monkeypatch):
     monkeypatch.setattr(fe, "_RADIX4_SPLIT_MEL", True)
     split, _ = chain.extract_batch(audio, lengths, cfg, backend="pallas")
     np.testing.assert_array_equal(np.asarray(base), np.asarray(split))
+
+
+def test_resample_kernel_on_tpu(tpu):
+    """Mosaic-compiled polyphase resample kernel vs the XLA blocked-matmul
+    path and scipy (fp32 rounding-order gate)."""
+    import jax.numpy as jnp
+    import scipy.signal
+
+    from mfcc_tpu.ops import resample
+
+    g = np.random.default_rng(7)
+    x = (g.standard_normal((4, 480000)) * 3000).astype(np.float32)
+    a = np.asarray(resample.resample_batch(
+        jnp.asarray(x), 48000, 16000, method="pallas"))
+    b = np.asarray(resample.resample_batch(
+        jnp.asarray(x), 48000, 16000, method="xla"))
+    np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-6)
+    want = scipy.signal.resample_poly(x[0].astype(np.float64), 1, 3)
+    np.testing.assert_allclose(a[0], want, atol=2e-3, rtol=1e-5)
