@@ -4,6 +4,18 @@ audio-s ingested/s, utterances/s, pad-occupancy, decode-queue behaviour).
 Plain stdlib: a MetricsLogger accumulates counters and periodically (or on
 demand) appends one JSON object per line to a per-host file; stdout logging
 stays human-readable via `logging`.
+
+Counter inventory (set by the CLI drivers): audio_seconds, utterances,
+frames, shards[_skipped], pad_occupancy, dispatch_ms (host-side H2D +
+launch wall per batch), decode_queue_depth, decode_errors, wrong_rate,
+truncated, long_split; serving adds the pool counters (sessions, poll
+rounds, dispatches, frames_emitted, rtf). The one SURVEY §5 item NOT
+surfaced as a counter is per-batch collective time: the only collective
+is the CMVN-moment psum INSIDE the jitted step — fencing it separately
+would serialize the async dispatch pipeline to measure a µs-scale,
+latency-bound op (3 vectors over ICI). It is observable offline via
+`--profile-dir` (xprof) instead; `scripts/bench_scaling.py` bounds it
+structurally (collective-free per-batch HLO is asserted in tests).
 """
 
 from __future__ import annotations
