@@ -227,3 +227,32 @@ def test_pallas_kernel_gating():
         resample.resample_batch(x, 44100, 16000, method="pallas")
     y = resample.resample_batch(x, 44100, 16000)  # auto -> xla, no raise
     assert y.shape[-1] == resample.output_length(44100, 44100, 16000)
+
+
+def test_pallas_kernel_edges_and_budget():
+    """Edge lengths around block boundaries, and the VMEM-budget fallback
+    for long inputs (auto must silently use XLA, not fail)."""
+    import scipy.signal
+
+    from mfcc_tpu.kernels import resample as K
+    from mfcc_tpu.ops import resample
+
+    g = np.random.default_rng(9)
+    # around one 128-output block (384 input samples) and sub-block sizes
+    for n in (1, 2, 3, 383, 384, 385, 49152, 49153):
+        x = (g.standard_normal((1, n)) * 100).astype(np.float32)
+        got = np.asarray(resample.resample_batch(
+            jnp.asarray(x), 48000, 16000, method="pallas"))[0]
+        want = scipy.signal.resample_poly(x[0].astype(np.float64), 1, 3)
+        assert got.shape == want.shape, (n, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+    # 60 s at 48 kHz exceeds the slab budget -> not applicable, auto falls
+    # back to the XLA path with identical semantics
+    n60 = 48000 * 60
+    assert not K.applicable(1, 3, n60, jnp.float32)
+    x = np.zeros((1, n60), np.float32)
+    x[0, :100] = 1000.0
+    y = np.asarray(resample.resample_batch(jnp.asarray(x), 48000, 16000))
+    assert y.shape[-1] == resample.output_length(n60, 48000, 16000)
+    want = scipy.signal.resample_poly(x[0].astype(np.float64), 1, 3)
+    np.testing.assert_allclose(y[0], want, atol=1e-4)
