@@ -51,8 +51,10 @@ def _kernel_design(up: int, down: int):
     E = W - step
     M1 = np.ascontiguousarray(M.T[:step])  # [step, J] main taps
     M2 = np.zeros((128, J), dtype=np.float64)
-    if E > 0:
+    if 0 < E <= 128:
         M2[:E] = M.T[step:W]  # halo taps; rows [E, 128) are zero
+    # E > 128 (decimations >= ~7x: E ~ 20*down + 1) doesn't fit the
+    # single-row halo — M2 stays zero and applicable() rejects the design
     M1.setflags(write=False)
     M2.setflags(write=False)
     return M1, M2, origin, E, step, J
@@ -60,7 +62,7 @@ def _kernel_design(up: int, down: int):
 
 def applicable(up: int, down: int, n_in: int, dtype) -> bool:
     """True when the kernel path handles this resample (see module doc)."""
-    if up != 1 or dtype != jnp.float32:
+    if up != 1 or dtype != jnp.float32 or n_in <= 0:
         return False
     M1, M2, origin, E, step, J = _kernel_design(up, down)
     if not (0 < E <= 128 and step % 128 == 0):
@@ -106,6 +108,9 @@ def resample_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     M1, M2, origin, E, step, J = _kernel_design(up, down)
+    if not (0 < E <= 128) or n_out <= 0:
+        raise ValueError("design outside the kernel's scope; gate with "
+                         "applicable() first")
     B, n_in = audio.shape
     n_blk = -(-n_out // J)
     n_sup = -(-n_blk // SUB)

@@ -111,6 +111,8 @@ def resample_batch(
     up, down = d["up"], d["down"]
     n_in = audio.shape[-1]
     n_out = output_length(n_in, sr_in, sr_out)
+    if n_in == 0:  # empty input: n_out = ceil(0) = 0, no compute
+        return jnp.zeros(audio.shape[:-1] + (0,), audio.dtype)
 
     if method != "xla":
         from mfcc_tpu.kernels import resample as K

@@ -5,11 +5,13 @@ Plain stdlib: a MetricsLogger accumulates counters and periodically (or on
 demand) appends one JSON object per line to a per-host file; stdout logging
 stays human-readable via `logging`.
 
-Counter inventory (set by the CLI drivers): audio_seconds, utterances,
-frames, shards[_skipped], pad_occupancy, dispatch_ms (host-side H2D +
+Counter inventory (set by the CLI drivers; non-exhaustive — emit() also
+stamps elapsed_s/audio_s_per_s/ts): audio_seconds, utterances, frames,
+shards[_skipped], pad_occupancy, devices, dispatch_ms (host-side H2D +
 launch wall per batch), decode_queue_depth, decode_errors, wrong_rate,
-truncated, long_split; serving adds the pool counters (sessions, poll
-rounds, dispatches, frames_emitted, rtf). The one SURVEY §5 item NOT
+truncated, long_split; serving adds wall_s, rtf and the pool counters
+(sessions_opened/finished, poll_rounds, base_/fin_dispatches,
+frames_emitted). The one SURVEY §5 item NOT
 surfaced as a counter is per-batch collective time: the only collective
 is the CMVN-moment psum INSIDE the jitted step — fencing it separately
 would serialize the async dispatch pipeline to measure a µs-scale,
