@@ -17,11 +17,12 @@ the host-side pad+reshape retile); mfcc39_48k end-to-end 35k → 244k
 audio-s/s.
 
 Scope: integer decimation (up == 1 after gcd — e.g. 48 kHz→16 kHz, the
-BASELINE #5 config) with filter halo E = W - step <= 128 and step a lane
-multiple; `applicable()` gates it and `ops.resample.resample_batch`
-falls back to the XLA path otherwise (rational ratios, float64
-certification, oversized slabs). The halo rides a second dot against a
-mostly-zero M2 because Mosaic cannot concatenate a rolled vector.
+BASELINE #5 config; any integer factor — the halo always fits one extra
+row since E ~ 20*down + 1 < step = 128*down) with step a lane multiple;
+`applicable()` gates it and `ops.resample.resample_batch` falls back to
+the XLA path otherwise (rational ratios, float64 certification,
+oversized slabs). The halo rides a second dot against a mostly-zero M2
+because Mosaic cannot concatenate a rolled vector.
 """
 
 from __future__ import annotations
@@ -50,11 +51,13 @@ def _kernel_design(up: int, down: int):
     M, origin, W, step = R._stream_design(up, down, J)
     E = W - step
     M1 = np.ascontiguousarray(M.T[:step])  # [step, J] main taps
-    M2 = np.zeros((128, J), dtype=np.float64)
-    if 0 < E <= 128:
-        M2[:E] = M.T[step:W]  # halo taps; rows [E, 128) are zero
-    # E > 128 (decimations >= ~7x: E ~ 20*down + 1) doesn't fit the
-    # single-row halo — M2 stays zero and applicable() rejects the design
+    # halo dot width: one lane register when the halo fits (E <= 128,
+    # decimations < 7x), else the full next row (E <= step always for the
+    # scipy designs: E ~ 20*down + 1 < 128*down = step)
+    m2w = 128 if E <= 128 else step
+    M2 = np.zeros((m2w, J), dtype=np.float64)
+    if 0 < E <= step:
+        M2[:E] = M.T[step:W]  # halo taps; rows [E, m2w) are zero
     M1.setflags(write=False)
     M2.setflags(write=False)
     return M1, M2, origin, E, step, J
@@ -65,7 +68,7 @@ def applicable(up: int, down: int, n_in: int, dtype) -> bool:
     if up != 1 or dtype != jnp.float32 or n_in <= 0:
         return False
     M1, M2, origin, E, step, J = _kernel_design(up, down)
-    if not (0 < E <= 128 and step % 128 == 0):
+    if not (0 < E <= step and step % 128 == 0):
         return False
     n_out = -(-n_in * up // down)
     n_sup = -(-(-(-n_out // J)) // SUB)
@@ -81,13 +84,14 @@ def _make_kernel(step: int, J: int):
         # rows [s*SUB, s*SUB + SUB + 1): SUB main rows + the halo source
         mat = slab_ref[0, pl.ds(s * SUB, SUB + 1), :]  # [SUB+1, step]
         main = mat[:SUB]
-        # halo: row k's window continues into row k+1's first E (<=128)
-        # lanes. Mosaic can't concatenate a rolled (sublane-offset) vector
-        # onto main, so the halo rides a SECOND 128-lane dot against M2
-        # (rows [E, 128) zero -> exact-zero contributions). roll shift
+        # halo: row k's window continues into row k+1's first E lanes.
+        # Mosaic can't concatenate a rolled (sublane-offset) vector onto
+        # main, so the halo rides a SECOND dot against M2 (m2w lanes wide;
+        # rows [E, m2w) zero -> exact-zero contributions). roll shift
         # must be non-negative: shift=SUB over SUB+1 rows sends row
         # k+1 -> k.
-        halo = pltpu.roll(mat, shift=SUB, axis=0)[:SUB, :128]
+        m2w = m2_ref.shape[0]
+        halo = pltpu.roll(mat, shift=SUB, axis=0)[:SUB, :m2w]
         out_ref[0] = jnp.dot(
             main, m1_ref[:], preferred_element_type=jnp.float32, precision=hi
         ) + jnp.dot(
@@ -108,7 +112,7 @@ def resample_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     M1, M2, origin, E, step, J = _kernel_design(up, down)
-    if not (0 < E <= 128) or n_out <= 0:
+    if not (0 < E <= step) or n_out <= 0:
         raise ValueError("design outside the kernel's scope; gate with "
                          "applicable() first")
     B, n_in = audio.shape
@@ -129,7 +133,7 @@ def resample_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((step, J), lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, J), lambda b, s: (0, 0),
+            pl.BlockSpec(M2.shape, lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, SUB, J), lambda b, s: (b, s, 0),

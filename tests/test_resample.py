@@ -259,25 +259,25 @@ def test_pallas_kernel_edges_and_budget():
 
 
 def test_high_decimation_and_empty_input():
-    """Regression (review findings): >=7x integer decimations (halo > 128)
-    must gate to XLA without crashing, and zero-length input returns an
-    empty array on every path."""
+    """Regression (review findings): >=7x integer decimations (halo E =
+    20*down+1 > 128) use the wide-halo kernel variant without crashing,
+    and zero-length input returns an empty array on every path."""
     import scipy.signal
 
     from mfcc_tpu.kernels import resample as K
     from mfcc_tpu.ops import resample
 
-    # 192k -> 16k: up=1, down=12, E = 241 > 128 -> not applicable, auto
-    # falls back and still matches scipy
-    assert not K.applicable(1, 12, 192000, jnp.float32)
+    # 192k -> 16k: up=1, down=12, E = 241 (> one lane register): the
+    # kernel's full-row halo dot handles it; parity vs scipy holds
+    assert K.applicable(1, 12, 192000, jnp.float32)
     g = np.random.default_rng(11)
     x = (g.standard_normal((1, 192000)) * 100).astype(np.float32)
-    y = np.asarray(resample.resample_batch(jnp.asarray(x), 192000, 16000))
     want = scipy.signal.resample_poly(x[0].astype(np.float64), 1, 12)
-    assert y.shape[-1] == want.shape[0]
-    np.testing.assert_allclose(y[0], want, atol=1e-4)
-    with pytest.raises(ValueError, match="not applicable"):
-        resample.resample_batch(jnp.asarray(x), 192000, 16000, method="pallas")
+    for method in ("pallas", "xla"):
+        y = np.asarray(resample.resample_batch(
+            jnp.asarray(x), 192000, 16000, method=method))
+        assert y.shape[-1] == want.shape[0]
+        np.testing.assert_allclose(y[0], want, atol=1e-4)
 
     # zero-length input: n_out = 0, no crash, any method
     for method in ("auto", "xla"):
