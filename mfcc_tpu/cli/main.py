@@ -30,9 +30,19 @@ log = logging.getLogger("mfcc_tpu.cli")
 
 
 def _expand_files(patterns) -> list[str]:
+    """Inputs may be wav paths, globs, directories, or manifests:
+    `@list.txt` (one path per line; a second whitespace-separated column is
+    tolerated Kaldi-style — `<utt-id> <path>` wav.scp lines use the LAST
+    field as the path; '#' comments and blank lines skipped)."""
     out = []
     for p in patterns:
-        if any(ch in p for ch in "*?["):
+        if p.startswith("@"):
+            for line in pathlib.Path(p[1:]).read_text().splitlines():
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                out.append(line.split()[-1])
+        elif any(ch in p for ch in "*?["):
             out.extend(sorted(globlib.glob(p, recursive=True)))
         elif pathlib.Path(p).is_dir():
             out.extend(sorted(str(q) for q in pathlib.Path(p).rglob("*.wav")))
@@ -723,7 +733,10 @@ def build_parser() -> argparse.ArgumentParser:
                 "config)")
 
     e = sub.add_parser("extract", help="extract features from wav files")
-    e.add_argument("files", nargs="+", help="wav paths, globs, or directories")
+    e.add_argument("files", nargs="+",
+                   help="wav paths, globs, directories, or @list.txt "
+                        "manifests (one path per line; Kaldi wav.scp "
+                        "'<utt> <path>' lines accepted)")
     e.add_argument("--config", default="classic13")
     e.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help=set_help)

@@ -523,3 +523,25 @@ def test_serve_with_global_cmvn_stats(monkeypatch, capsys, tmp_path):
         monkeypatch, capsys, [], "--config", "classic13_deltas_gcmvn",
     )
     assert rc2 == 2
+
+
+def test_file_list_manifest(corpus, tmp_path):
+    """@list.txt manifests: plain path lines, Kaldi wav.scp '<utt> <path>'
+    lines, comments, blanks — all resolve to the same extraction set."""
+    paths, sigs = corpus
+    manifest = tmp_path / "wav.scp"
+    manifest.write_text(
+        "# comment line\n"
+        f"{paths[0]}\n"
+        "\n"
+        f"utt_b {paths[1]}\n"
+        f"utt-c  {paths[2]}\n"
+    )
+    out = tmp_path / "feats"
+    assert run_cli("extract", f"@{manifest}", "--config", "classic13",
+                   "-o", str(out), "--backend", "jnp",
+                   "--batch-size", "4") == 0
+    shard = {}
+    for s in out.glob("h0-*.npz"):
+        shard.update(read_shard(s))
+    assert set(shard) == set(paths[:3])
