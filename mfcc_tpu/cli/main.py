@@ -99,11 +99,11 @@ def cmd_extract(args) -> int:
     n_dev = mesh.shape["data"]
     batch_size = pad_batch_to_shards(args.batch_size, mesh)
 
-    if args.format != "npz" and cfg.cmvn == "global":
-        log.error("--format %s does not support the two-pass global-CMVN "
+    if args.format != "npz" and cfg.cmvn in ("global", "speaker"):
+        log.error("--format %s does not support the two-pass %s-CMVN "
                   "rewrite (apply-cmvn operates on npz shards); extract to "
                   "npz, apply-cmvn, then `mfcc_tpu convert --to %s`, or use "
-                  "cmvn=utterance/off", args.format, args.format)
+                  "cmvn=utterance/off", args.format, cfg.cmvn, args.format)
         return 2
     writer = ShardWriter(args.output_dir, cfg, compress=args.compress,
                          fmt=args.format)
@@ -112,8 +112,20 @@ def cmd_extract(args) -> int:
         context={"process": jax.process_index(), "config": args.config},
     )
     stats = DecodeStats()
-    want_moments = cfg.cmvn == "global" or args.cmvn_stats is not None
-    acc = CmvnAccumulator(cfg.feat_dim) if want_moments else None
+    speaker_mode = cfg.cmvn == "speaker"
+    want_moments = (
+        speaker_mode or cfg.cmvn == "global" or args.cmvn_stats is not None
+    )
+    if speaker_mode:
+        from mfcc_tpu.parallel import (
+            SpeakerCmvnAccumulator, read_utt2spk, speaker_of,
+        )
+
+        utt2spk = read_utt2spk(args.utt2spk) if args.utt2spk else None
+        spk_of = lambda uid: speaker_of(uid, utt2spk, args.spk_from)  # noqa: E731
+        acc = SpeakerCmvnAccumulator(cfg.feat_dim)
+    else:
+        acc = CmvnAccumulator(cfg.feat_dim) if want_moments else None
 
     shard_idx = 0
     host = f"h{jax.process_index()}"
@@ -148,7 +160,26 @@ def cmd_extract(args) -> int:
         Runs while the NEXT batch computes on device (async dispatch)."""
         shard_name, real_ids, batch, feat, mask, moments = entry
         extra = None
-        if acc is not None:
+        if acc is not None and speaker_mode:
+            s1, s2, n = (np.asarray(m, dtype=np.float64) for m in moments)
+            # group per-utterance triples by speaker (row i <-> ids[i];
+            # failed-decode rows have id None and n=0)
+            shard_pools: dict[str, list] = {}
+            for i, uid in enumerate(batch.ids):
+                if uid is None:
+                    continue
+                spk = spk_of(uid)
+                acc.add(spk, s1[i], s2[i], n[i])
+                p = shard_pools.setdefault(spk, [np.zeros(cfg.feat_dim),
+                                                 np.zeros(cfg.feat_dim), 0.0])
+                p[0] += s1[i]
+                p[1] += s2[i]
+                p[2] += float(n[i])
+            extra = {"speaker_moments": {
+                s: {"s1": p[0].tolist(), "s2": p[1].tolist(), "n": p[2]}
+                for s, p in shard_pools.items()
+            }}
+        elif acc is not None:
             s1, s2, n = (np.asarray(m, dtype=np.float64) for m in moments)
             acc.add(s1, s2, n)
             # moments ride the done marker so a resumed run recovers the
@@ -216,12 +247,17 @@ def cmd_extract(args) -> int:
             real_ids = [i for i in batch.ids if i is not None]
             if args.resume and writer.is_done(shard_name, real_ids):
                 meta = writer.marker_meta(shard_name) or {}
-                mom = meta.get("extra", {}).get("moments")
+                key = "speaker_moments" if speaker_mode else "moments"
+                mom = meta.get("extra", {}).get(key)
                 if acc is not None and mom is None:
                     # marker predates moment tracking: recompute the shard
                     log.info("shard %s lacks moments; recomputing", shard_name)
                 else:
-                    if acc is not None:
+                    if acc is not None and speaker_mode:
+                        for spk, p in mom.items():
+                            acc.add(spk, np.asarray(p["s1"]),
+                                    np.asarray(p["s2"]), p["n"])
+                    elif acc is not None:
                         acc.add(
                             np.asarray(mom["s1"]), np.asarray(mom["s2"]),
                             mom["n"],
@@ -232,7 +268,9 @@ def cmd_extract(args) -> int:
                 t_disp = time.perf_counter()
                 feat, mask, moments = sharded_extract_batch(
                     batch.audio, batch.lengths, cfg, mesh,
-                    backend=backend, with_moments=want_moments,
+                    backend=backend,
+                    with_moments="per_utterance" if speaker_mode
+                    else want_moments,
                 )
                 # host-side dispatch wall (device_put H2D + async launch);
                 # decode_queue_depth: jobs in flight when this batch flushed
@@ -262,11 +300,16 @@ def cmd_extract(args) -> int:
             shard_name = f"{host}-long-{li:06d}"
             if args.resume and writer.is_done(shard_name, [path]):
                 meta = writer.marker_meta(shard_name) or {}
-                mom = meta.get("extra", {}).get("moments")
+                key = "speaker_moments" if speaker_mode else "moments"
+                mom = meta.get("extra", {}).get(key)
                 if acc is not None and mom is None:
                     log.info("shard %s lacks moments; recomputing", shard_name)
                 else:
-                    if acc is not None:
+                    if acc is not None and speaker_mode:
+                        for spk, p in mom.items():
+                            acc.add(spk, np.asarray(p["s1"]),
+                                    np.asarray(p["s2"]), p["n"])
+                    elif acc is not None:
                         acc.add(np.asarray(mom["s1"]), np.asarray(mom["s2"]),
                                 mom["n"])
                     metrics.add(shards_skipped=1, utterances=1)
@@ -286,7 +329,14 @@ def cmd_extract(args) -> int:
                     samples, cfg, backend=backend, seg_len_s=args.max_len_s
                 )
             extra = None
-            if acc is not None:
+            if acc is not None and speaker_mode:
+                s1, s2, n = long_moments(feat)
+                spk = spk_of(path)
+                acc.add(spk, s1, s2, n)
+                extra = {"speaker_moments": {spk: {
+                    "s1": s1.tolist(), "s2": s2.tolist(), "n": float(n),
+                }}}
+            elif acc is not None:
                 s1, s2, n = long_moments(feat)
                 acc.add(s1, s2, n)
                 extra = {"moments": {
@@ -310,12 +360,15 @@ def cmd_extract(args) -> int:
             pathlib.Path(args.output_dir) / f"cmvn_moments_{host}.npz"
         )
         acc.save(stats_path)
-        log.info("CMVN moments (n=%.0f frames) -> %s", acc.n, stats_path)
-        if cfg.cmvn == "global":
+        log.info("CMVN moments (n=%.0f frames%s) -> %s", acc.n,
+                 f", {len(acc.pools)} speakers" if speaker_mode else "",
+                 stats_path)
+        if cfg.cmvn in ("global", "speaker"):
             log.info(
-                "run `mfcc_tpu apply-cmvn %s --stats %s --config %s` to "
+                "run `mfcc_tpu apply-cmvn %s --stats %s --config %s%s` to "
                 "normalize (merging per-host moment files first if multi-host)",
                 args.output_dir, stats_path, args.config,
+                " --utt2spk ..." if speaker_mode and args.utt2spk else "",
             )
     log.info(
         "done: %d utterances (%d long-split), %d decode errors, "
@@ -326,18 +379,19 @@ def cmd_extract(args) -> int:
     return 0
 
 
-def _normalize_shard(spath_str: str, mean: np.ndarray, std: np.ndarray,
-                     var_norm: bool, stats_fp: str, force: bool = False,
+def _normalize_shard(spath_str: str, resolve, var_norm: bool,
+                     stats_fp: str, force: bool = False,
                      compress: str = "none") -> str:
     """Normalize one shard in place, idempotently. Returns the outcome:
     "normalized" | "skipped" (already carries this stats fingerprint) |
     "mismatch" (normalized with DIFFERENT stats — re-applying would stack
     two normalizations) | "not_features" (e.g. a moments checkpoint).
 
-    The applied fingerprint is stored INSIDE the shard npz (key cmvn_fp)
-    so a crash mid-corpus leaves per-shard truth, not one directory-level
-    marker written only at the end: the rerun skips exactly the shards
-    already done."""
+    resolve(utt_id) -> (mean, std): constant for global CMVN, the
+    utterance's speaker pool for speaker CMVN. The applied fingerprint is
+    stored INSIDE the shard npz (key cmvn_fp) so a crash mid-corpus
+    leaves per-shard truth, not one directory-level marker written only
+    at the end: the rerun skips exactly the shards already done."""
     spath = pathlib.Path(spath_str)
     with np.load(spath, allow_pickle=False) as z:
         if "features" not in z.files:
@@ -345,7 +399,12 @@ def _normalize_shard(spath_str: str, mean: np.ndarray, std: np.ndarray,
         if "cmvn_fp" in z.files and not force:
             return "skipped" if str(z["cmvn_fp"]) == stats_fp else "mismatch"
         feats, offsets, ids = z["features"], z["offsets"], z["ids"]
-    feats = (feats - mean) / std if var_norm else feats - mean
+    for i in range(len(ids)):
+        mean, std = resolve(str(ids[i]))
+        seg = feats[offsets[i] : offsets[i + 1]]
+        seg -= mean
+        if var_norm:
+            seg /= std
     tmp = spath.with_name(spath.stem + ".tmp.npz")
     save = np.savez_compressed if compress == "zlib" else np.savez
     save(tmp, features=feats.astype(np.float32),
@@ -372,20 +431,59 @@ def cmd_apply_cmvn(args) -> int:
     import hashlib
     import os
 
-    from mfcc_tpu.parallel import CmvnAccumulator
+    from mfcc_tpu.parallel import (
+        CmvnAccumulator, SpeakerCmvnAccumulator, is_speaker_stats,
+        read_utt2spk, speaker_of,
+    )
 
     try:
         cfg = _resolve_config(args)
     except (KeyError, ValueError) as e:
         log.error("%s", e.args[0])
         return 2
-    acc = CmvnAccumulator(cfg.feat_dim)
-    for mpath in args.stats:
-        acc.merge(CmvnAccumulator.load(mpath))
-    stats = acc.finalize(cfg)
-    mean = stats.mean.astype(np.float32)
-    std = stats.std.astype(np.float32)
-    stats_fp = hashlib.sha256(mean.tobytes() + std.tobytes()).hexdigest()[:16]
+    speaker = is_speaker_stats(args.stats[0])
+    h = hashlib.sha256()
+    if speaker:
+        sacc = SpeakerCmvnAccumulator(cfg.feat_dim)
+        for mpath in args.stats:
+            sacc.merge(SpeakerCmvnAccumulator.load(mpath))
+        by_spk = {
+            s: (st.mean.astype(np.float32), st.std.astype(np.float32))
+            for s, st in sacc.finalize(cfg).items()
+        }
+        utt2spk = read_utt2spk(args.utt2spk) if args.utt2spk else None
+
+        def resolve(uid: str):
+            spk = speaker_of(uid, utt2spk, args.spk_from)
+            try:
+                return by_spk[spk]
+            except KeyError:
+                raise KeyError(
+                    f"speaker {spk!r} (utterance {uid!r}) has no pooled "
+                    "stats — wrong --utt2spk/--spk-from, or the stats came "
+                    "from a different corpus?"
+                ) from None
+
+        # the normalized bytes depend on the pools AND the mapping
+        for s in sorted(by_spk):
+            h.update(s.encode())
+            h.update(by_spk[s][0].tobytes())
+            h.update(by_spk[s][1].tobytes())
+        h.update(pathlib.Path(args.utt2spk).read_bytes()
+                 if args.utt2spk else f"spk-from:{args.spk_from}".encode())
+        n_frames = sacc.n
+    else:
+        acc = CmvnAccumulator(cfg.feat_dim)
+        for mpath in args.stats:
+            acc.merge(CmvnAccumulator.load(mpath))
+        stats = acc.finalize(cfg)
+        mean = stats.mean.astype(np.float32)
+        std = stats.std.astype(np.float32)
+        resolve = lambda uid: (mean, std)  # noqa: E731
+        h.update(mean.tobytes())
+        h.update(std.tobytes())
+        n_frames = stats.n
+    stats_fp = h.hexdigest()[:16]
 
     shard_dir = pathlib.Path(args.shard_dir)
     paths = []
@@ -400,12 +498,16 @@ def cmd_apply_cmvn(args) -> int:
     workers = args.jobs or min(len(paths) or 1, os.cpu_count() or 1)
     with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
         futs = {
-            pool.submit(_normalize_shard, p, mean, std, cfg.cmvn_var_norm,
+            pool.submit(_normalize_shard, p, resolve, cfg.cmvn_var_norm,
                         stats_fp, args.force, args.compress): p
             for p in paths
         }
         for fut in concurrent.futures.as_completed(futs):
-            outcome = fut.result()
+            try:
+                outcome = fut.result()
+            except KeyError as e:
+                log.error("%s", e.args[0])
+                return 1
             counts[outcome] += 1
             if outcome == "mismatch":
                 mismatched.append(futs[fut])
@@ -420,14 +522,14 @@ def cmd_apply_cmvn(args) -> int:
     marker.parent.mkdir(parents=True, exist_ok=True)
     marker.write_text(json.dumps({
         "stats_fingerprint": stats_fp,
-        "n_frames": stats.n,
+        "n_frames": n_frames,
         "shards": counts["normalized"] + counts["skipped"],
         "applied_at": time.time(),
     }))
     log.info(
         "normalized %d shards (%d already done) with corpus stats "
         "(n=%.0f frames, %d workers)",
-        counts["normalized"], counts["skipped"], stats.n, workers,
+        counts["normalized"], counts["skipped"], n_frames, workers,
     )
     return 0
 
@@ -776,7 +878,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="async shard-writer threads")
     e.add_argument("--resume", action=argparse.BooleanOptionalAction, default=True)
     e.add_argument("--cmvn-stats", default=None,
-                   help="path for global CMVN moment checkpoint")
+                   help="path for the global/speaker CMVN moment checkpoint")
+    e.add_argument("--utt2spk", default=None,
+                   help="Kaldi utt2spk file ('<utt> <spk>' lines) for "
+                        "cmvn=speaker; default derives the speaker from "
+                        "the wav's parent directory (--spk-from dir)")
+    e.add_argument("--spk-from", choices=["dir"], default="dir",
+                   help="speaker derivation when no --utt2spk is given")
     e.add_argument("--metrics", default=None, help="JSON-lines metrics file")
     e.add_argument("--log-every", type=int, default=10)
     e.add_argument("--profile-dir", default=None,
@@ -790,6 +898,11 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--config", default="classic13")
     a.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help=set_help)
+    a.add_argument("--utt2spk", default=None,
+                   help="Kaldi utt2spk file for speaker-CMVN stats "
+                        "(must map the same way as the extract pass)")
+    a.add_argument("--spk-from", choices=["dir"], default="dir",
+                   help="speaker derivation when no --utt2spk is given")
     a.add_argument("--force", action="store_true",
                    help="re-normalize even shards already carrying a stats "
                         "fingerprint (stacks normalizations — only after "

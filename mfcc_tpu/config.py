@@ -29,7 +29,7 @@ MEL_VARIANTS = ("psf_quantized", "tf_continuous")
 LOG_KINDS = ("ln", "ln_stab", "db")
 DCT_NORMS = ("ortho", "htk")
 FRAME_TAILS = ("pad", "drop")
-CMVN_MODES = ("off", "utterance", "global")
+CMVN_MODES = ("off", "utterance", "global", "speaker")
 FEATURES = ("mfcc", "logmel", "ssc")
 
 

@@ -16,6 +16,11 @@ from mfcc_tpu.parallel.extract import (  # noqa: F401
 from mfcc_tpu.parallel.cmvn import (  # noqa: F401
     CmvnAccumulator,
     CmvnStats,
-    batch_moments,
+    SpeakerCmvnAccumulator,
     apply_cmvn,
+    batch_moments,
+    is_speaker_stats,
+    read_utt2spk,
+    speaker_of,
+    utterance_moments,
 )

@@ -31,6 +31,10 @@ from mfcc_tpu.parallel.mesh import DATA_AXIS
 def _sharded_extract(audio, lengths, cfg, backend, mesh, with_moments):
     def local_step(a, l):
         feat, mask = chain.extract_batch(a, l, cfg, backend=backend)
+        if with_moments == "per_utterance":
+            # speaker CMVN: [B, D] triples shard with the batch; the host
+            # groups rows by speaker — no collective needed
+            return (feat, mask) + cmvn_mod.utterance_moments(feat, mask)
         if with_moments:
             s1, s2, n = cmvn_mod.batch_moments(feat, mask)
             s1 = jax.lax.psum(s1, DATA_AXIS)
@@ -40,7 +44,9 @@ def _sharded_extract(audio, lengths, cfg, backend, mesh, with_moments):
         return feat, mask
 
     data, rep = P(DATA_AXIS), P()
-    if with_moments:
+    if with_moments == "per_utterance":
+        out_specs = (data, data, data, data, data)
+    elif with_moments:
         out_specs = (data, data, rep, rep, rep)
     else:
         out_specs = (data, data)
@@ -65,13 +71,15 @@ def sharded_extract_batch(
     cfg: FrontendConfig,
     mesh: Mesh,
     backend: str = "jnp",
-    with_moments: bool = False,
+    with_moments: bool | str = False,
 ):
     """Extract features with the batch sharded over mesh axis "data".
 
     audio: [B, T] with B divisible by the data-axis size (pipeline.pad_batch
     pad_batch_to handles this); lengths: [B]. Returns (features, frame_mask,
-    moments-or-None); moments are the replicated global (Σx, Σx², n).
+    moments-or-None); with_moments=True gives the replicated global
+    (Σx[D], Σx²[D], n) triple, "per_utterance" the batch-sharded
+    (Σx[B, D], Σx²[B, D], n[B]) triples (speaker CMVN).
     """
     d = mesh.shape[DATA_AXIS]
     if audio.shape[0] % d != 0:

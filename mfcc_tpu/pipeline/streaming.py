@@ -148,8 +148,11 @@ class StreamingExtractor:
                 "be streamed; use cmvn='global' with cmvn_moments, or the "
                 "offline extract()/extract_batch()"
             )
-        if cfg.cmvn == "global" and cmvn_moments is None:
-            raise ValueError("cfg.cmvn='global' requires cmvn_moments=(s1, s2, n)")
+        if cfg.cmvn in ("global", "speaker") and cmvn_moments is None:
+            raise ValueError(
+                f"cfg.cmvn={cfg.cmvn!r} requires cmvn_moments=(s1, s2, n) "
+                "(for 'speaker': this session's speaker's pool)"
+            )
         if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
             # 48 kHz-input configs: an exact streaming polyphase stage feeds
             # the feature stream at cfg.sample_rate (host float64 math,
@@ -352,7 +355,7 @@ class StreamingExtractor:
         return feat
 
     def _post(self, feat: np.ndarray) -> np.ndarray:
-        if self.cfg.cmvn == "global":
+        if self.cfg.cmvn in ("global", "speaker"):
             s1, s2, n = self._moments
             mu = (s1 / n).astype(np.float32)
             feat = feat - mu
