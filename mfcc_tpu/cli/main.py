@@ -29,11 +29,15 @@ import numpy as np
 log = logging.getLogger("mfcc_tpu.cli")
 
 
-def _expand_files(patterns) -> list[str]:
+def _expand_files(patterns, aliases: dict | None = None) -> list[str]:
     """Inputs may be wav paths, globs, directories, or manifests:
     `@list.txt` (one path per line; a second whitespace-separated column is
     tolerated Kaldi-style — `<utt-id> <path>` wav.scp lines use the LAST
-    field as the path; '#' comments and blank lines skipped)."""
+    field as the path; '#' comments and blank lines skipped).
+
+    aliases, when given, collects path -> manifest utt-id for two-column
+    manifest lines, so Kaldi wav.scp + utt2spk pairs compose (speaker
+    lookup tries the utt-id first)."""
     out = []
     for p in patterns:
         if p.startswith("@"):
@@ -41,7 +45,10 @@ def _expand_files(patterns) -> list[str]:
                 line = line.strip()
                 if not line or line.startswith("#"):
                     continue
-                out.append(line.split()[-1])
+                parts = line.split()
+                out.append(parts[-1])
+                if aliases is not None and len(parts) > 1:
+                    aliases[parts[-1]] = parts[0]
         elif any(ch in p for ch in "*?["):
             out.extend(sorted(globlib.glob(p, recursive=True)))
         elif pathlib.Path(p).is_dir():
@@ -82,7 +89,8 @@ def cmd_extract(args) -> int:
     except (KeyError, ValueError) as e:
         log.error("%s", e.args[0])
         return 2
-    files = _expand_files(args.files)
+    aliases: dict = {}  # path -> manifest utt-id (wav.scp composition)
+    files = _expand_files(args.files, aliases)
     if not files:
         log.error("no input files matched")
         return 2
@@ -121,10 +129,27 @@ def cmd_extract(args) -> int:
             SpeakerCmvnAccumulator, read_utt2spk, speaker_of,
         )
 
-        utt2spk = read_utt2spk(args.utt2spk) if args.utt2spk else None
-        spk_of = lambda uid: speaker_of(uid, utt2spk, args.spk_from)  # noqa: E731
+        try:
+            utt2spk = read_utt2spk(args.utt2spk) if args.utt2spk else None
+        except (OSError, ValueError) as e:
+            log.error("--utt2spk: %s", e)
+            return 2
+
+        def spk_of(uid: str) -> str:
+            # manifest utt-ids compose with utt2spk (wav.scp pairs)
+            key = aliases.get(uid, uid) if utt2spk else uid
+            return speaker_of(key, utt2spk, args.spk_from)
+
+        # validate the whole mapping BEFORE any device work: one typo'd
+        # utt2spk entry must not kill the run mid-extraction
+        try:
+            spk_by_utt = {f: spk_of(f) for f in files}
+        except KeyError as e:
+            log.error("%s (fix --utt2spk or use --spk-from dir)", e.args[0])
+            return 2
         acc = SpeakerCmvnAccumulator(cfg.feat_dim)
     else:
+        spk_by_utt = {}
         acc = CmvnAccumulator(cfg.feat_dim) if want_moments else None
 
     shard_idx = 0
@@ -155,6 +180,53 @@ def cmd_extract(args) -> int:
                 except Exception:  # pragma: no cover - backend-dependent
                     pass
 
+    def fold_speaker(ids, s1, s2, n) -> dict:
+        """Fold per-utterance triples into the per-speaker pools; returns
+        the marker extra (per-shard pool contributions PLUS the resolved
+        utt->spk mapping, so resume can detect a changed mapping)."""
+        pools: dict[str, list] = {}
+        rec = {}
+        for i, uid in enumerate(ids):
+            if uid is None:  # failed decode: n=0 row
+                continue
+            spk = spk_by_utt[uid]
+            rec[uid] = spk
+            acc.add(spk, s1[i], s2[i], n[i])
+            p = pools.setdefault(spk, [np.zeros(cfg.feat_dim),
+                                       np.zeros(cfg.feat_dim), 0.0])
+            p[0] += s1[i]
+            p[1] += s2[i]
+            p[2] += float(n[i])
+        return {"speaker_moments": {
+            s: {"s1": p[0].tolist(), "s2": p[1].tolist(), "n": p[2]}
+            for s, p in pools.items()
+        }, "spk_by_utt": rec}
+
+    def recover_moments(meta: dict) -> bool:
+        """Fold a skipped shard's marker moments into acc; False means the
+        marker is unusable (pre-moment marker, or — speaker mode — the
+        utt->spk mapping changed since it was written) and the shard must
+        be recomputed so the pools stay correct."""
+        if acc is None:
+            return True
+        extra = meta.get("extra", {})
+        if speaker_mode:
+            mom = extra.get("speaker_moments")
+            rec = extra.get("spk_by_utt")
+            if mom is None or rec is None:
+                return False
+            if any(spk_by_utt.get(uid) != spk for uid, spk in rec.items()):
+                return False  # stale mapping: recompute under the new one
+            for spk, p in mom.items():
+                acc.add(spk, np.asarray(p["s1"]), np.asarray(p["s2"]),
+                        p["n"])
+            return True
+        mom = extra.get("moments")
+        if mom is None:
+            return False
+        acc.add(np.asarray(mom["s1"]), np.asarray(mom["s2"]), mom["n"])
+        return True
+
     def complete(entry) -> None:
         """Finish one dispatched batch: pull arrays, trim, write, count.
         Runs while the NEXT batch computes on device (async dispatch)."""
@@ -162,23 +234,7 @@ def cmd_extract(args) -> int:
         extra = None
         if acc is not None and speaker_mode:
             s1, s2, n = (np.asarray(m, dtype=np.float64) for m in moments)
-            # group per-utterance triples by speaker (row i <-> ids[i];
-            # failed-decode rows have id None and n=0)
-            shard_pools: dict[str, list] = {}
-            for i, uid in enumerate(batch.ids):
-                if uid is None:
-                    continue
-                spk = spk_of(uid)
-                acc.add(spk, s1[i], s2[i], n[i])
-                p = shard_pools.setdefault(spk, [np.zeros(cfg.feat_dim),
-                                                 np.zeros(cfg.feat_dim), 0.0])
-                p[0] += s1[i]
-                p[1] += s2[i]
-                p[2] += float(n[i])
-            extra = {"speaker_moments": {
-                s: {"s1": p[0].tolist(), "s2": p[1].tolist(), "n": p[2]}
-                for s, p in shard_pools.items()
-            }}
+            extra = fold_speaker(batch.ids, s1, s2, n)
         elif acc is not None:
             s1, s2, n = (np.asarray(m, dtype=np.float64) for m in moments)
             acc.add(s1, s2, n)
@@ -246,24 +302,12 @@ def cmd_extract(args) -> int:
             shard_idx += 1
             real_ids = [i for i in batch.ids if i is not None]
             if args.resume and writer.is_done(shard_name, real_ids):
-                meta = writer.marker_meta(shard_name) or {}
-                key = "speaker_moments" if speaker_mode else "moments"
-                mom = meta.get("extra", {}).get(key)
-                if acc is not None and mom is None:
-                    # marker predates moment tracking: recompute the shard
-                    log.info("shard %s lacks moments; recomputing", shard_name)
-                else:
-                    if acc is not None and speaker_mode:
-                        for spk, p in mom.items():
-                            acc.add(spk, np.asarray(p["s1"]),
-                                    np.asarray(p["s2"]), p["n"])
-                    elif acc is not None:
-                        acc.add(
-                            np.asarray(mom["s1"]), np.asarray(mom["s2"]),
-                            mom["n"],
-                        )
+                if recover_moments(writer.marker_meta(shard_name) or {}):
                     metrics.add(shards_skipped=1, utterances=len(real_ids))
                     continue
+                log.info("shard %s lacks usable moments (pre-moment marker "
+                         "or changed speaker mapping); recomputing",
+                         shard_name)
             with trace_mod.annotate("dispatch"):
                 t_disp = time.perf_counter()
                 feat, mask, moments = sharded_extract_batch(
@@ -299,21 +343,12 @@ def cmd_extract(args) -> int:
         for li, path in enumerate(stats.long_paths):
             shard_name = f"{host}-long-{li:06d}"
             if args.resume and writer.is_done(shard_name, [path]):
-                meta = writer.marker_meta(shard_name) or {}
-                key = "speaker_moments" if speaker_mode else "moments"
-                mom = meta.get("extra", {}).get(key)
-                if acc is not None and mom is None:
-                    log.info("shard %s lacks moments; recomputing", shard_name)
-                else:
-                    if acc is not None and speaker_mode:
-                        for spk, p in mom.items():
-                            acc.add(spk, np.asarray(p["s1"]),
-                                    np.asarray(p["s2"]), p["n"])
-                    elif acc is not None:
-                        acc.add(np.asarray(mom["s1"]), np.asarray(mom["s2"]),
-                                mom["n"])
+                if recover_moments(writer.marker_meta(shard_name) or {}):
                     metrics.add(shards_skipped=1, utterances=1)
                     continue
+                log.info("shard %s lacks usable moments (pre-moment marker "
+                         "or changed speaker mapping); recomputing",
+                         shard_name)
             try:
                 sr, samples = read_wav(path)
             except (OSError, ValueError) as e:
@@ -331,11 +366,9 @@ def cmd_extract(args) -> int:
             extra = None
             if acc is not None and speaker_mode:
                 s1, s2, n = long_moments(feat)
-                spk = spk_of(path)
-                acc.add(spk, s1, s2, n)
-                extra = {"speaker_moments": {spk: {
-                    "s1": s1.tolist(), "s2": s2.tolist(), "n": float(n),
-                }}}
+                extra = fold_speaker(
+                    [path], s1[None], s2[None], np.asarray([n])
+                )
             elif acc is not None:
                 s1, s2, n = long_moments(feat)
                 acc.add(s1, s2, n)
@@ -441,7 +474,14 @@ def cmd_apply_cmvn(args) -> int:
     except (KeyError, ValueError) as e:
         log.error("%s", e.args[0])
         return 2
-    speaker = is_speaker_stats(args.stats[0])
+    kinds = {p: is_speaker_stats(p) for p in args.stats}
+    if len(set(kinds.values())) > 1:
+        log.error("mixed stats files: %s are per-speaker, %s are global — "
+                  "merge only one kind",
+                  [p for p, k in kinds.items() if k],
+                  [p for p, k in kinds.items() if not k])
+        return 2
+    speaker = kinds[args.stats[0]]
     h = hashlib.sha256()
     if speaker:
         sacc = SpeakerCmvnAccumulator(cfg.feat_dim)
@@ -451,7 +491,11 @@ def cmd_apply_cmvn(args) -> int:
             s: (st.mean.astype(np.float32), st.std.astype(np.float32))
             for s, st in sacc.finalize(cfg).items()
         }
-        utt2spk = read_utt2spk(args.utt2spk) if args.utt2spk else None
+        try:
+            utt2spk = read_utt2spk(args.utt2spk) if args.utt2spk else None
+        except (OSError, ValueError) as e:
+            log.error("--utt2spk: %s", e)
+            return 2
 
         def resolve(uid: str):
             spk = speaker_of(uid, utt2spk, args.spk_from)
@@ -464,13 +508,18 @@ def cmd_apply_cmvn(args) -> int:
                     "from a different corpus?"
                 ) from None
 
-        # the normalized bytes depend on the pools AND the mapping
+        # the normalized bytes depend on the pools AND the mapping; hash
+        # the PARSED mapping so reordering/whitespace/comments in a
+        # regenerated utt2spk don't spuriously invalidate done shards
         for s in sorted(by_spk):
             h.update(s.encode())
             h.update(by_spk[s][0].tobytes())
             h.update(by_spk[s][1].tobytes())
-        h.update(pathlib.Path(args.utt2spk).read_bytes()
-                 if args.utt2spk else f"spk-from:{args.spk_from}".encode())
+        if utt2spk:
+            for k in sorted(utt2spk):
+                h.update(f"{k}\0{utt2spk[k]}\0".encode())
+        else:
+            h.update(f"spk-from:{args.spk_from}".encode())
         n_frames = sacc.n
     else:
         acc = CmvnAccumulator(cfg.feat_dim)
@@ -671,10 +720,25 @@ def cmd_serve(args) -> int:
         return 2
     moments = None
     if args.cmvn_stats:
-        acc = CmvnAccumulator(cfg.feat_dim)
-        for mpath in args.cmvn_stats:
-            acc.merge(CmvnAccumulator.load(mpath))
-        moments = (acc.s1, acc.s2, acc.n)
+        from mfcc_tpu.parallel import SpeakerCmvnAccumulator, is_speaker_stats
+
+        if is_speaker_stats(args.cmvn_stats[0]):
+            sacc = SpeakerCmvnAccumulator(cfg.feat_dim)
+            for mpath in args.cmvn_stats:
+                sacc.merge(SpeakerCmvnAccumulator.load(mpath))
+            if not args.speaker or args.speaker not in sacc.pools:
+                log.error(
+                    "speaker-CMVN stats need --speaker to pick this "
+                    "server's pool; available: %s", sorted(sacc.pools),
+                )
+                return 2
+            spool = sacc.pools[args.speaker]
+            moments = (spool.s1, spool.s2, spool.n)
+        else:
+            acc = CmvnAccumulator(cfg.feat_dim)
+            for mpath in args.cmvn_stats:
+                acc.merge(CmvnAccumulator.load(mpath))
+            moments = (acc.s1, acc.s2, acc.n)
     try:
         pool = MultiStreamExtractor(
             cfg, n_streams=args.streams,
@@ -938,8 +1002,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--frames-per-block", type=int, default=16,
                    help="frames per device block (latency/throughput knob)")
     s.add_argument("--cmvn-stats", nargs="+", default=None,
-                   help="cmvn moment .npz files (required for global-CMVN "
-                        "configs; merged)")
+                   help="cmvn moment .npz files (required for global/"
+                        "speaker-CMVN configs; merged)")
+    s.add_argument("--speaker", default=None,
+                   help="with speaker-CMVN stats: the pool to normalize "
+                        "this server's sessions with")
     s.add_argument("--emit", choices=["b64", "list"], default="b64",
                    help="frame payload encoding: b64 float32 (compact) or "
                         "JSON lists (debuggable)")

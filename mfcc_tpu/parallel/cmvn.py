@@ -169,7 +169,11 @@ class SpeakerCmvnAccumulator:
         return sum(a.n for a in self.pools.values())
 
     def finalize(self, cfg: FrontendConfig) -> dict[str, CmvnStats]:
-        return {s: a.finalize(cfg) for s, a in self.pools.items()}
+        """Per-speaker stats; pools with zero frames are dropped (a
+        speaker whose only utterance produced 0 frames must not block
+        normalizing the rest of the corpus — its utterances then resolve
+        as unknown-speaker, the loud failure)."""
+        return {s: a.finalize(cfg) for s, a in self.pools.items() if a.n > 0}
 
     def save(self, path) -> None:
         spks = sorted(self.pools)

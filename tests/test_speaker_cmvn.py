@@ -196,3 +196,141 @@ def test_apply_cmvn_unknown_speaker_fails_cleanly(spk_corpus, tmp_path):
     bogus.save(stats)
     assert cli_entry(["apply-cmvn", str(out), "--stats", str(stats),
                       "--config", "classic13", "--set", "cmvn=speaker"]) == 1
+
+
+def test_manifest_utt2spk_composition(spk_corpus, tmp_path):
+    """Kaldi pair files compose: wav.scp utt-ids resolve through utt2spk
+    (regression: the manifest's id column was discarded)."""
+    paths, _ = spk_corpus
+    scp = tmp_path / "wav.scp"
+    u2s = tmp_path / "utt2spk"
+    scp.write_text("".join(f"utt{i} {p}\n" for i, p in enumerate(paths)))
+    u2s.write_text("".join(
+        f"utt{i} {'even' if i % 2 == 0 else 'odd'}\n"
+        for i in range(len(paths))
+    ))
+    out = tmp_path / "feats"
+    stats = tmp_path / "s.npz"
+    assert cli_entry(["extract", f"@{scp}", "--config", "classic13",
+                      "--set", "cmvn=speaker", "-o", str(out),
+                      "--backend", "jnp", "--utt2spk", str(u2s),
+                      "--cmvn-stats", str(stats)]) == 0
+    sacc = SpeakerCmvnAccumulator.load(stats)
+    assert set(sacc.pools) == {"even", "odd"}
+
+
+def test_extract_validates_utt2spk_upfront(spk_corpus, tmp_path):
+    """A typo'd utt2spk entry fails BEFORE extraction with rc=2, not a
+    mid-run KeyError traceback; a missing utt2spk path likewise."""
+    paths, _ = spk_corpus
+    u2s = tmp_path / "utt2spk"
+    u2s.write_text(f"{paths[0]} A\n")  # every other utterance unmapped
+    assert cli_entry(["extract", *paths, "--config", "classic13",
+                      "--set", "cmvn=speaker", "-o", str(tmp_path / "x"),
+                      "--backend", "jnp", "--utt2spk", str(u2s)]) == 2
+    assert not list((tmp_path / "x").glob("*.npz"))  # nothing extracted
+    assert cli_entry(["extract", *paths, "--config", "classic13",
+                      "--set", "cmvn=speaker", "-o", str(tmp_path / "y"),
+                      "--utt2spk", str(tmp_path / "missing")]) == 2
+
+
+def test_resume_recomputes_on_changed_mapping(spk_corpus, tmp_path):
+    """Markers record the resolved utt->spk mapping; a resumed run under a
+    DIFFERENT mapping recomputes instead of silently pooling utterances
+    into stale speakers."""
+    paths, _ = spk_corpus
+    out = tmp_path / "feats"
+    stats = tmp_path / "s.npz"
+    u2s_a = tmp_path / "a.u2s"
+    u2s_a.write_text("".join(f"{p} one\n" for p in paths))
+    assert cli_entry(["extract", *paths, "--config", "classic13",
+                      "--set", "cmvn=speaker", "-o", str(out),
+                      "--backend", "jnp", "--batch-size", "4",
+                      "--utt2spk", str(u2s_a),
+                      "--cmvn-stats", str(stats)]) == 0
+    assert set(SpeakerCmvnAccumulator.load(stats).pools) == {"one"}
+    # same shards on disk, new mapping: rerun must NOT reuse marker moments
+    u2s_b = tmp_path / "b.u2s"
+    u2s_b.write_text("".join(
+        f"{p} {'x' if i % 2 else 'y'}\n" for i, p in enumerate(paths)
+    ))
+    assert cli_entry(["extract", *paths, "--config", "classic13",
+                      "--set", "cmvn=speaker", "-o", str(out),
+                      "--backend", "jnp", "--batch-size", "4",
+                      "--utt2spk", str(u2s_b),
+                      "--cmvn-stats", str(stats)]) == 0
+    assert set(SpeakerCmvnAccumulator.load(stats).pools) == {"x", "y"}
+
+
+def test_apply_cmvn_mixed_stats_rejected(spk_corpus, tmp_path):
+    paths, _ = spk_corpus
+    from mfcc_tpu.parallel import CmvnAccumulator
+
+    s = SpeakerCmvnAccumulator(13)
+    s.add("a", np.ones(13), np.ones(13), 3)
+    s.save(tmp_path / "spk.npz")
+    g = CmvnAccumulator(13)
+    g.add(np.ones(13), np.ones(13), 3)
+    g.save(tmp_path / "glob.npz")
+    out = tmp_path / "feats"
+    assert cli_entry(["extract", paths[0], "--config", "classic13",
+                      "-o", str(out), "--backend", "jnp"]) == 0
+    assert cli_entry(["apply-cmvn", str(out),
+                      "--stats", str(tmp_path / "spk.npz"),
+                      str(tmp_path / "glob.npz"),
+                      "--config", "classic13"]) == 2
+
+
+def test_finalize_drops_empty_pools():
+    acc = SpeakerCmvnAccumulator(2)
+    acc.add("full", np.ones(2), 2 * np.ones(2), 4)
+    acc.add("empty", np.zeros(2), np.zeros(2), 0)
+    from mfcc_tpu.config import named_config as nc
+
+    stats = acc.finalize(nc("classic13"))
+    assert set(stats) == {"full"}
+
+
+def test_serve_with_speaker_stats(monkeypatch, capsys, tmp_path):
+    """serve consumes speaker stats via --speaker (pool selection); the
+    frames arrive normalized with that pool; missing --speaker is rc=2."""
+    import base64
+
+    from mfcc_tpu.ops import chain
+    from tests.test_cli import _gather_frames, _run_serve
+
+    cfg = named_config("classic13_deltas").replace(cmvn="speaker")
+    g = np.random.default_rng(71)
+    x = (g.standard_normal(6000) * 2000).astype(np.int16)
+    f = chain.extract_single(
+        x.astype(np.float32), cfg.replace(cmvn="off"), backend="jnp"
+    )
+    acc = SpeakerCmvnAccumulator(cfg.feat_dim)
+    acc.add("me", f.astype(np.float64).sum(0),
+            (f.astype(np.float64) ** 2).sum(0), f.shape[0])
+    stats = tmp_path / "s.npz"
+    acc.save(stats)
+
+    lines = [
+        json.dumps({"op": "open"}),
+        json.dumps({"op": "push", "sid": 0,
+                    "pcm16": base64.b64encode(x.tobytes()).decode()}),
+        json.dumps({"op": "end", "sid": 0}),
+    ]
+    rc, events = _run_serve(
+        monkeypatch, capsys, lines,
+        "--config", "classic13_deltas", "--set", "cmvn=speaker",
+        "--cmvn-stats", str(stats), "--speaker", "me",
+    )
+    assert rc == 0
+    got = _gather_frames(events, 0)
+    st = acc.finalize(cfg)["me"]
+    want = (f - st.mean) / st.std
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+    rc2, _ = _run_serve(
+        monkeypatch, capsys, [],
+        "--config", "classic13_deltas", "--set", "cmvn=speaker",
+        "--cmvn-stats", str(stats),
+    )
+    assert rc2 == 2  # --speaker required with speaker stats
