@@ -788,46 +788,89 @@ def cmd_serve(args) -> int:
             if pool.done(sid):
                 emit({"event": "done", "sid": sid})
 
-    for line in fin:
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            req = json.loads(line)
-            op = req["op"]
-            if op == "open":
-                sid = pool.open()
-                emit({"event": "opened", "sid": sid,
-                      **({"id": req["id"]} if "id" in req else {})})
-            elif op == "push":
-                if "pcm16" in req:
-                    x = np.frombuffer(
-                        base64.b64decode(req["pcm16"]), dtype="<i2"
-                    ).astype(np.float32)
-                else:
-                    x = np.asarray(
-                        req["samples"], dtype=np.float32
-                    ).reshape(-1)
-                pool.push(req["sid"], x)
-                audio_s += x.size / sr_in
-            elif op == "end":
-                pool.end(req["sid"])
-            elif op == "close":
-                pool.close(req["sid"])
-                emit({"event": "done", "sid": req["sid"]})
-            elif op == "poll":
-                pass  # the unconditional drain below
-            elif op == "stats":
-                emit({"event": "stats", "active": pool.n_active, **pool.stats})
-            else:
-                emit({"event": "error", "msg": f"unknown op {op!r}"})
-        except (KeyError, IndexError, ValueError, RuntimeError, TypeError) as e:
-            emit({"event": "error", "msg": f"{type(e).__name__}: {e}"})
-        drain()
-        if client_gone:
-            break
+    # SIGTERM (process managers' stop signal) and SIGINT flush like EOF.
+    # The handler ONLY sets a flag — raising out of arbitrary frames can
+    # interrupt jax backend initialization and poison the flush itself
+    # (observed on the relayed TPU, where first-compile windows are long).
+    # stdin is read on a daemon thread so the main loop can observe the
+    # flag instead of blocking in readline.
+    import queue
+    import signal
+    import threading
 
-    # EOF: flush semantics — end still-open streams, drain their tails
+    shutdown = threading.Event()
+    old_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            old_handlers[sig] = signal.signal(
+                sig, lambda *_: shutdown.set()
+            )
+        except ValueError:  # non-main thread (library/test use): skip
+            pass
+
+    lines_q: queue.Queue = queue.Queue()
+
+    def _reader() -> None:
+        for raw in fin:
+            lines_q.put(raw)
+        lines_q.put(None)  # EOF sentinel
+
+    threading.Thread(target=_reader, daemon=True).start()
+
+    try:
+        while not shutdown.is_set():
+            try:
+                line = lines_q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            if line is None:
+                break  # EOF
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                op = req["op"]
+                if op == "open":
+                    sid = pool.open()
+                    emit({"event": "opened", "sid": sid,
+                          **({"id": req["id"]} if "id" in req else {})})
+                elif op == "push":
+                    if "pcm16" in req:
+                        x = np.frombuffer(
+                            base64.b64decode(req["pcm16"]), dtype="<i2"
+                        ).astype(np.float32)
+                    else:
+                        x = np.asarray(
+                            req["samples"], dtype=np.float32
+                        ).reshape(-1)
+                    pool.push(req["sid"], x)
+                    audio_s += x.size / sr_in
+                elif op == "end":
+                    pool.end(req["sid"])
+                elif op == "close":
+                    pool.close(req["sid"])
+                    emit({"event": "done", "sid": req["sid"]})
+                elif op == "poll":
+                    pass  # the unconditional drain below
+                elif op == "stats":
+                    emit({"event": "stats", "active": pool.n_active,
+                          **pool.stats})
+                else:
+                    emit({"event": "error", "msg": f"unknown op {op!r}"})
+            except (KeyError, IndexError, ValueError, RuntimeError,
+                    TypeError) as e:
+                emit({"event": "error", "msg": f"{type(e).__name__}: {e}"})
+            drain()
+            if client_gone:
+                break
+    finally:
+        if shutdown.is_set():
+            log.info("shutdown signal: flushing open streams")
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
+
+    # EOF/shutdown: flush semantics — end still-open streams, drain tails
     pool.end_all()
     while pool.n_active:
         drain()

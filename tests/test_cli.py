@@ -545,3 +545,47 @@ def test_file_list_manifest(corpus, tmp_path):
     for s in out.glob("h0-*.npz"):
         shard.update(read_shard(s))
     assert set(shard) == set(paths[:3])
+
+
+def test_serve_sigterm_flushes(tmp_path):
+    """A process manager's SIGTERM must flush open streams (tail frames +
+    done + final stats) and exit 0 — not die mid-stream."""
+    import base64
+    import os
+    import pathlib
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env = {**os.environ, "PYTHONPATH": repo, "JAX_PLATFORMS": "cpu"}
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "mfcc_tpu.cli", "serve",
+         "--config", "classic13", "--streams", "2"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, env=env,
+    )
+    try:
+        g = np.random.default_rng(3)
+        x = (g.standard_normal(6000) * 2000).astype(np.int16)
+        proc.stdin.write(json.dumps({"op": "open"}) + "\n")
+        proc.stdin.write(json.dumps({
+            "op": "push", "sid": 0,
+            "pcm16": base64.b64encode(x.tobytes()).decode()}) + "\n")
+        proc.stdin.flush()
+        # wait for the server to have processed the push (opened event)
+        assert json.loads(proc.stdout.readline())["event"] == "opened"
+        _time.sleep(0.5)
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0
+    events = [json.loads(l) for l in out.splitlines() if l.strip()]
+    kinds = [e.get("event") for e in events]
+    assert "frames" in kinds and "done" in kinds and kinds[-1] == "stats"
+    total = sum(e["n"] for e in events if e.get("event") == "frames")
+    from mfcc_tpu.config import named_config as _nc
+
+    assert total == _nc("classic13").num_frames(6000)  # full tail flushed
