@@ -55,7 +55,13 @@ def _expand_files(patterns, aliases: dict | None = None) -> list[str]:
             out.extend(sorted(str(q) for q in pathlib.Path(p).rglob("*.wav")))
         else:
             out.append(p)
-    return out
+    # duplicate inputs (repeated manifest lines, overlapping globs) would
+    # extract twice: same id twice in one npz shard collapses silently in
+    # read_shard, and one ark shard would abort on the duplicate key
+    deduped = list(dict.fromkeys(out))
+    if len(deduped) != len(out):
+        log.warning("%d duplicate input path(s) dropped", len(out) - len(deduped))
+    return deduped
 
 
 def _resolve_config(args):
@@ -304,6 +310,10 @@ def cmd_extract(args) -> int:
             if args.resume and writer.is_done(shard_name, real_ids):
                 if recover_moments(writer.marker_meta(shard_name) or {}):
                     metrics.add(shards_skipped=1, utterances=len(real_ids))
+                    # recycle the slab NOW: without this, every skipped
+                    # batch leaves its mp-feed /dev/shm file live until
+                    # stream end — a resumed large corpus exhausts tmpfs
+                    batch.release()
                     continue
                 log.info("shard %s lacks usable moments (pre-moment marker "
                          "or changed speaker mapping); recomputing",

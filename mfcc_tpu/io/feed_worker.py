@@ -74,9 +74,26 @@ def main() -> int:
         blen = cmd["blen"]
         downmix = cmd.get("downmix", "first")
         fails = []
-        for row, path in cmd["jobs"]:
+        want_sr = cmd.get("sr")
+        for job in cmd["jobs"]:
+            row, path = job[0], job[1]
+            want_n = job[2] if len(job) > 2 else None
             try:
-                wav.decode_file_into(path, slab[row, :blen], downmix=downmix)
+                fsr, n_valid = wav.decode_file_into(
+                    path, slab[row, :blen], downmix=downmix
+                )
+                if (want_sr is not None and fsr != want_sr) or (
+                    want_n is not None and n_valid != want_n
+                ):
+                    # file changed between the parent's header parse and
+                    # this decode: fail the row rather than ship features
+                    # extracted under a stale length/rate
+                    slab[row, :blen] = 0
+                    fails.append([row, (
+                        f"file changed since header parse: decoded "
+                        f"{n_valid} samples at {fsr} Hz, header said "
+                        f"{want_n} at {want_sr}"
+                    )])
             except (OSError, ValueError, RuntimeError, wav.WavError) as e:
                 slab[row, :blen] = 0
                 fails.append([row, str(e)])

@@ -179,6 +179,14 @@ def _ordered_map(paths, item_fn, num_threads: int, queue_depth: int):
             done += 1
             continue
         held[item[0]] = item[1]
+    # unblock workers still parked in their finally-sentinel put: out is
+    # bounded at queue_depth, so with num_threads > queue_depth not every
+    # sentinel fits once the consumer stops draining — without this the
+    # joins below deadlock (all real items were yielded, so anything left
+    # is sentinels)
+    while done < num_threads:
+        if out.get() is _SENTINEL:
+            done += 1
     for t in threads:
         t.join()
 
@@ -400,10 +408,20 @@ def stream_batches_direct(
     def decode_chunk(ob: _Open, jobs: list) -> None:
         for row, path in jobs:
             try:
-                wav.decode_file_into(
+                fsr, n_valid = wav.decode_file_into(
                     path, ob.audio[row, : ob.blen], downmix=downmix,
                     native=native,
                 )
+                if fsr != sr or n_valid != ob.lengths[row]:
+                    # the file changed between the phase-A header parse
+                    # and this decode (re-encode, truncated copy): the
+                    # recorded length/rate no longer describe the bytes —
+                    # corrupt features must not reach shards silently
+                    raise ValueError(
+                        f"file changed since header parse: decoded "
+                        f"{n_valid} samples at {fsr} Hz, header said "
+                        f"{ob.lengths[row]} at {sr}"
+                    )
             except (OSError, ValueError, RuntimeError, wav.WavError) as e:
                 log.warning("decode failed for %s: %s", path, e)
                 secs = ob.lengths[row] / sr  # undo the header credit
@@ -524,19 +542,32 @@ class _MpPool:
         self._by_worker: dict[int, set] = {}
         self._next_id = 0
         self._rr = 0
+        self._env = env
+        self._procs = [None] * num_workers
         for w in range(num_workers):
-            p = subprocess.Popen(
-                [_sys.executable, "-m", "mfcc_tpu.io.feed_worker"],
-                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-                text=True, env=env, bufsize=1,
-            )
-            self._procs.append(p)
             self._by_worker[w] = set()
-            threading.Thread(
-                target=self._reader, args=(w, p), daemon=True
-            ).start()
+            self._spawn(w)
 
-    def _reader(self, w: int, proc) -> None:
+    def _spawn(self, w: int) -> None:
+        import subprocess
+        import sys as _sys
+
+        p = subprocess.Popen(
+            [_sys.executable, "-m", "mfcc_tpu.io.feed_worker"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, env=self._env, bufsize=1,
+        )
+        self._procs[w] = p
+        # each process GENERATION gets its own owed-job set: a respawned
+        # slot's jobs must not be failed by the dead predecessor's reader
+        # thread when its EOF cleanup runs after the respawn
+        owned: set = set()
+        self._by_worker[w] = owned
+        threading.Thread(
+            target=self._reader, args=(owned, p), daemon=True
+        ).start()
+
+    def _reader(self, owned: set, proc) -> None:
         import json as _json
 
         for line in proc.stdout:
@@ -547,15 +578,15 @@ class _MpPool:
             jid = msg.get("id")
             with self._lock:
                 job = self._pending.pop(jid, None)
-                self._by_worker[w].discard(jid)
+                owned.discard(jid)
             if job is not None:
                 job.fails = msg.get("fails", [])
                 job.error = msg.get("error")
                 job.event.set()
-        # EOF: worker died — fail everything it still owed
+        # EOF: worker died — fail everything THIS generation still owed
         with self._lock:
-            owed = [self._pending.pop(j, None) for j in self._by_worker[w]]
-            self._by_worker[w].clear()
+            owed = [self._pending.pop(j, None) for j in owned]
+            owned.clear()
         for job in owed:
             if job is not None:
                 job.error = "feed worker died"
@@ -594,10 +625,17 @@ class _MpPool:
             self._next_id += 1
             w = self._rr
             self._rr = (self._rr + 1) % len(self._procs)
+            # a dead worker (OOM kill, crash) is respawned in place —
+            # otherwise every len(procs)-th chunk would fail for the rest
+            # of the process (its owed jobs were already failed by the
+            # reader thread's EOF path)
+            if self._procs[w].poll() is not None:
+                log.warning("feed worker %d died; respawning", w)
+                self._spawn(w)
             self._pending[jid] = job
             self._by_worker[w].add(jid)
+            proc = self._procs[w]
         cmd = dict(cmd, id=jid)
-        proc = self._procs[w]
         try:
             proc.stdin.write(_json.dumps(cmd) + "\n")
             proc.stdin.flush()
@@ -631,22 +669,54 @@ class _MpPool:
 
 _mp_pool: _MpPool | None = None
 _mp_pool_size = 0
+_mp_pool_users = 0
+_mp_pool_lock = threading.Lock()
 
 
-def _get_mp_pool(num_workers: int) -> _MpPool:
+def _close_mp_pool_at_exit() -> None:
+    if _mp_pool is not None:
+        _mp_pool.close()
+
+
+def _acquire_mp_pool(num_workers: int) -> tuple[_MpPool, bool]:
     """Process-wide cached worker pool: spawning + importing numpy in the
     workers costs ~1-2 s, which would otherwise be paid per stream. Closed
-    at interpreter exit."""
-    global _mp_pool, _mp_pool_size
-    if _mp_pool is None or _mp_pool_size != num_workers or not _mp_pool.alive():
+    at interpreter exit.
+
+    Returns (pool, private). Reference-counted: a concurrent stream asking
+    for a DIFFERENT worker count gets a private pool instead of the cache
+    being closed under the first stream's in-flight jobs (which would fail
+    them all as 'feed worker died'). Release with _release_mp_pool."""
+    global _mp_pool, _mp_pool_size, _mp_pool_users
+    with _mp_pool_lock:
+        if (_mp_pool is not None and _mp_pool_size == num_workers
+                and _mp_pool.alive()):
+            _mp_pool_users += 1
+            return _mp_pool, False
+        if _mp_pool is not None and _mp_pool_users > 0:
+            # cache busy with another size/generation: don't touch it
+            return _MpPool(num_workers), True
+        first = _mp_pool is None
         if _mp_pool is not None:
             _mp_pool.close()
         _mp_pool = _MpPool(num_workers)
         _mp_pool_size = num_workers
-        import atexit
+        _mp_pool_users = 1
+        if first:
+            import atexit
 
-        atexit.register(_mp_pool.close)
-    return _mp_pool
+            atexit.register(_close_mp_pool_at_exit)
+        return _mp_pool, False
+
+
+def _release_mp_pool(pool: _MpPool, private: bool) -> None:
+    global _mp_pool_users
+    if private:
+        pool.close()
+        return
+    with _mp_pool_lock:
+        if pool is _mp_pool:
+            _mp_pool_users = max(0, _mp_pool_users - 1)
 
 
 def _shm_dir() -> str:
@@ -692,7 +762,7 @@ def stream_batches_mp(
 
     from mfcc_tpu.pipeline.batch import required_samples
 
-    pool = _get_mp_pool(max(1, num_threads))
+    pool, pool_private = _acquire_mp_pool(max(1, num_threads))
     slab_lock = threading.Lock()
     free_slabs: dict[int, list] = {}  # T -> [(name, memmap)]
     all_slab_names: list[str] = []
@@ -743,7 +813,10 @@ def stream_batches_mp(
             "dtype": dtype,
             "blen": ob.blen,
             "downmix": downmix,
-            "jobs": [[row, str(p)] for row, p in ob.jobs],
+            "sr": sr,
+            # expected valid samples per row: the worker cross-checks the
+            # actual decode against the phase-A header (file-changed guard)
+            "jobs": [[row, str(p), int(ob.lengths[row])] for row, p in ob.jobs],
         })
         job.rows = [row for row, _ in ob.jobs]
         ob.mp_jobs.append(job)
@@ -831,3 +904,4 @@ def stream_batches_mp(
                 os.unlink(name)
             except OSError:
                 pass
+        _release_mp_pool(pool, pool_private)
