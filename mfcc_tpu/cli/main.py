@@ -208,11 +208,12 @@ def cmd_extract(args) -> int:
             for s, p in pools.items()
         }, "spk_by_utt": rec}
 
-    def recover_moments(meta: dict) -> bool:
+    def recover_moments(meta: dict, fold: bool = True) -> bool:
         """Fold a skipped shard's marker moments into acc; False means the
         marker is unusable (pre-moment marker, or — speaker mode — the
         utt->spk mapping changed since it was written) and the shard must
-        be recomputed so the pools stay correct."""
+        be recomputed so the pools stay correct. fold=False only answers
+        the usability question (the resume planning pass)."""
         if acc is None:
             return True
         extra = meta.get("extra", {})
@@ -223,14 +224,16 @@ def cmd_extract(args) -> int:
                 return False
             if any(spk_by_utt.get(uid) != spk for uid, spk in rec.items()):
                 return False  # stale mapping: recompute under the new one
-            for spk, p in mom.items():
-                acc.add(spk, np.asarray(p["s1"]), np.asarray(p["s2"]),
-                        p["n"])
+            if fold:
+                for spk, p in mom.items():
+                    acc.add(spk, np.asarray(p["s1"]), np.asarray(p["s2"]),
+                            p["n"])
             return True
         mom = extra.get("moments")
         if mom is None:
             return False
-        acc.add(np.asarray(mom["s1"]), np.asarray(mom["s2"]), mom["n"])
+        if fold:
+            acc.add(np.asarray(mom["s1"]), np.asarray(mom["s2"]), mom["n"])
         return True
 
     def complete(entry) -> None:
@@ -302,11 +305,40 @@ def cmd_extract(args) -> int:
         if args.feed_dtype != "f32":
             log.warning("--feed-dtype %s requires the direct/mp feed; using f32",
                         args.feed_dtype)
+    if args.resume and feed in ("direct", "mp"):
+        # header-only planning pass: batch composition depends only on
+        # phase-A headers, so a resume decision per shard costs a header
+        # scan — files of already-done shards are then NEVER decoded in
+        # the real pass (resuming a 99%-done corpus used to re-pay the
+        # full decode cost just to compute resume fingerprints)
+        from mfcc_tpu.io import DecodeStats as _DS
+
+        plan_kw = {**stream_kw, "stats": _DS(),
+                   "skip_ids": frozenset(files)}
+        done_files: set = set()
+        pidx = 0
+        for pb in stream_fn(files, cfg, **plan_kw):
+            pname = f"{host}-{pidx:06d}"
+            pidx += 1
+            preal = [i for i in pb.ids if i is not None]
+            if writer.is_done(pname, preal) and recover_moments(
+                writer.marker_meta(pname) or {}, fold=False
+            ):
+                done_files.update(preal)
+            pb.release()
+        if done_files:
+            log.info("resume plan: %d of %d files already extracted "
+                     "(decode skipped)", len(done_files), len(files))
+        stream_kw["skip_ids"] = frozenset(done_files)
+
     with trace_mod.trace(args.profile_dir):
         for batch in stream_fn(files, cfg, **stream_kw):
             shard_name = f"{host}-{shard_idx:06d}"
             shard_idx += 1
             real_ids = [i for i in batch.ids if i is not None]
+            planned_skip = bool(stream_kw.get("skip_ids")) and any(
+                i in stream_kw["skip_ids"] for i in real_ids
+            )
             if args.resume and writer.is_done(shard_name, real_ids):
                 if recover_moments(writer.marker_meta(shard_name) or {}):
                     metrics.add(shards_skipped=1, utterances=len(real_ids))
@@ -318,6 +350,15 @@ def cmd_extract(args) -> int:
                 log.info("shard %s lacks usable moments (pre-moment marker "
                          "or changed speaker mapping); recomputing",
                          shard_name)
+            if planned_skip:
+                # the planning pass skipped this batch's decode, but the
+                # resume check now disagrees: the corpus changed between
+                # passes — computing from undecoded rows would write
+                # garbage, so fail loudly
+                raise RuntimeError(
+                    f"corpus changed during resume planning (shard "
+                    f"{shard_name} no longer matches its marker); rerun"
+                )
             with trace_mod.annotate("dispatch"):
                 t_disp = time.perf_counter()
                 feat, mask, moments = sharded_extract_batch(

@@ -327,6 +327,7 @@ def stream_batches_direct(
     stats: DecodeStats | None = None,
     long_mode: str = "defer",
     dtype: str = "f32",
+    skip_ids: frozenset | set | None = None,
 ) -> Iterator[Batch]:
     """Decode-into-buffer batch streaming (the host-feed fast path).
 
@@ -488,7 +489,10 @@ def stream_batches_direct(
             row = len(ob.ids)
             ob.ids.append(path)
             ob.lengths[row] = n
-            ob.jobs.append((row, path))
+            if skip_ids is None or path not in skip_ids:
+                ob.jobs.append((row, path))
+            # else: row content is never read (the caller resume-skips the
+            # whole batch) — composition/lengths stay identical either way
             if len(ob.jobs) >= _DECODE_CHUNK:
                 submit(ob)
             if len(ob.ids) >= batch_size:
@@ -736,6 +740,7 @@ def stream_batches_mp(
     stats: DecodeStats | None = None,
     long_mode: str = "defer",
     dtype: str = "i16",
+    skip_ids: frozenset | set | None = None,
 ) -> Iterator[Batch]:
     """Multi-process decode-into-buffer batch streaming.
 
@@ -882,7 +887,10 @@ def stream_batches_mp(
             row = len(ob.ids)
             ob.ids.append(path)
             ob.lengths[row] = n
-            ob.jobs.append((row, path))
+            if skip_ids is None or path not in skip_ids:
+                ob.jobs.append((row, path))
+            # else: row content is never read (the caller resume-skips the
+            # whole batch) — composition/lengths stay identical either way
             if len(ob.jobs) >= _DECODE_CHUNK:
                 submit(ob)
             if len(ob.ids) >= batch_size:

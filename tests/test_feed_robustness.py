@@ -47,7 +47,8 @@ def test_resume_releases_batches(corpus, tmp_path, monkeypatch):
     assert cli_entry(argv) == 0  # all shards skip via resume
     n_shards = len(list(out.glob("h0-*.npz")))
     assert n_shards >= 2
-    assert len(released) == n_shards  # every skipped batch released its slab
+    # planning pass + real pass each release every batch
+    assert len(released) == 2 * n_shards
 
 
 def test_ordered_map_more_threads_than_depth():
@@ -161,3 +162,68 @@ def test_mp_pool_refcounting():
     d, d_priv = reader._acquire_mp_pool(3)  # no users left: cache rebuilt
     assert not d_priv and d is not a
     reader._release_mp_pool(d, False)
+
+
+def test_resume_skips_decode_entirely(corpus, tmp_path, monkeypatch):
+    """A fully-done resume must not decode a single file (header-only
+    planning pass) — and still recover CMVN moments from markers."""
+    from mfcc_tpu.io import wav as wav_mod
+    from mfcc_tpu.parallel import CmvnAccumulator
+
+    out = tmp_path / "feats"
+    stats = tmp_path / "cmvn.npz"
+    argv = ["extract", *corpus, "--config", "classic13", "-o", str(out),
+            "--backend", "jnp", "--batch-size", "4", "--feed", "direct",
+            "--set", "cmvn=global", "--cmvn-stats", str(stats)]
+    assert cli_entry(argv) == 0
+    first = CmvnAccumulator.load(stats)
+
+    calls = []
+    orig = wav_mod.decode_file_into
+
+    def counting(path, out_row, downmix="first", native=None):
+        calls.append(path)
+        return orig(path, out_row, downmix=downmix, native=native)
+
+    monkeypatch.setattr(reader.wav, "decode_file_into", counting)
+    assert cli_entry(argv) == 0
+    assert calls == []  # zero decodes on a fully-done resume
+    again = CmvnAccumulator.load(stats)
+    np.testing.assert_allclose(again.s1, first.s1, rtol=1e-12)
+    assert again.n == first.n
+
+
+def test_resume_partial_decodes_only_new(corpus, tmp_path, monkeypatch):
+    """Adding files to a done corpus re-decodes only the new shards'
+    files; old shards stay skip-without-decode."""
+    from mfcc_tpu.io import wav as wav_mod, write_wav
+
+    out = tmp_path / "feats"
+    base_argv = ["--config", "classic13", "-o", str(out),
+                 "--backend", "jnp", "--batch-size", "4", "--feed", "direct"]
+    assert cli_entry(["extract", *corpus, *base_argv]) == 0
+    g = np.random.default_rng(99)
+    extra = []
+    for i in range(3):
+        p = tmp_path / f"new{i}.wav"
+        write_wav(p, 16000, (g.standard_normal(4800) * 2000).astype(np.int16))
+        extra.append(str(p))
+
+    calls = []
+    orig = wav_mod.decode_file_into
+
+    def counting(path, out_row, downmix="first", native=None):
+        calls.append(str(path))
+        return orig(path, out_row, downmix=downmix, native=native)
+
+    monkeypatch.setattr(reader.wav, "decode_file_into", counting)
+    assert cli_entry(["extract", *corpus, *extra, *base_argv]) == 0
+    # every decoded file is from a not-yet-done shard; the new files are
+    # among them, and at most one straddling batch of old files re-decodes
+    assert set(extra) <= set(calls)
+    from mfcc_tpu.io import read_shard
+
+    got = {}
+    for s in out.glob("h0-*.npz"):
+        got.update(read_shard(s))
+    assert set(extra) <= set(got)
