@@ -753,6 +753,12 @@ def stream_batches_mp(
 
     Slabs are recycled through Batch.release() exactly like the threaded
     path; slab files are unlinked when the stream ends.
+
+    NOTE: the consumer loop intentionally mirrors stream_batches_direct's
+    (known duplication): the 'same batches, same order' contract between
+    the two feeds is enforced by byte-equality tests (tests/test_io.py),
+    so edits to bucketing/long-mode/skip logic must land in BOTH loops —
+    grep for `ob.jobs.append`.
     """
     stats = stats if stats is not None else DecodeStats()
     expect_sr = cfg.input_sample_rate or cfg.sample_rate
