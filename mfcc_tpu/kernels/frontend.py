@@ -93,6 +93,14 @@ def _bf16_split(x):
     return hi, lo
 
 
+def _slab_tail(nc: int) -> int:
+    """Extra pad rows a slab-mode block loads beyond block_frames (the
+    chunk window of the block's last frame, rounded to sublanes). ONE
+    definition: the kernel's load window and the caller's slab allocation
+    must agree or the last block reads out of bounds."""
+    return max(8, _round_up(nc - 1, 8))
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -169,14 +177,12 @@ def kernel_constants(cfg: FrontendConfig):
 
 def radix4_applicable(cfg: FrontendConfig) -> bool:
     """The factorized DFT needs n_fft = 4*N2 with N2 a lane multiple (so the
-    stage-1 butterflies are 128-aligned lane slices) and the frame inside
-    n_fft. Covers every standard config (512, 1024, 2048-point FFTs)."""
+    stage-1 butterflies are 128-aligned lane slices). Covers every standard
+    config (512, 1024, 2048-point FFTs). Frames longer than n_fft need no
+    check: win4 zero-truncates them (= rfft(frames, n_fft)), verified in
+    test_frame_longer_than_nfft_truncates."""
     n2 = cfg.n_fft // 4
-    return (
-        cfg.n_fft % 4 == 0
-        and n2 % LANE == 0
-        and cfg.n_bins <= cfg.n_fft // 2 + 1
-    )
+    return cfg.n_fft % 4 == 0 and n2 % LANE == 0
 
 
 @functools.lru_cache(maxsize=32)
@@ -349,7 +355,7 @@ def _gather_frames(
         # shifts produce the nc chunk streams.
         slab = chunk_refs[0]  # [1, PRO + C, S]
         pro = SLAB_PROLOGUE_ROWS
-        tail = max(8, _round_up(nc - 1, 8))
+        tail = _slab_tail(nc)  # MUST match the caller's slab allocation
         base = pl.multiple_of(pl.program_id(1) * block_frames, block_frames)
         n_rows = block_frames + tail + pro
         big = slab[0, pl.ds(base, n_rows), :]  # padded rows [base, base+n_rows)
@@ -431,7 +437,7 @@ def _make_epilogue(cfg: FrontendConfig, mp: int, block_frames: int):
 
 
 def _make_kernel(
-    cfg: FrontendConfig, nc: int, S: int, k2: int, mp: int, block_frames: int,
+    cfg: FrontendConfig, nc: int, S: int, mp: int, block_frames: int,
     dft_passes: str, slab_mode: bool,
 ):
     n_chunk_refs = 1 if slab_mode else nc
@@ -566,13 +572,16 @@ def _fused_logmel_energy(
     B = audio.shape[0]
 
     # Shrink the block for short batches so a 1-s utterance doesn't pay for
-    # a 256-frame block of padding (sublane granularity is 8).
+    # a 256-frame block of padding (sublane granularity is 8). User-passed
+    # values round UP to a sublane multiple: slab mode's dynamic load base
+    # (a block multiple) must be 8-aligned for Mosaic.
+    block_frames = _round_up(block_frames, 8)
     block_frames = min(block_frames, max(8, _round_up(num_frames, 8)))
     fp = _round_up(max(num_frames, block_frames), block_frames)
     # slab mode loads PRO+FBLK+slab_tail rows per block (aligned base +
     # static roll shifts; the prologue supplies preemph's x[t-1] across
     # block starts), so it needs extra pad chunks; see _gather_frames
-    slab_tail = max(8, _round_up(nc - 1, 8))
+    slab_tail = _slab_tail(nc)
     pro = SLAB_PROLOGUE_ROWS
     slab_mode = (pro + fp + slab_tail) * S * 4 <= SLAB_VMEM_BUDGET_BYTES
 
@@ -627,17 +636,18 @@ def _fused_logmel_energy(
     if dft_passes == "radix4":
         consts = [jnp.asarray(k[name]) for name in ("win4", "f0", "f1", "f2", "mel_h", "mel_l")]
         kernel = _make_radix4_kernel(cfg, nc, S, n2, mp, block_frames, slab_mode)
-        # stage-2 MACs: N2*N2 + 2N2*2N2 + N2*N2 = 6*N2^2, x6 fp32 passes
-        mac_per_frame = 6 * n2 * n2 * 6 + 4 * n2 * mp
+        # stage-2 MACs: N2*N2 + 2N2*2N2 + N2*N2 = 6*N2^2, x6 fp32 passes;
+        # the mel projection runs 3 bf16 passes (_dot_pos_bf16x3)
+        mac_per_frame = 6 * n2 * n2 * 6 + 4 * n2 * mp * 3
     elif dft_passes == "bf16x3":
         consts = [jnp.asarray(k["dft_h"]), jnp.asarray(k["dft_l"]),
                   jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
-        kernel = _make_kernel(cfg, nc, S, k2, mp, block_frames, dft_passes, slab_mode)
-        mac_per_frame = nc * S * k2 * 3 + k2 * mp
+        kernel = _make_kernel(cfg, nc, S, mp, block_frames, dft_passes, slab_mode)
+        mac_per_frame = nc * S * k2 * 3 + k2 * mp * 3
     else:
         consts = [jnp.asarray(k["dft"]), jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
-        kernel = _make_kernel(cfg, nc, S, k2, mp, block_frames, dft_passes, slab_mode)
-        mac_per_frame = nc * S * k2 * 6 + k2 * mp
+        kernel = _make_kernel(cfg, nc, S, mp, block_frames, dft_passes, slab_mode)
+        mac_per_frame = nc * S * k2 * 6 + k2 * mp * 3
 
     inputs = list(views) + consts
     in_specs = [chunk_spec] * len(views) + [full_spec(c) for c in consts]

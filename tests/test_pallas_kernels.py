@@ -331,3 +331,21 @@ def test_split_mel_variant_matches(monkeypatch, config_name):
         np.asarray(split["energy"]), np.asarray(base["energy"]),
         rtol=1e-5, atol=1e-12,
     )
+
+
+def test_user_block_frames_rounds_to_sublanes():
+    """A non-multiple-of-8 block_frames must not reach the slab path's
+    aligned dynamic load (Mosaic rejects unaligned bases on hardware)."""
+    cfg = NAMED_CONFIGS["classic13"]
+    b, _ = _batch(cfg)
+    audio = jnp.asarray(b.audio)
+    lengths = jnp.asarray(b.lengths)
+    odd = fused_logmel_stages(
+        audio, lengths, cfg, interpret=True, block_frames=100
+    )
+    ref100 = fused_logmel_stages(
+        audio, lengths, cfg, interpret=True, block_frames=104
+    )
+    np.testing.assert_array_equal(
+        np.asarray(odd["logmel"]), np.asarray(ref100["logmel"])
+    )
