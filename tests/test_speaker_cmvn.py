@@ -334,3 +334,29 @@ def test_serve_with_speaker_stats(monkeypatch, capsys, tmp_path):
         "--cmvn-stats", str(stats),
     )
     assert rc2 == 2  # --speaker required with speaker stats
+
+
+def test_speaker_cmvn_longform(tmp_path):
+    """Over-long utterances (split/stitch path) contribute to their
+    speaker's pool and resume from markers like batch shards."""
+    d = tmp_path / "spkL"
+    d.mkdir()
+    x = (RNG.standard_normal(16000 * 5) * 2000).astype(np.int16)
+    p = d / "long.wav"
+    write_wav(p, 16000, x)
+    out = tmp_path / "feats"
+    stats = tmp_path / "s.npz"
+    argv = ["extract", str(p), "--config", "classic13",
+            "--set", "cmvn=speaker", "-o", str(out), "--backend", "jnp",
+            "--max-len-s", "2.0", "--cmvn-stats", str(stats)]
+    assert cli_entry(argv) == 0
+    sacc = SpeakerCmvnAccumulator.load(stats)
+    assert set(sacc.pools) == {"spkL"}
+    cfg = named_config("classic13")
+    assert sacc.pools["spkL"].n == cfg.num_frames(x.shape[0])
+    # resume recovers the long shard's speaker moments from its marker
+    assert cli_entry(argv) == 0
+    again = SpeakerCmvnAccumulator.load(stats)
+    assert again.pools["spkL"].n == sacc.pools["spkL"].n
+    np.testing.assert_allclose(again.pools["spkL"].s1, sacc.pools["spkL"].s1,
+                               rtol=1e-12)
