@@ -89,3 +89,32 @@ def test_random_config_pallas_matches_twin(draw):
     np.testing.assert_allclose(
         got, want, atol=5e-4, rtol=1e-3, err_msg=f"draw {draw}: {cfg}"
     )
+
+
+@pytest.mark.parametrize("draw", range(6))
+def test_random_config_streams(draw):
+    """Random knob combinations through the online state machine: streamed
+    output equals the offline chain for any chunking (utterance CMVN is
+    the one documented exclusion)."""
+    from mfcc_tpu.pipeline import StreamingExtractor
+
+    g = np.random.default_rng((5150, draw))
+    cfg = _random_config(g).replace(dtype="float32", cmvn="off")
+    n = int(cfg.sample_rate * (0.4 + 0.4 * g.random()))
+    x = (g.standard_normal(n) * 1000.0).astype(np.float32)
+    ex = StreamingExtractor(cfg, frames_per_block=int(g.choice([8, 16, 32])))
+    parts, pos = [], 0
+    while pos < n:
+        c = int(min(n - pos, g.integers(1, 2500)))
+        parts.append(ex.push(x[pos : pos + c]))
+        pos += c
+    parts.append(ex.flush())
+    got = np.concatenate(parts, axis=0)
+    want = np.asarray(chain.extract_single(x, cfg, backend="jnp"))
+    assert got.shape == want.shape, cfg
+    if cfg.features == "ssc":  # centroids are O(kHz): relative gate
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=5e-2,
+                                   err_msg=str(cfg))
+    else:
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=5e-5,
+                                   err_msg=str(cfg))
