@@ -194,3 +194,24 @@ def test_resample_kernel_on_tpu(tpu):
     np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-6)
     want = scipy.signal.resample_poly(x[0].astype(np.float64), 1, 3)
     np.testing.assert_allclose(a[0], want, atol=2e-3, rtol=1e-5)
+
+
+def test_ssc_on_tpu(tpu, signals):
+    """features='ssc' (jnp backend on the real chip) vs the float64 oracle
+    — completes feature-family coverage on hardware."""
+    import jax.numpy as jnp
+
+    from mfcc_tpu.ops import reference_numpy as ref
+
+    cfg = NAMED_CONFIGS["classic13"].replace(features="ssc", deltas=1)
+    audio, lengths = _batch(signals, cfg, names=["speechish", "short"])
+    feat, mask = chain.extract_batch(audio, lengths, cfg, backend="jnp")
+    feat, mask = np.asarray(feat, np.float64), np.asarray(mask)
+    for i, name in enumerate(["speechish", "short"]):
+        fv = int(mask[i].sum())
+        want = ref.extract(np.asarray(audio[i], np.float64)[: int(lengths[i])], cfg)
+        assert fv == want.shape[0]
+        # centroids are O(kHz): relative gate at the fp32 floor
+        np.testing.assert_allclose(
+            feat[i, :fv], want, rtol=5e-5, atol=1e-1
+        )
