@@ -70,7 +70,11 @@ class MultiStreamExtractor:
         *,
         frames_per_block: int = 16,
         cmvn_moments=None,
+        max_buffer_s: float | None = 600.0,
     ):
+        """max_buffer_s: per-session cap on audio buffered ahead of poll()
+        (a client that pushes but never polls would otherwise grow host
+        memory without bound); None disables."""
         if n_streams < 1:
             raise ValueError("n_streams must be >= 1")
         self.cfg = cfg
@@ -89,6 +93,10 @@ class MultiStreamExtractor:
         }
         self._slots: dict[int, _Slot] = {}
         self._next_sid = 0
+        self._max_buffer = (
+            None if max_buffer_s is None
+            else int(max_buffer_s * cfg.sample_rate)
+        )
         self._proto = proto  # reused for the first open()
         # observability counters (consumed by the CLI serve --metrics)
         self.stats = {
@@ -139,10 +147,20 @@ class MultiStreamExtractor:
     # -- streaming -----------------------------------------------------------
 
     def push(self, sid: int, samples: np.ndarray) -> None:
-        """Buffer a chunk for stream sid (host-only; device work in poll())."""
+        """Buffer a chunk for stream sid (host-only; device work in poll()).
+        Raises RuntimeError when the session exceeds max_buffer_s of
+        unpolled audio (backpressure: the client must poll())."""
         slot = self._slot(sid)
         if slot.ended:
             raise RuntimeError(f"stream {sid} already ended")
+        if self._max_buffer is not None and (
+            slot.ex._avail_samples() + np.asarray(samples).size
+            > self._max_buffer
+        ):
+            raise RuntimeError(
+                f"stream {sid} has more than {self._max_buffer} samples "
+                "buffered ahead of poll(); call poll() to drain"
+            )
         slot.ex._ingest(samples)
 
     def end(self, sid: int) -> None:

@@ -221,3 +221,21 @@ def test_global_cmvn_moments():
     ex = StreamingExtractor(cfg, cmvn_moments=(s1, s2, n), frames_per_block=16)
     want = np.concatenate([ex.push(x), ex.flush()], axis=0)
     np.testing.assert_allclose(got, want, rtol=0, atol=ATOL)
+
+
+def test_push_backpressure_cap():
+    """A session that pushes without polling hits the max_buffer_s cap
+    (memory protection); polling drains and push works again."""
+    cfg = named_config("classic13")
+    pool = MultiStreamExtractor(cfg, n_streams=1, frames_per_block=8,
+                                max_buffer_s=0.2)  # 3200 samples
+    sid = pool.open()
+    pool.push(sid, np.zeros(3000, np.float32))
+    with pytest.raises(RuntimeError, match="buffered ahead of poll"):
+        pool.push(sid, np.zeros(500, np.float32))
+    pool.poll()  # drains complete K=8 blocks (1280 samples each)
+    pool.push(sid, np.zeros(500, np.float32))  # below the cap again
+    # unlimited by default-None
+    pool2 = MultiStreamExtractor(cfg, n_streams=1, max_buffer_s=None)
+    s2 = pool2.open()
+    pool2.push(s2, np.zeros(200_000, np.float32))
