@@ -161,9 +161,13 @@ def cmd_extract(args) -> int:
     shard_idx = 0
     host = f"h{jax.process_index()}"
     backend = args.backend
-    if cfg.features == "ssc" and backend == "pallas":
-        log.info("features=ssc runs on the jnp backend (needs raw pspec)")
-        backend = "jnp"
+    if backend == "pallas":
+        from mfcc_tpu.ops import chain
+
+        reason = chain.pallas_unsupported_reason(cfg)
+        if reason:
+            log.info("falling back to the jnp backend: %s", reason)
+            backend = "jnp"
     # pipeline of dispatched batches: shard N-D is written while N computes;
     # depth > 1 hides device->host latency (significant on relayed devices)
     import collections

@@ -26,11 +26,13 @@ from typing import Optional
 WINDOWS = ("hamming_sym", "hamming_periodic", "hann_sym", "hann_periodic",
            "blackman_sym", "blackman_periodic", "povey", "rect")
 MEL_VARIANTS = ("psf_quantized", "tf_continuous")
-LOG_KINDS = ("ln", "ln_stab", "db")
+LOG_KINDS = ("ln", "ln_stab", "db", "ln_floor")
 DCT_NORMS = ("ortho", "htk")
-FRAME_TAILS = ("pad", "drop")
+FRAME_TAILS = ("pad", "drop", "center")
 CMVN_MODES = ("off", "utterance", "global", "speaker")
 FEATURES = ("mfcc", "logmel", "ssc")
+PREEMPH_MODES = ("signal", "frame")
+ENERGY_SOURCES = ("pspec", "raw_frame", "windowed_frame")
 
 
 @dataclass(frozen=True)
@@ -50,17 +52,33 @@ class FrontendConfig:
     # framing
     win_len_s: float = 0.025
     hop_s: float = 0.010
-    frame_tail: str = "pad"  # "pad": F = 1+ceil((N-L)/S), zero-pad; "drop": 1+(N-L)//S
+    frame_tail: str = "pad"  # "pad": F = 1+ceil((N-L)/S), zero-pad;
+    # "drop": 1+(N-L)//S (Kaldi snip_edges=true); "center": F = (N+S//2)//S,
+    # frame f centered at f*S + S/2 with edge reflection (snip_edges=false)
     # spectrum
     n_fft: int = 512
     power_scale_nfft: bool = True  # True: |X|^2/NFFT (psf); False: |X|^2 (TF kernel)
     window: str = "hamming_sym"
     preemph: float = 0.97
+    preemph_mode: str = "signal"  # "signal": y[t]=x[t]-c*x[t-1] on the whole
+    # signal before framing (psf lineage); "frame": per extracted frame,
+    # w[0] *= (1-c) (Kaldi feature-window ProcessWindow order)
+    # frame-first conditioning (Kaldi feature-window lineage; all default off)
+    dither: float = 0.0  # gaussian noise stddev added per frame sample
+    dither_seed: int = 0  # PRNG seed for on-device dither (deterministic)
+    remove_dc_offset: bool = False  # subtract each frame's mean (post-dither)
     # mel
     n_mels: int = 26
     mel_variant: str = "psf_quantized"
     mel_low_hz: float = 0.0
     mel_high_hz: Optional[float] = None  # None -> sample_rate / 2
+    # VTLN (vocal tract length normalization) — Kaldi-style piecewise-linear
+    # frequency warp of the continuous-triangle filterbank edges; 1.0 = off.
+    # Only meaningful with mel_variant="tf_continuous" (the Kaldi mel-bank
+    # algebra; see ops/constants.py vtln_warp_freq).
+    vtln_warp: float = 1.0
+    vtln_low_hz: float = 100.0
+    vtln_high_hz: float = -500.0  # <= 0 means nyquist + vtln_high_hz (Kaldi)
     # log
     log_kind: str = "ln"  # "ln": ln(max(x, eps)); "ln_stab": ln(x + 1e-6); "db": 10*log10
     log_eps: float = 2.220446049250313e-16  # np.finfo(float64).eps — psf clamp
@@ -71,7 +89,12 @@ class FrontendConfig:
     n_ceps: int = 13
     dct_norm: str = "ortho"  # "ortho": scipy ortho; "htk": ortho with bin0 * sqrt(2)
     lifter: int = 22  # 0 disables
-    append_energy: bool = True  # replace c0 with ln(sum pspec)
+    append_energy: bool = True  # replace c0 with ln(E)
+    energy_source: str = "pspec"  # "pspec": E = sum_k P[f,k] (psf lineage);
+    # "raw_frame": E = sum_n frame[n]^2 after dither/DC-removal but BEFORE
+    # pre-emphasis and windowing (Kaldi raw_energy=true); "windowed_frame":
+    # E = sum_n windowed[n]^2 after both (Kaldi raw_energy=false)
+    energy_floor: float = 0.0  # if > 0: ln(E) floored at ln(energy_floor)
     # dynamics
     deltas: int = 0  # 0: none, 1: +delta, 2: +delta+deltadelta
     delta_window: int = 2
@@ -91,6 +114,8 @@ class FrontendConfig:
             (self.frame_tail, FRAME_TAILS, "frame_tail"),
             (self.cmvn, CMVN_MODES, "cmvn"),
             (self.features, FEATURES, "features"),
+            (self.preemph_mode, PREEMPH_MODES, "preemph_mode"),
+            (self.energy_source, ENERGY_SOURCES, "energy_source"),
         ]
         for val, allowed, name in checks:
             if val not in allowed:
@@ -99,6 +124,13 @@ class FrontendConfig:
             raise ValueError(f"deltas={self.deltas} must be 0, 1 or 2")
         if self.n_ceps > self.n_mels:
             raise ValueError("n_ceps must be <= n_mels")
+        if self.dither < 0:
+            raise ValueError("dither must be >= 0")
+        if self.vtln_warp != 1.0 and self.mel_variant != "tf_continuous":
+            raise ValueError(
+                "vtln_warp requires mel_variant='tf_continuous' (the "
+                "continuous-triangle filterbank the Kaldi warp is defined on)"
+            )
 
     # -- derived constants (host-side, python ints) --------------------------
 
@@ -128,10 +160,13 @@ class FrontendConfig:
         return base * (1 + self.deltas)
 
     def num_frames(self, n_samples: int) -> int:
-        """Frame count for an utterance of n_samples (SURVEY.md Appendix B #2)."""
+        """Frame count for an utterance of n_samples (SURVEY.md Appendix B #2;
+        "center" is Kaldi's snip_edges=false count)."""
         L, S = self.frame_length, self.frame_step
         if self.frame_tail == "pad":
             return 1 + math.ceil(max(0, n_samples - L) / S)
+        if self.frame_tail == "center":
+            return (n_samples + S // 2) // S
         return max(0, 1 + (n_samples - L) // S) if n_samples >= L else 0
 
     def padded_length(self, num_frames: int) -> int:
@@ -175,6 +210,42 @@ NAMED_CONFIGS: dict[str, FrontendConfig] = {
     "classic13_deltas_gcmvn": FrontendConfig(deltas=2, cmvn="global"),
     # BASELINE config #5: 48 kHz input resampled to 16 kHz, 39-dim MFCC+Δ+ΔΔ.
     "mfcc39_48k": FrontendConfig(deltas=2, input_sample_rate=48000),
+    # Kaldi compute-mfcc-feats defaults (src/feat semantics re-derived; no
+    # Kaldi on disk — certified by construction + property tests): povey
+    # window, snip_edges framing, per-frame processing (DC removal, frame
+    # pre-emphasis), raw time-domain energy, 23 continuous mel triangles on
+    # [20, nyquist], |X|^2 unscaled, floor-style natural log at FLT_EPSILON,
+    # ortho DCT, lifter 22, c0 <- log raw energy. Kaldi's dither default
+    # (1.0) is intentionally off here for determinism: --set dither=1.0.
+    "kaldi_mfcc": FrontendConfig(
+        window="povey",
+        frame_tail="drop",
+        preemph_mode="frame",
+        remove_dc_offset=True,
+        energy_source="raw_frame",
+        n_mels=23,
+        mel_variant="tf_continuous",
+        mel_low_hz=20.0,
+        power_scale_nfft=False,
+        log_kind="ln_floor",
+        log_eps=1.1920928955078125e-07,  # float32 machine epsilon (Kaldi)
+    ),
+    # Kaldi compute-fbank-feats defaults: 23 log-mel bins, same framing.
+    "kaldi_fbank": FrontendConfig(
+        features="logmel",
+        window="povey",
+        frame_tail="drop",
+        preemph_mode="frame",
+        remove_dc_offset=True,
+        n_mels=23,
+        mel_variant="tf_continuous",
+        mel_low_hz=20.0,
+        power_scale_nfft=False,
+        log_kind="ln_floor",
+        log_eps=1.1920928955078125e-07,
+        append_energy=False,
+        lifter=0,
+    ),
 }
 
 

@@ -429,6 +429,8 @@ def _make_epilogue(cfg: FrontendConfig, mp: int, block_frames: int):
             logged = jnp.log(proj + 1e-6)
         elif log_kind == "db":
             logged = 10.0 * jnp.log10(clamped)
+        elif log_kind == "ln_floor":  # Kaldi ApplyFloor(eps) then log
+            logged = jnp.log(jnp.maximum(proj, eps))
         else:  # pragma: no cover - config validates
             raise ValueError(log_kind)
         return jnp.where(lane < M, logged, jnp.where(lane == M, clamped, 0.0))

@@ -72,6 +72,8 @@ def num_valid_frames(lengths: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
         # 1 + ceil(max(0, n - L) / S); ceil(a/S) = (a + S - 1) // S for a >= 0
         a = jnp.maximum(0, lengths - L)
         n = 1 + (a + S - 1) // S
+    elif cfg.frame_tail == "center":
+        n = (lengths + S // 2) // S
     else:
         n = jnp.where(lengths >= L, 1 + (lengths - L) // S, 0)
     return jnp.where(lengths > 0, n, 0)
@@ -107,6 +109,26 @@ def frame_signal(x: jnp.ndarray, num_frames: int, cfg: FrontendConfig) -> jnp.nd
     return jnp.take(x, jnp.asarray(idx), axis=-1)
 
 
+def frame_signal_centered(
+    x: jnp.ndarray, num_frames: int, lengths: jnp.ndarray, cfg: FrontendConfig
+) -> jnp.ndarray:
+    """Centered framing with per-utterance edge reflection (frame_tail
+    "center", Kaldi snip_edges=false): frame f covers samples
+    f*S + S//2 - L//2 + [0, L), indices reflected into [0, length) via the
+    closed-form period-2n triangular map (reference_numpy.reflect_index).
+
+    Per-row dynamic gather (the reflection depends on each utterance's
+    traced length) — jnp backend only; the fused kernel rejects this mode.
+    """
+    L, S = cfg.frame_length, cfg.frame_step
+    idx = np.arange(L)[None, :] + S * np.arange(num_frames)[:, None] \
+        + (S // 2 - L // 2)  # [F, L], may be negative or >= length
+    n = jnp.maximum(lengths, 1).astype(jnp.int32)[:, None, None]  # [B,1,1]
+    m = jnp.mod(jnp.asarray(idx, jnp.int32)[None], 2 * n)
+    r = jnp.where(m < n, m, 2 * n - 1 - m)  # in [0, n) <= T always
+    return jax.vmap(lambda row, ri: row[ri])(x, r)  # [B, F, L]
+
+
 def power_spectrum(windowed: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
     """(B4+B5) rfft with n=n_fft (pads/truncates), |X|^2 (optionally / NFFT)."""
     spec = jnp.fft.rfft(windowed, n=cfg.n_fft, axis=-1)
@@ -117,7 +139,8 @@ def power_spectrum(windowed: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
 
 
 def apply_log(x: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
-    """(B7) log compression variants (Appendix C log row)."""
+    """(B7) log compression variants (Appendix C log row); "ln_floor" is the
+    Kaldi ApplyFloor(eps)-then-log convention (floors tiny positives too)."""
     eps = jnp.asarray(cfg.log_eps, x.dtype)
     if cfg.log_kind == "ln":
         return jnp.log(jnp.where(x <= 0, eps, x))
@@ -125,7 +148,21 @@ def apply_log(x: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
         return jnp.log(x + 1e-6)
     if cfg.log_kind == "db":
         return 10.0 * jnp.log10(jnp.where(x <= 0, eps, x))
+    if cfg.log_kind == "ln_floor":
+        return jnp.log(jnp.maximum(x, eps))
     raise ValueError(cfg.log_kind)
+
+
+def preemphasis_frames(frames: jnp.ndarray, coeff: float) -> jnp.ndarray:
+    """Per-frame pre-emphasis (Kaldi ProcessWindow): along the sample axis
+    of each frame, w[n] -= coeff*w[n-1] for n >= 1 and w[0] *= (1-coeff)."""
+    if coeff == 0.0:
+        return frames
+    return jnp.concatenate(
+        [frames[..., :1] * (1.0 - coeff),
+         frames[..., 1:] - coeff * frames[..., :-1]],
+        axis=-1,
+    )
 
 
 def _tail_replicated(feat: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
@@ -204,6 +241,32 @@ def cmvn_apply_moments(
 # ---------------------------------------------------------------------------
 
 
+def pallas_unsupported_reason(cfg: FrontendConfig) -> str | None:
+    """None if the fused Pallas kernel implements this config; otherwise a
+    human-readable reason (extract() auto-falls back to the jnp twin)."""
+    if cfg.features == "ssc":
+        return (
+            "features='ssc' needs the raw power spectrum, which the fused "
+            "kernel's epilogue does not materialize"
+        )
+    if cfg.frame_tail == "center":
+        return (
+            "frame_tail='center' needs per-utterance reflection gathers "
+            "(Kaldi snip_edges=false), which the chunk-slab kernel framer "
+            "does not implement"
+        )
+    if cfg.dither > 0.0:
+        return "dither draws per-frame PRNG noise, jnp backend only"
+    if (cfg.preemph_mode == "frame" or cfg.remove_dc_offset
+            or cfg.energy_source != "pspec"):
+        return (
+            "frame-first conditioning (preemph_mode='frame', "
+            "remove_dc_offset, frame-local energy) is not in the fused "
+            "kernel yet"
+        )
+    return None
+
+
 def logmel_stages(
     audio: jnp.ndarray, lengths: jnp.ndarray, cfg: FrontendConfig
 ) -> dict[str, jnp.ndarray]:
@@ -218,17 +281,37 @@ def logmel_stages(
     audio = audio.astype(dtype)
 
     F = cfg.num_frames(audio.shape[-1])
-    y = zero_beyond(preemphasis(audio, cfg.preemph), lengths)
-    # pad the time axis so the last frame's gather stays in bounds
-    span = (F - 1) * cfg.frame_step + cfg.frame_length
-    if span > y.shape[-1]:
-        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, span - y.shape[-1])])
-    frames = frame_signal(y, F, cfg)  # [B, F, L]
+    if cfg.preemph_mode == "signal":
+        y = zero_beyond(preemphasis(audio, cfg.preemph), lengths)
+    else:  # frame-first conditioning (Kaldi order): frame the raw signal
+        y = zero_beyond(audio, lengths)
+    if cfg.frame_tail == "center":
+        frames = frame_signal_centered(y, F, lengths, cfg)  # [B, F, L]
+    else:
+        # pad the time axis so the last frame's gather stays in bounds
+        span = (F - 1) * cfg.frame_step + cfg.frame_length
+        if span > y.shape[-1]:
+            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, span - y.shape[-1])])
+        frames = frame_signal(y, F, cfg)  # [B, F, L]
+    eps = jnp.asarray(cfg.log_eps, dtype)
+    dither_noise = None
+    if cfg.dither > 0.0:
+        key = jax.random.PRNGKey(cfg.dither_seed)
+        dither_noise = jax.random.normal(key, frames.shape, dtype)
+        frames = frames + cfg.dither * dither_noise
+    if cfg.remove_dc_offset:
+        frames = frames - frames.mean(axis=-1, keepdims=True)
+    if cfg.energy_source == "raw_frame":  # pre-preemph, pre-window (Kaldi)
+        energy = jnp.maximum(jnp.square(frames).sum(axis=-1), eps)
+    if cfg.preemph_mode == "frame":
+        frames = preemphasis_frames(frames, cfg.preemph)
     windowed = frames * k["window"]
     pspec = power_spectrum(windowed, cfg)  # [B, F, n_bins]
-    eps = jnp.asarray(cfg.log_eps, dtype)
-    energy_raw = pspec.sum(axis=-1)
-    energy = jnp.where(energy_raw <= 0, eps, energy_raw)  # [B, F]
+    if cfg.energy_source == "pspec":
+        energy_raw = pspec.sum(axis=-1)
+        energy = jnp.where(energy_raw <= 0, eps, energy_raw)  # [B, F]
+    elif cfg.energy_source == "windowed_frame":
+        energy = jnp.maximum(jnp.square(windowed).sum(axis=-1), eps)
     # precision=HIGHEST: TPU matmuls default to bf16 multiplication, which
     # breaks the 1e-4 oracle gate (CPU is unaffected either way).
     melspec = jnp.matmul(
@@ -239,7 +322,7 @@ def logmel_stages(
 
     n_valid = num_valid_frames(lengths, cfg)  # [B]
     frame_mask = (jnp.arange(F)[None, :] < n_valid[:, None]).astype(dtype)
-    return {
+    out = {
         "frames": frames,
         "windowed": windowed,
         "pspec": pspec,
@@ -249,6 +332,11 @@ def logmel_stages(
         "n_valid": n_valid,
         "frame_mask": frame_mask,
     }
+    if dither_noise is not None:
+        # exposed so parity tests can replay the exact draw through the
+        # float64 oracle (reference_numpy.logmel_chain dither_noise arg)
+        out["dither_noise"] = dither_noise
+    return out
 
 
 def features_from_logmel(
@@ -280,11 +368,12 @@ def features_from_logmel(
                 # where also keeps the discarded log-mel branch NaN-free
                 # (negative log-mels map to eps before the log).
                 eps = jnp.asarray(cfg.log_eps, x.dtype)
-                x = jnp.where(
-                    lane == cfg.n_mels,
-                    jnp.log(jnp.where(x <= 0, eps, x)),
-                    x,
-                )
+                log_e = jnp.log(jnp.where(x <= 0, eps, x))
+                if cfg.energy_floor > 0.0:
+                    log_e = jnp.maximum(
+                        log_e, jnp.asarray(np.log(cfg.energy_floor), x.dtype)
+                    )
+                x = jnp.where(lane == cfg.n_mels, log_e, x)
             base = jnp.matmul(
                 x, jnp.asarray(k["dct_aug"], x.dtype),
                 preferred_element_type=x.dtype,
@@ -313,7 +402,12 @@ def features_from_logmel(
         )
         ceps = ceps * k["lifter"]
         if cfg.append_energy:
-            ceps = jnp.concatenate([jnp.log(energy)[..., None], ceps[..., 1:]], axis=-1)
+            log_e = jnp.log(energy)
+            if cfg.energy_floor > 0.0:
+                log_e = jnp.maximum(
+                    log_e, jnp.asarray(np.log(cfg.energy_floor), log_e.dtype)
+                )
+            ceps = jnp.concatenate([log_e[..., None], ceps[..., 1:]], axis=-1)
         base = ceps
 
     parts = [base]
@@ -360,12 +454,12 @@ def extract_batch(
         lengths = resample.output_lengths(
             lengths, cfg.input_sample_rate, cfg.sample_rate
         )
-    if backend == "pallas" and cfg.features == "ssc":
-        raise ValueError(
-            "features='ssc' needs the raw power spectrum, which the fused "
-            "kernel's epilogue does not materialize; use backend='jnp' "
-            "(extract() auto-selects it)"
-        )
+    if backend == "pallas":
+        reason = pallas_unsupported_reason(cfg)
+        if reason:
+            raise ValueError(
+                f"{reason}; use backend='jnp' (extract() auto-selects it)"
+            )
     if backend == "jnp":
         stages = logmel_stages(audio, lengths, cfg)
     elif backend == "pallas":

@@ -95,8 +95,46 @@ def mel_filterbank_psf(
     return fb.T  # [n_bins, n_mels]
 
 
+def vtln_warp_freq(
+    freq, vtln_low: float, vtln_high: float, low_hz: float, high_hz: float,
+    warp: float,
+):
+    """Kaldi-style piecewise-linear VTLN frequency warp (the standard
+    compute-mfcc-feats --vtln-warp function; mel-computations lineage —
+    no Kaldi source on disk, re-derived and property-tested).
+
+    Identity outside [low_hz, high_hz]; y = freq/warp on the central band
+    [l, h] with l = vtln_low*max(1, warp), h = vtln_high*min(1, warp);
+    linear interpolation pins the endpoints low_hz -> low_hz and
+    high_hz -> high_hz so the warped axis stays inside the filter range.
+    """
+    freq = np.asarray(freq, dtype=np.float64)
+    if warp == 1.0:
+        return freq.copy()
+    if not (0 < low_hz < vtln_low < vtln_high < high_hz):
+        raise ValueError(
+            f"vtln requires 0 < low ({low_hz}) < vtln_low ({vtln_low}) < "
+            f"vtln_high ({vtln_high}) < high ({high_hz})"
+        )
+    l = vtln_low * max(1.0, warp)
+    h = vtln_high * min(1.0, warp)
+    scale = 1.0 / warp
+    fl, fh = scale * l, scale * h
+    out = np.where(
+        freq < l,
+        low_hz + (fl - low_hz) / (l - low_hz) * (freq - low_hz),
+        np.where(
+            freq < h,
+            scale * freq,
+            high_hz + (high_hz - fh) / (high_hz - h) * (freq - high_hz),
+        ),
+    )
+    return np.where((freq < low_hz) | (freq > high_hz), freq, out)
+
+
 def mel_filterbank_tf(
-    n_mels: int, n_fft: int, sample_rate: int, low_hz: float, high_hz: float
+    n_mels: int, n_fft: int, sample_rate: int, low_hz: float, high_hz: float,
+    vtln: tuple[float, float, float] | None = None,
 ) -> np.ndarray:
     """Continuous mel-domain triangles, DC bin excluded.
 
@@ -104,12 +142,26 @@ def mel_filterbank_tf(
     (tf/signal/mel_ops.py:181-212): linear bin centers linspace(0, sr/2,
     n_bins)[1:] mapped to mel, band edge triples from linspace(mel_lo,
     mel_hi, n_mels+2), weight = max(0, min(up_slope, down_slope)); the DC
-    row is zero.
+    row is zero. This is also the Kaldi mel-bank algebra: Kaldi evaluates
+    the same triangles on the identical k*sr/n_fft grid (its bin loop stops
+    before nyquist, where the top triangle is zero anyway), and
+    1127*ln(1+f/700) == 2595*log10(1+f/700).
+
+    vtln = (warp, vtln_low_hz, vtln_high_hz) warps the triangle EDGES
+    through vtln_warp_freq in the Hz domain (Kaldi VtlnWarpMelFreq); the
+    spectral bin grid is untouched.
     """
     n_bins = n_fft // 2 + 1
     spec_mel = hz_to_mel(np.linspace(0.0, sample_rate / 2.0, n_bins)[1:])  # [n_bins-1]
-    edges = np.linspace(hz_to_mel(low_hz), hz_to_mel(high_hz), n_mels + 2)
-    lower, center, upper = edges[:-2], edges[1:-1], edges[2:]
+    edges_mel = np.linspace(hz_to_mel(low_hz), hz_to_mel(high_hz), n_mels + 2)
+    if vtln is not None and vtln[0] != 1.0:
+        warp, vlow, vhigh = vtln
+        if vhigh <= 0:  # Kaldi: non-positive vtln_high is nyquist-relative
+            vhigh += sample_rate / 2.0
+        edges_mel = hz_to_mel(
+            vtln_warp_freq(mel_to_hz(edges_mel), vlow, vhigh, low_hz, high_hz, warp)
+        )
+    lower, center, upper = edges_mel[:-2], edges_mel[1:-1], edges_mel[2:]
     up = (spec_mel[:, None] - lower[None, :]) / (center - lower)[None, :]
     down = (upper[None, :] - spec_mel[:, None]) / (upper - center)[None, :]
     w = np.maximum(0.0, np.minimum(up, down))  # [n_bins-1, n_mels]
@@ -117,8 +169,14 @@ def mel_filterbank_tf(
 
 
 def mel_filterbank(cfg: FrontendConfig) -> np.ndarray:
-    build = mel_filterbank_psf if cfg.mel_variant == "psf_quantized" else mel_filterbank_tf
-    return build(cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.mel_low_hz, cfg.mel_high)
+    if cfg.mel_variant == "psf_quantized":
+        return mel_filterbank_psf(
+            cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.mel_low_hz, cfg.mel_high
+        )
+    return mel_filterbank_tf(
+        cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.mel_low_hz, cfg.mel_high,
+        vtln=(cfg.vtln_warp, cfg.vtln_low_hz, cfg.vtln_high_hz),
+    )
 
 
 # ---------------------------------------------------------------------------

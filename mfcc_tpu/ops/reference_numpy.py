@@ -35,18 +35,35 @@ def preemphasis(x: np.ndarray, coeff: float) -> np.ndarray:
 
 
 def frame_signal(x: np.ndarray, frame_length: int, frame_step: int, tail: str = "pad") -> np.ndarray:
-    """(2) F = 1 + ceil(max(0, N-L)/S) with zero-padded tail ("pad"), or the
-    drop-tail variant 1 + (N-L)//S ("drop"); frames[f, n] = x[f*S + n]."""
+    """(2) F = 1 + ceil(max(0, N-L)/S) with zero-padded tail ("pad"), the
+    drop-tail variant 1 + (N-L)//S ("drop", Kaldi snip_edges=true), or the
+    centered variant F = (N + S//2)//S with frame f starting at
+    f*S + S//2 - L//2 and out-of-range samples edge-reflected
+    (Kaldi snip_edges=false); frames[f, n] = x[start_f + n]."""
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[0]
     if tail == "pad":
         num = 1 + math.ceil(max(0, n - frame_length) / frame_step)
         padded_len = (num - 1) * frame_step + frame_length
         x = np.concatenate([x, np.zeros(padded_len - n)])
+    elif tail == "center":
+        num = (n + frame_step // 2) // frame_step
+        start = frame_step * np.arange(num)[:, None] + frame_step // 2 - frame_length // 2
+        idx = reflect_index(start + np.arange(frame_length)[None, :], n)
+        return x[idx]
     else:
         num = max(0, 1 + (n - frame_length) // frame_step) if n >= frame_length else 0
     idx = np.arange(frame_length)[None, :] + frame_step * np.arange(num)[:, None]
     return x[idx]
+
+
+def reflect_index(idx: np.ndarray, n: int) -> np.ndarray:
+    """Edge-reflected sample index: the fixed point of
+    `while s out of range: s = -s-1 (left) / 2n-1-s (right)` — Kaldi's
+    snip_edges=false reflection — in closed form as the period-2n
+    triangular wave m -> m if m < n else 2n-1-m over m = idx mod 2n."""
+    m = np.mod(idx, 2 * n)
+    return np.where(m < n, m, 2 * n - 1 - m)
 
 
 def power_spectrum(frames: np.ndarray, n_fft: int, scale_nfft: bool) -> np.ndarray:
@@ -63,19 +80,25 @@ def frame_energy(pspec: np.ndarray, eps: float) -> np.ndarray:
 
 
 def apply_log(x: np.ndarray, kind: str, eps: float) -> np.ndarray:
-    """(7) log compression variants (Appendix C log row)."""
+    """(7) log compression variants (Appendix C log row). "ln_floor" is the
+    Kaldi ApplyFloor(eps)-then-log convention: tiny POSITIVE energies are
+    floored too (vs "ln", which only replaces non-positives)."""
     if kind == "ln":
         return np.log(np.where(x <= 0, eps, x))
     if kind == "ln_stab":
         return np.log(x + 1e-6)
     if kind == "db":
         return 10.0 * np.log10(np.where(x <= 0, eps, x))
+    if kind == "ln_floor":
+        return np.log(np.maximum(x, eps))
     raise ValueError(kind)
 
 
 def delta(feat: np.ndarray, n: int) -> np.ndarray:
     """(10) regression delta, edge-replicated padding:
     d_t = sum_{i=1..n} i*(c_{t+i} - c_{t-i}) / (2 * sum i^2)."""
+    if feat.shape[0] == 0:  # 0-frame utterance (drop-tail shorter than L)
+        return np.zeros_like(feat)
     denom = 2.0 * sum(i * i for i in range(1, n + 1))
     padded = np.pad(feat, ((n, n), (0, 0)), mode="edge")
     out = np.zeros_like(feat)
@@ -111,14 +134,59 @@ def cmvn_from_moments(feat: np.ndarray, s1: np.ndarray, s2: np.ndarray, n: float
 # ---------------------------------------------------------------------------
 
 
-def logmel_chain(x: np.ndarray, cfg: FrontendConfig) -> dict[str, np.ndarray]:
-    """Run stages (1)-(7), returning every intermediate for per-stage goldens."""
+def preemphasis_frames(frames: np.ndarray, coeff: float) -> np.ndarray:
+    """Per-frame pre-emphasis (Kaldi ProcessWindow): within each frame,
+    w[n] -= coeff * w[n-1] for n >= 1 and w[0] *= (1 - coeff)."""
+    if coeff == 0.0:
+        return frames.copy()
+    return np.concatenate(
+        [frames[:, :1] * (1.0 - coeff), frames[:, 1:] - coeff * frames[:, :-1]],
+        axis=1,
+    )
+
+
+def logmel_chain(
+    x: np.ndarray, cfg: FrontendConfig, dither_noise: np.ndarray | None = None
+) -> dict[str, np.ndarray]:
+    """Run stages (1)-(7), returning every intermediate for per-stage goldens.
+
+    preemph_mode="signal" is the psf-lineage order (pre-emphasize the whole
+    signal, then frame). preemph_mode="frame" (plus dither /
+    remove_dc_offset / frame-local energy) is the Kaldi feature-window
+    order: frame the RAW signal first, then per frame
+    dither -> DC removal -> [raw energy] -> pre-emphasis -> window ->
+    [windowed energy] -> spectrum.
+
+    dither_noise: optional pre-drawn [F, L] gaussian noise (unit stddev) so
+    a caller can reproduce the jnp chain's PRNG draw exactly; when None and
+    cfg.dither > 0, numpy's default_rng(cfg.dither_seed) is used (which
+    does NOT bit-match the jax draw — parity tests pass the noise in).
+    """
     k = C.chain_constants(cfg)
-    y = preemphasis(x, cfg.preemph)
+    if cfg.preemph_mode == "signal":
+        y = preemphasis(x, cfg.preemph)
+    else:
+        y = np.asarray(x, dtype=np.float64)
     frames = frame_signal(y, cfg.frame_length, cfg.frame_step, cfg.frame_tail)
+    if cfg.dither > 0.0:
+        if dither_noise is None:
+            dither_noise = np.random.default_rng(cfg.dither_seed).standard_normal(
+                frames.shape
+            )
+        frames = frames + cfg.dither * np.asarray(dither_noise, dtype=np.float64)
+    if cfg.remove_dc_offset:
+        frames = frames - frames.mean(axis=1, keepdims=True)
+    raw_energy = np.maximum((frames ** 2).sum(axis=1), cfg.log_eps)
+    if cfg.preemph_mode == "frame":
+        frames = preemphasis_frames(frames, cfg.preemph)
     windowed = frames * k["window"][None, :]
     pspec = power_spectrum(windowed, cfg.n_fft, cfg.power_scale_nfft)
-    energy = frame_energy(pspec, cfg.log_eps)
+    if cfg.energy_source == "pspec":
+        energy = frame_energy(pspec, cfg.log_eps)
+    elif cfg.energy_source == "raw_frame":
+        energy = raw_energy
+    else:  # windowed_frame (Kaldi raw_energy=false): post-preemph+window
+        energy = np.maximum((windowed ** 2).sum(axis=1), cfg.log_eps)
     melspec = pspec @ k["mel"]  # [F, n_mels]
     logmel = apply_log(melspec, cfg.log_kind, cfg.log_eps)
     return {
@@ -132,15 +200,19 @@ def logmel_chain(x: np.ndarray, cfg: FrontendConfig) -> dict[str, np.ndarray]:
     }
 
 
-def extract(x: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
+def extract(
+    x: np.ndarray, cfg: FrontendConfig, dither_noise: np.ndarray | None = None
+) -> np.ndarray:
     """Full single-utterance chain -> [F, feat_dim] float64 features."""
-    return extract_stages(x, cfg)["features"]
+    return extract_stages(x, cfg, dither_noise=dither_noise)["features"]
 
 
-def extract_stages(x: np.ndarray, cfg: FrontendConfig) -> dict[str, np.ndarray]:
+def extract_stages(
+    x: np.ndarray, cfg: FrontendConfig, dither_noise: np.ndarray | None = None
+) -> dict[str, np.ndarray]:
     """Like `extract` but returns every intermediate stage (for goldens)."""
     k = C.chain_constants(cfg)
-    stages = logmel_chain(x, cfg)
+    stages = logmel_chain(x, cfg, dither_noise=dither_noise)
     if cfg.features == "logmel":
         base = stages["logmel"]
     elif cfg.features == "ssc":
@@ -153,7 +225,10 @@ def extract_stages(x: np.ndarray, cfg: FrontendConfig) -> dict[str, np.ndarray]:
         ceps = ceps * k["lifter"][None, :]  # (9) lifter...
         if cfg.append_energy:  # ...then c0 <- ln(E)
             ceps = ceps.copy()
-            ceps[:, 0] = np.log(stages["energy"])
+            log_e = np.log(stages["energy"])
+            if cfg.energy_floor > 0.0:  # Kaldi --energy-floor on ln(E)
+                log_e = np.maximum(log_e, math.log(cfg.energy_floor))
+            ceps[:, 0] = log_e
         base = ceps
     stages["base"] = base
 

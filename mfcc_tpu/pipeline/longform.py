@@ -183,6 +183,29 @@ def extract_long(
     n = int(x.shape[0])
     if cfg_t.num_frames(n) <= seg_frames:
         return chain.extract_single(x, cfg_t, backend=backend)
+    if cfg_t.frame_tail == "center":
+        # centered framing reflects indices around the GLOBAL signal edges;
+        # a segment row would reflect around its own edges instead, so the
+        # split is not frame-exact. The centered gather is already
+        # per-utterance dynamic (traced lengths), so one whole-length
+        # extraction is correct at any length; pad the row to a bucket
+        # multiple to bound the number of compiled programs.
+        import jax.numpy as jnp
+
+        bucket = max(1, int(round(seg_len_s * cfg_t.sample_rate)))
+        T = ((n + bucket - 1) // bucket) * bucket
+        audio = np.zeros(T, dtype=chain.compute_dtype(cfg_t))
+        audio[:n] = x
+        feat, _ = chain.extract_batch(
+            jnp.asarray(audio)[None], jnp.asarray([n], np.int32), cfg_t,
+            backend="jnp",
+        )
+        return np.asarray(feat[0, : cfg_t.num_frames(n)])
+    if cfg_t.dither > 0.0:
+        raise ValueError(
+            "extract_long with dither > 0 would draw different noise per "
+            "segment row; extract in one piece or set dither=0"
+        )
 
     segs, F_total = segment_plan(n, cfg_t, seg_frames)
     # base (frame-local) features: no deltas, no CMVN — post-pass adds them

@@ -66,15 +66,27 @@ def _make_base_block(cfg: FrontendConfig, K: int):
 
     def block(xwin: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         xwin = xwin.astype(dtype)
-        y = xwin[1:] - cfg.preemph * xwin[:-1] if cfg.preemph else xwin[1:]
+        eps = jnp.asarray(cfg.log_eps, dtype)
+        if cfg.preemph_mode == "signal":
+            y = xwin[1:] - cfg.preemph * xwin[:-1] if cfg.preemph else xwin[1:]
+        else:  # frame-first (Kaldi) order: frame the raw signal
+            y = xwin[1:]
         # offline zero_beyond: y is zero at t >= utterance length
         y = y * (jnp.arange(span) < valid).astype(dtype)
         frames = y[jnp.asarray(idx)]  # [K, L]
+        if cfg.remove_dc_offset:
+            frames = frames - frames.mean(axis=-1, keepdims=True)
+        if cfg.energy_source == "raw_frame":
+            energy = jnp.maximum(jnp.square(frames).sum(axis=-1), eps)
+        if cfg.preemph_mode == "frame":
+            frames = chain.preemphasis_frames(frames, cfg.preemph)
         windowed = frames * window
         pspec = chain.power_spectrum(windowed, cfg)
-        eps = jnp.asarray(cfg.log_eps, dtype)
-        e_raw = pspec.sum(axis=-1)
-        energy = jnp.where(e_raw <= 0, eps, e_raw)
+        if cfg.energy_source == "pspec":
+            e_raw = pspec.sum(axis=-1)
+            energy = jnp.where(e_raw <= 0, eps, e_raw)
+        elif cfg.energy_source == "windowed_frame":
+            energy = jnp.maximum(jnp.square(windowed).sum(axis=-1), eps)
         melspec = jnp.matmul(
             pspec, k["mel"], preferred_element_type=dtype,
             precision=jax.lax.Precision.HIGHEST,
@@ -100,9 +112,12 @@ def _make_base_block(cfg: FrontendConfig, K: int):
             precision=jax.lax.Precision.HIGHEST,
         ) * lift
         if cfg.append_energy:
-            ceps = jnp.concatenate(
-                [jnp.log(energy)[:, None], ceps[:, 1:]], axis=-1
-            )
+            log_e = jnp.log(energy)
+            if cfg.energy_floor > 0.0:
+                log_e = jnp.maximum(
+                    log_e, jnp.asarray(np.log(cfg.energy_floor), dtype)
+                )
+            ceps = jnp.concatenate([log_e[:, None], ceps[:, 1:]], axis=-1)
         return ceps
 
     return block, span
@@ -152,6 +167,17 @@ class StreamingExtractor:
             raise ValueError(
                 f"cfg.cmvn={cfg.cmvn!r} requires cmvn_moments=(s1, s2, n) "
                 "(for 'speaker': this session's speaker's pool)"
+            )
+        if cfg.frame_tail == "center":
+            raise ValueError(
+                "frame_tail='center' reflects frames around the FINAL "
+                "stream length (Kaldi snip_edges=false), which is unknown "
+                "until flush; use frame_tail='drop' or 'pad' for streaming"
+            )
+        if cfg.dither > 0.0:
+            raise ValueError(
+                "dither is random noise and has no streaming-vs-offline "
+                "parity; extract with dither offline, or set dither=0"
             )
         if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
             # 48 kHz-input configs: an exact streaming polyphase stage feeds
