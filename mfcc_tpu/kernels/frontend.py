@@ -156,7 +156,11 @@ def kernel_constants(cfg: FrontendConfig):
     mel = np.zeros((K2, mp), dtype=np.float64)
     mel[:NB, : cfg.n_mels] = host["mel"]
     mel[NB : 2 * NB, : cfg.n_mels] = host["mel"]
-    mel[: 2 * NB, cfg.n_mels] = 1.0  # energy column (sums re² and im²)
+    if cfg.energy_source == "pspec":
+        mel[: 2 * NB, cfg.n_mels] = 1.0  # energy column (sums re² and im²)
+    # frame-local energy (Kaldi raw_energy): computed on the VPU inside the
+    # conditioning pass (_make_conditioning) and written straight into the
+    # epilogue's energy lane — the matmul energy column stays zero
 
     # bf16 hi/lo splits precomputed on host (the kernel splits only the
     # runtime operands)
@@ -164,7 +168,7 @@ def kernel_constants(cfg: FrontendConfig):
     dft_h, dft_l = _bf16_split_np(dft32)
     mel32 = mel.astype(np.float32)
     mel_h, mel_l = _bf16_split_np(mel32)
-    return {
+    out = {
         "dft": dft32,
         "dft_h": dft_h,
         "dft_l": dft_l,
@@ -173,6 +177,19 @@ def kernel_constants(cfg: FrontendConfig):
         "mel_l": mel_l,
         "dims": (nc, S, K2, mp),
     }
+    if cfg.energy_source == "windowed_frame":
+        out["win_energy"] = _win_energy_np(cfg, KW)
+    return out
+
+
+def _win_energy_np(cfg: FrontendConfig, kw: int) -> np.ndarray:
+    """[1, KW] window row for the in-kernel windowed-frame energy
+    (cfg.energy_source == "windowed_frame": E = Σ (w·frame)² over the FULL
+    frame length — unlike the DFT fold, which truncates at n_fft)."""
+    host = C.chain_constants(cfg)
+    w = np.zeros((1, kw), dtype=np.float64)
+    w[0, : cfg.frame_length] = host["window"]
+    return w.astype(np.float32)
 
 
 def radix4_applicable(cfg: FrontendConfig) -> bool:
@@ -220,6 +237,11 @@ def radix4_constants(cfg: FrontendConfig):
     N2 = N // 4
     NB = cfg.n_bins
     nc = -(-N // S)  # chunk views needed to cover n_fft samples (4 for 512/160)
+    if needs_conditioning(cfg):
+        # frame-first conditioning (DC removal / frame preemph / frame
+        # energy) operates on the FULL frame length, which may exceed n_fft
+        # (rfft truncates; conditioning must not) — widen the chunk window
+        nc = max(nc, -(-L // S))
     if cfg.n_mels + 1 > LANE:
         mp = _round_up(cfg.n_mels + 1, LANE)
     else:
@@ -277,6 +299,8 @@ def radix4_constants(cfg: FrontendConfig):
         kc = N - k
         return kc if 0 <= kc < NB else None
 
+    energy_rides_matmul = cfg.energy_source == "pspec"
+
     def assign(lanes, s, qq):
         k = bin_of(s, qq)
         if k is None or k in covered:
@@ -285,7 +309,8 @@ def radix4_constants(cfg: FrontendConfig):
         lanes_per_bin[k] = len(lanes)
         for lane in lanes:
             mel[lane, : cfg.n_mels] = melfb[k]
-            mel[lane, cfg.n_mels] = 1.0  # energy column
+            if energy_rides_matmul:
+                mel[lane, cfg.n_mels] = 1.0  # energy column
     for qq in range(h + 1):
         # q=0 / q=h have no imag lane (exactly real components)
         im = [h + qq] if 0 < qq < h else []
@@ -298,7 +323,7 @@ def radix4_constants(cfg: FrontendConfig):
 
     mel32 = mel.astype(np.float32)
     mel_h, mel_l = _bf16_split_np(mel32)
-    return {
+    out = {
         "win4": win4.astype(np.float32),
         "f0": f0.astype(np.float32),
         "f1": f1.astype(np.float32),
@@ -309,6 +334,9 @@ def radix4_constants(cfg: FrontendConfig):
         "lanes_per_bin": lanes_per_bin,
         "dims": (nc, S, N2, mp),
     }
+    if cfg.energy_source == "windowed_frame":
+        out["win_energy"] = _win_energy_np(cfg, nc * S)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -413,14 +441,65 @@ def _dot_pos_bf16x3(x, b_h, b_l, rows=None):
     return out
 
 
+def needs_conditioning(cfg: FrontendConfig) -> bool:
+    """True when the config asks for frame-first conditioning (the Kaldi
+    feature-window order): per-frame DC removal, per-frame pre-emphasis,
+    or a frame-local (time-domain) energy source."""
+    return (
+        cfg.remove_dc_offset
+        or cfg.preemph_mode == "frame"
+        or cfg.energy_source != "pspec"
+    )
+
+
+def _make_conditioning(cfg: FrontendConfig):
+    """In-kernel twin of the frame-domain ops in chain.logmel_stages (Kaldi
+    ProcessWindow order): mask the chunk tail beyond frame_length → remove
+    DC offset → raw-frame energy → per-frame pre-emphasis → windowed-frame
+    energy. Returns None when the config has none of these, else
+    f(frames [FBLK, KW], win_energy_ref|None) -> (frames, energy|None)
+    with energy [FBLK, 1] = the un-clamped frame-local energy."""
+    if not needs_conditioning(cfg):
+        return None
+    L = cfg.frame_length
+    inv_l = 1.0 / L
+
+    def condition(frames, win_energy_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, frames.shape, 1)
+        mask = lane < L
+        # the chunk window covers nc*S >= L samples; lanes >= L belong to
+        # the NEXT frames and must not leak into means/energies (the DFT
+        # fold zeroes them via its rows, but conditioning runs before it)
+        f = jnp.where(mask, frames, 0.0)
+        if cfg.remove_dc_offset:
+            mu = jnp.sum(f, axis=-1, keepdims=True) * jnp.float32(inv_l)
+            f = jnp.where(mask, f - mu, 0.0)
+        energy = None
+        if cfg.energy_source == "raw_frame":  # Kaldi raw_energy=true
+            energy = jnp.sum(f * f, axis=-1, keepdims=True)
+        if cfg.preemph_mode == "frame":
+            # w[n] -= c*w[n-1] for n >= 1; w[0] *= (1-c) == w[0] - c*w[0]
+            c = jnp.float32(cfg.preemph)
+            prev = jnp.concatenate([f[:, :1], f[:, :-1]], axis=-1)
+            f = jnp.where(mask, f - c * prev, 0.0)
+        if cfg.energy_source == "windowed_frame":  # Kaldi raw_energy=false
+            wf = f * win_energy_ref[0]  # [KW] row, zero beyond L
+            energy = jnp.sum(wf * wf, axis=-1, keepdims=True)
+        return f, energy
+
+    return condition
+
+
 def _make_epilogue(cfg: FrontendConfig, mp: int, block_frames: int):
     """proj [FBLK, MP] (mel lanes + energy lane) → output tile: lanes [0:M)
-    log-mel, lane M clamped (unlogged) energy, rest zero."""
+    log-mel, lane M clamped (unlogged) energy, rest zero. frame_energy
+    [FBLK, 1] (set for frame-local energy sources) replaces the matmul
+    energy column, clamped with the twin's jnp.maximum(e, eps)."""
     eps = float(cfg.log_eps)
     M = cfg.n_mels
     log_kind = cfg.log_kind
 
-    def epilogue(proj):
+    def epilogue(proj, frame_energy=None):
         lane = jax.lax.broadcasted_iota(jnp.int32, (block_frames, mp), 1)
         clamped = jnp.where(proj <= 0.0, eps, proj)
         if log_kind == "ln":
@@ -433,7 +512,11 @@ def _make_epilogue(cfg: FrontendConfig, mp: int, block_frames: int):
             logged = jnp.log(jnp.maximum(proj, eps))
         else:  # pragma: no cover - config validates
             raise ValueError(log_kind)
-        return jnp.where(lane < M, logged, jnp.where(lane == M, clamped, 0.0))
+        if frame_energy is not None:
+            e_lane = jnp.maximum(frame_energy, eps)  # [FBLK, 1] broadcast
+        else:
+            e_lane = clamped
+        return jnp.where(lane < M, logged, jnp.where(lane == M, e_lane, 0.0))
 
     return epilogue
 
@@ -444,10 +527,15 @@ def _make_kernel(
 ):
     n_chunk_refs = 1 if slab_mode else nc
     epilogue = _make_epilogue(cfg, mp, block_frames)
+    condition = _make_conditioning(cfg)
+    # frame-mode pre-emphasis happens INSIDE the conditioning pass, not in
+    # the signal-level gather
+    gather_preemph = 0.0 if cfg.preemph_mode == "frame" else cfg.preemph
 
     def kernel(*refs):
         # refs: [lengths (1,) SMEM if slab] + chunk slab [1, PRO+C, S] or
         #       nc chunk views [1, FBLK, S], then
+        #       [win_energy [1, KW] if energy_source == "windowed_frame"],
         #       fp32 path: dft [KW, K2], mel_h, mel_l [K2, MP]
         #       bf16x3 path: dft_h, dft_l [KW, K2], mel_h, mel_l [K2, MP]
         #       and finally out ref [1, FBLK, MP]
@@ -458,11 +546,15 @@ def _make_kernel(
         chunk_refs = refs[:n_chunk_refs]
         rest = list(refs[n_chunk_refs:])
         out_ref = rest.pop()
+        we_ref = rest.pop(0) if cfg.energy_source == "windowed_frame" else None
         hi = jax.lax.Precision.HIGHEST
         frames = _gather_frames(
-            chunk_refs, nc, S, block_frames, slab_mode, cfg.preemph,
+            chunk_refs, nc, S, block_frames, slab_mode, gather_preemph,
             lengths_ref,
         )
+        frame_energy = None
+        if condition is not None:
+            frames, frame_energy = condition(frames, we_ref)
         if dft_passes == "bf16x3":
             # 3-pass compensated matmul: both operands split into bf16
             # hi+lo; the al@bl term (~2^-16 relative) is dropped. ~1.9x
@@ -489,7 +581,7 @@ def _make_kernel(
         pspec2 = reim * reim
         proj = _dot_pos_bf16x3(pspec2, mel_h, mel_l)
 
-        out_ref[0] = epilogue(proj)
+        out_ref[0] = epilogue(proj, frame_energy)
 
     return kernel
 
@@ -506,6 +598,8 @@ def _make_radix4_kernel(
     hi = jax.lax.Precision.HIGHEST
     n_chunk_refs = 1 if slab_mode else nc
     epilogue = _make_epilogue(cfg, mp, block_frames)
+    condition = _make_conditioning(cfg)
+    gather_preemph = 0.0 if cfg.preemph_mode == "frame" else cfg.preemph
 
     def kernel(*refs):
         if slab_mode:
@@ -513,12 +607,16 @@ def _make_radix4_kernel(
         else:
             lengths_ref = None
         chunk_refs = refs[:n_chunk_refs]
-        rest = refs[n_chunk_refs:]
+        rest = list(refs[n_chunk_refs:])
+        we_ref = rest.pop(0) if cfg.energy_source == "windowed_frame" else None
         win_ref, f0_ref, f1_ref, f2_ref, mel_h, mel_l, out_ref = rest
         frames = _gather_frames(
-            chunk_refs, nc, S, block_frames, slab_mode, cfg.preemph,
+            chunk_refs, nc, S, block_frames, slab_mode, gather_preemph,
             lengths_ref,
         )
+        frame_energy = None
+        if condition is not None:
+            frames, frame_energy = condition(frames, we_ref)
         # stage 1 (VPU): windowed 128-aligned quarter blocks, radix-4
         # butterflies. s=3 skipped: real input makes it the conjugate
         # mirror of s=1. Twiddles are folded into f1/f2 on the host.
@@ -549,7 +647,7 @@ def _make_radix4_kernel(
         else:
             y = jnp.concatenate([x0, x1, x2], axis=-1)  # [FBLK, 4*N2]
             proj = _dot_pos_bf16x3(y * y, mel_h, mel_l)
-        out_ref[0] = epilogue(proj)
+        out_ref[0] = epilogue(proj, frame_energy)
 
     return kernel
 
@@ -607,7 +705,10 @@ def _fused_logmel_energy(
             memory_space=pltpu.VMEM,
         )
     else:
-        y = chain.zero_beyond(chain.preemphasis(audio, cfg.preemph), lengths)
+        if cfg.preemph_mode == "signal":
+            y = chain.zero_beyond(chain.preemphasis(audio, cfg.preemph), lengths)
+        else:  # frame-mode preemph happens in the kernel's conditioning pass
+            y = chain.zero_beyond(audio, lengths)
         n_chunks = fp - 1 + nc
         t_need = n_chunks * S
         if y.shape[-1] < t_need:
@@ -650,6 +751,10 @@ def _fused_logmel_energy(
         consts = [jnp.asarray(k["dft"]), jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
         kernel = _make_kernel(cfg, nc, S, mp, block_frames, dft_passes, slab_mode)
         mac_per_frame = nc * S * k2 * 6 + k2 * mp * 3
+
+    if cfg.energy_source == "windowed_frame":
+        # consumed FIRST by the kernels (popped off the const list head)
+        consts = [jnp.asarray(k["win_energy"])] + consts
 
     inputs = list(views) + consts
     in_specs = [chunk_spec] * len(views) + [full_spec(c) for c in consts]

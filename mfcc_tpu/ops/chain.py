@@ -257,13 +257,6 @@ def pallas_unsupported_reason(cfg: FrontendConfig) -> str | None:
         )
     if cfg.dither > 0.0:
         return "dither draws per-frame PRNG noise, jnp backend only"
-    if (cfg.preemph_mode == "frame" or cfg.remove_dc_offset
-            or cfg.energy_source != "pspec"):
-        return (
-            "frame-first conditioning (preemph_mode='frame', "
-            "remove_dc_offset, frame-local energy) is not in the fused "
-            "kernel yet"
-        )
     return None
 
 

@@ -279,23 +279,27 @@ def test_vtln_validation():
 # ---------------------------------------------------------------------------
 
 
-def test_pallas_guard_rejects_kaldi_knobs():
+def test_pallas_guard_rejects_unsupported_knobs():
     x = jnp.zeros((1, 16000), jnp.float32)
     l = jnp.asarray([16000], np.int32)
     for cfg in (
-        named_config("kaldi_mfcc"),
         FrontendConfig(frame_tail="center"),
         FrontendConfig(dither=0.5),
-        FrontendConfig(remove_dc_offset=True),
-        FrontendConfig(energy_source="raw_frame"),
     ):
         assert chain.pallas_unsupported_reason(cfg)
         with pytest.raises(ValueError):
             chain.extract_batch(x, l, cfg, backend="pallas")
-    # energy_floor + ln_floor alone stay kernel-eligible
-    assert chain.pallas_unsupported_reason(
-        FrontendConfig(energy_floor=1e-3, log_kind="ln_floor")
-    ) is None
+    # frame-first conditioning IS in the fused kernel (its conditioning
+    # pass, kernels/frontend._make_conditioning) — kernel-eligible
+    for cfg in (
+        named_config("kaldi_mfcc"),
+        named_config("kaldi_fbank"),
+        FrontendConfig(remove_dc_offset=True),
+        FrontendConfig(energy_source="raw_frame"),
+        FrontendConfig(energy_source="windowed_frame"),
+        FrontendConfig(energy_floor=1e-3, log_kind="ln_floor"),
+    ):
+        assert chain.pallas_unsupported_reason(cfg) is None
 
 
 def test_streaming_parity_kaldi():

@@ -22,7 +22,7 @@ from tests.test_jnp_chain import FEATURE_ATOL_FP32, FEATURE_RTOL, assert_logmel_
 import jax
 import jax.numpy as jnp
 
-CONFIGS = ["classic13", "classic13_deltas", "logmel80"]
+CONFIGS = ["classic13", "classic13_deltas", "logmel80", "kaldi_mfcc", "kaldi_fbank"]
 
 
 def _batch(cfg, names=("noise", "speechish", "short", "tone_offbin")):
@@ -71,6 +71,9 @@ def test_pallas_backend_matches_golden(config_name):
     for i, n in enumerate(names):
         g = load_golden(config_name, n)
         fv = cfg.num_frames(int(b.lengths[i]))
+        if fv == 0:  # sub-frame utterance under drop-tail framing
+            assert g["features"].shape[0] == 0
+            continue
         if cfg.features == "logmel":
             assert_logmel_close(feat[i, :fv], g["features"], cfg)
         else:
@@ -349,3 +352,88 @@ def test_user_block_frames_rounds_to_sublanes():
     np.testing.assert_array_equal(
         np.asarray(odd["logmel"]), np.asarray(ref100["logmel"])
     )
+
+# ---------------------------------------------------------------------------
+# Frame-first conditioning (Kaldi feature-window order) in the fused kernel
+# ---------------------------------------------------------------------------
+
+from mfcc_tpu.config import FrontendConfig
+
+CONDITIONING_CONFIGS = {
+    "dc_only": FrontendConfig(remove_dc_offset=True),
+    "raw_energy_pad_tail": FrontendConfig(energy_source="raw_frame", deltas=2),
+    "windowed_energy_signal_preemph": FrontendConfig(
+        energy_source="windowed_frame", preemph_mode="signal"
+    ),
+    "kaldi_windowed_energy": NAMED_CONFIGS["kaldi_mfcc"].replace(
+        energy_source="windowed_frame"
+    ),
+    "frame_longer_than_nfft": FrontendConfig(
+        win_len_s=0.040, n_fft=512, frame_tail="drop", preemph_mode="frame",
+        remove_dc_offset=True, energy_source="raw_frame",
+    ),
+    "kaldi_energy_floor": NAMED_CONFIGS["kaldi_mfcc"].replace(energy_floor=1e-3),
+}
+
+
+def _twin_gate(cfg, audio, lengths, **fused_kw):
+    twin = chain.logmel_stages(audio, lengths, cfg)
+    fused = fused_logmel_stages(audio, lengths, cfg, interpret=True, **fused_kw)
+    lm_t = np.asarray(twin["logmel"], dtype=np.float64)
+    lm_f = np.asarray(fused["logmel"], dtype=np.float64)
+    mask = np.asarray(twin["frame_mask"], bool)[..., None]
+    lin_t, lin_f = np.exp(lm_t), np.exp(lm_f)
+    rowmax = lin_t.max(axis=-1, keepdims=True) + 1e-300
+    loud = (lin_t > rowmax * 1e-4) & mask
+    assert (np.abs(lm_f - lm_t) * loud).max() < 2e-5
+    # 2e-5 (vs the 1e-5 unconditioned-kernel gate): the conditioning pass
+    # adds a frame-domain subtract/shift before the DFT, whose fp32
+    # roundoff order differs from the twin's rfft — measured worst case
+    # 1.23e-5 on the golden signals, same class as the log-domain gate
+    assert (np.abs(lin_f - lin_t) / rowmax * mask).max() < 2e-5
+    fm = np.asarray(twin["frame_mask"], bool)
+    np.testing.assert_allclose(
+        np.asarray(fused["energy"])[fm], np.asarray(twin["energy"])[fm],
+        rtol=1e-5, atol=1e-12,
+    )
+
+
+@pytest.mark.parametrize("name", sorted(CONDITIONING_CONFIGS))
+def test_conditioning_kernel_matches_twin(name):
+    """DC removal / frame preemph / frame-local energy run INSIDE the kernel
+    (kernels/frontend._make_conditioning) and must match the jnp twin's
+    frame-domain stages — including frames longer than n_fft (conditioning
+    over the full frame length, DFT truncation after)."""
+    cfg = CONDITIONING_CONFIGS[name]
+    b, _ = _batch(cfg)
+    _twin_gate(cfg, jnp.asarray(b.audio), jnp.asarray(b.lengths))
+
+
+@pytest.mark.parametrize("dft_passes", ["fp32", "radix4"])
+def test_conditioning_view_mode_matches_twin(monkeypatch, dft_passes):
+    """View mode (slab VMEM budget exceeded) must route frame-mode preemph
+    through the kernel's conditioning pass, NOT the XLA signal-preemph
+    prologue — both dft paths."""
+    from mfcc_tpu.kernels import frontend as fe
+
+    monkeypatch.setattr(fe, "SLAB_VMEM_BUDGET_BYTES", 0)  # force view mode
+    cfg = NAMED_CONFIGS["kaldi_mfcc"]
+    b, _ = _batch(cfg)
+    _twin_gate(
+        cfg, jnp.asarray(b.audio), jnp.asarray(b.lengths), dft_passes=dft_passes
+    )
+
+
+def test_conditioning_energy_lane_replaces_matmul_column():
+    """With a frame-local energy source the matmul energy column is zeroed
+    in the constants and the epilogue writes max(E, eps) into lane M."""
+    from mfcc_tpu.kernels.frontend import kernel_constants, radix4_constants
+
+    cfg = FrontendConfig(energy_source="raw_frame")
+    kd = kernel_constants(cfg)
+    assert kd["mel"][:, cfg.n_mels].max() == 0.0
+    kr = radix4_constants(cfg)
+    assert kr["mel"][:, cfg.n_mels].max() == 0.0
+    # pspec energy keeps the ones-column
+    kp = kernel_constants(FrontendConfig())
+    assert kp["mel"][: 2 * FrontendConfig().n_bins, FrontendConfig().n_mels].min() == 1.0

