@@ -25,10 +25,13 @@ from typing import Optional
 
 WINDOWS = ("hamming_sym", "hamming_periodic", "hann_sym", "hann_periodic",
            "blackman_sym", "blackman_periodic", "povey", "rect")
-MEL_VARIANTS = ("psf_quantized", "tf_continuous")
-LOG_KINDS = ("ln", "ln_stab", "db", "ln_floor")
+MEL_VARIANTS = ("psf_quantized", "tf_continuous", "librosa_hz")
+MEL_SCALES = ("htk", "slaney")  # htk ~ kaldi: 2595*log10 vs 1127*ln, ~9e-6 rel
+MEL_NORMS = ("none", "slaney")  # slaney: 2/bandwidth area normalization
+LOG_KINDS = ("ln", "ln_stab", "db", "ln_floor", "log10_floor")
+LOGMEL_NORMS = ("none", "whisper")  # whisper: max-8 clamp then (x+4)/4
 DCT_NORMS = ("ortho", "htk")
-FRAME_TAILS = ("pad", "drop", "center")
+FRAME_TAILS = ("pad", "drop", "center", "center_reflect")
 CMVN_MODES = ("off", "utterance", "global", "speaker")
 FEATURES = ("mfcc", "logmel", "ssc")
 PREEMPH_MODES = ("signal", "frame")
@@ -49,12 +52,23 @@ class FrontendConfig:
     # signal
     sample_rate: int = 16000
     input_sample_rate: Optional[int] = None  # if set != sample_rate: resample
+    input_scale: float = 1.0  # gain applied to the audio before any stage.
+    # The framework's canonical scale is RAW int16 (float wavs are scaled
+    # x32768 by the decoder — the psf/Kaldi convention); lineages that
+    # define features on [-1, 1) audio (librosa/Whisper) set 1/32768 so
+    # file-based extraction matches their pipelines bit-for-bit. Array
+    # inputs are expected in int16 scale under such configs.
     # framing
     win_len_s: float = 0.025
     hop_s: float = 0.010
     frame_tail: str = "pad"  # "pad": F = 1+ceil((N-L)/S), zero-pad;
     # "drop": 1+(N-L)//S (Kaldi snip_edges=true); "center": F = (N+S//2)//S,
-    # frame f centered at f*S + S/2 with edge reflection (snip_edges=false)
+    # frame f centered at f*S + S/2 with edge reflection (snip_edges=false);
+    # "center_reflect": F = 1 + N//S, frame f centered at f*S, numpy-style
+    # reflect padding excluding the edge sample (librosa/torch.stft
+    # center=True pad_mode="reflect" — the Whisper front-end convention)
+    drop_last_frame: bool = False  # drop the final frame (F -= 1) AFTER the
+    # frame_tail count — the HF/OpenAI Whisper log_spec[:, :-1] quirk
     # spectrum
     n_fft: int = 512
     power_scale_nfft: bool = True  # True: |X|^2/NFFT (psf); False: |X|^2 (TF kernel)
@@ -69,7 +83,14 @@ class FrontendConfig:
     remove_dc_offset: bool = False  # subtract each frame's mean (post-dither)
     # mel
     n_mels: int = 26
-    mel_variant: str = "psf_quantized"
+    mel_variant: str = "psf_quantized"  # triangle construction: psf
+    # bin-quantized; "tf_continuous": mel-domain slopes, DC excluded (TF /
+    # Kaldi); "librosa_hz": Hz-domain slopes on the linspace bin grid
+    # (librosa / HF transformers / torchaudio lineage)
+    mel_scale: str = "htk"  # "htk": 2595*log10(1+f/700) (~ Kaldi's 1127*ln);
+    # "slaney": linear below 1 kHz, log above (librosa/Slaney default)
+    mel_norm: str = "none"  # "slaney": scale each triangle by 2/bandwidth
+    # (approx. constant energy per channel — librosa norm="slaney")
     mel_low_hz: float = 0.0
     mel_high_hz: Optional[float] = None  # None -> sample_rate / 2
     # VTLN (vocal tract length normalization) — Kaldi-style piecewise-linear
@@ -80,8 +101,13 @@ class FrontendConfig:
     vtln_low_hz: float = 100.0
     vtln_high_hz: float = -500.0  # <= 0 means nyquist + vtln_high_hz (Kaldi)
     # log
-    log_kind: str = "ln"  # "ln": ln(max(x, eps)); "ln_stab": ln(x + 1e-6); "db": 10*log10
+    log_kind: str = "ln"  # "ln": ln(max(x, eps)); "ln_stab": ln(x + 1e-6);
+    # "db": 10*log10; "ln_floor": ln(max(x, eps)) flooring tiny positives
+    # too (Kaldi); "log10_floor": log10(max(x, eps)) (librosa/Whisper)
     log_eps: float = 2.220446049250313e-16  # np.finfo(float64).eps — psf clamp
+    logmel_norm: str = "none"  # features="logmel" post-normalization:
+    # "whisper": x = max(x, max_valid(x) - 8); (x + 4) / 4 — the per-
+    # utterance dynamic-range compression of the Whisper front-end
     # cepstra
     features: str = "mfcc"  # "mfcc": DCT to n_ceps; "logmel": stop after log;
     # "ssc": spectral subband centroids (power-weighted mean frequency per
@@ -116,6 +142,9 @@ class FrontendConfig:
             (self.features, FEATURES, "features"),
             (self.preemph_mode, PREEMPH_MODES, "preemph_mode"),
             (self.energy_source, ENERGY_SOURCES, "energy_source"),
+            (self.mel_scale, MEL_SCALES, "mel_scale"),
+            (self.mel_norm, MEL_NORMS, "mel_norm"),
+            (self.logmel_norm, LOGMEL_NORMS, "logmel_norm"),
         ]
         for val, allowed, name in checks:
             if val not in allowed:
@@ -130,6 +159,11 @@ class FrontendConfig:
             raise ValueError(
                 "vtln_warp requires mel_variant='tf_continuous' (the "
                 "continuous-triangle filterbank the Kaldi warp is defined on)"
+            )
+        if self.logmel_norm != "none" and self.features != "logmel":
+            raise ValueError(
+                "logmel_norm normalizes the final log-mel features; it "
+                "requires features='logmel'"
             )
 
     # -- derived constants (host-side, python ints) --------------------------
@@ -161,13 +195,21 @@ class FrontendConfig:
 
     def num_frames(self, n_samples: int) -> int:
         """Frame count for an utterance of n_samples (SURVEY.md Appendix B #2;
-        "center" is Kaldi's snip_edges=false count)."""
+        "center" is Kaldi's snip_edges=false count, "center_reflect" the
+        librosa/torch center=True count)."""
         L, S = self.frame_length, self.frame_step
         if self.frame_tail == "pad":
-            return 1 + math.ceil(max(0, n_samples - L) / S)
-        if self.frame_tail == "center":
-            return (n_samples + S // 2) // S
-        return max(0, 1 + (n_samples - L) // S) if n_samples >= L else 0
+            n = 1 + math.ceil(max(0, n_samples - L) / S)
+        elif self.frame_tail == "center":
+            n = (n_samples + S // 2) // S
+        elif self.frame_tail == "center_reflect":
+            # pad L//2 both sides, then 1 + (N + 2*(L//2) - L) // S
+            n = 1 + (n_samples + 2 * (L // 2) - L) // S if n_samples > 0 else 0
+        else:
+            n = max(0, 1 + (n_samples - L) // S) if n_samples >= L else 0
+        if self.drop_last_frame:
+            n = max(0, n - 1)
+        return n
 
     def padded_length(self, num_frames: int) -> int:
         """Sample count the signal is zero-padded to for `num_frames` frames."""
@@ -243,6 +285,37 @@ NAMED_CONFIGS: dict[str, FrontendConfig] = {
         power_scale_nfft=False,
         log_kind="ln_floor",
         log_eps=1.1920928955078125e-07,
+        append_energy=False,
+        lifter=0,
+    ),
+    # OpenAI Whisper log-mel front-end (certified against the on-disk
+    # transformers.WhisperFeatureExtractor numpy path, which matches the
+    # original torch implementation to 1e-5): 400-pt FFT == window length,
+    # periodic Hann, torch.stft center=True reflect padding, |X|^2
+    # unscaled, 80 Slaney-scale slaney-normalized Hz-domain triangles on
+    # [0, 8000], log10 floored at 1e-10, drop-last-frame quirk, and the
+    # per-utterance max-8 dynamic-range compression. For bit-parity with
+    # the HF pipeline, feed audio padded/trimmed to its 30 s chunk.
+    "whisper80": FrontendConfig(
+        features="logmel",
+        input_scale=1.0 / 32768.0,  # whisper audio is [-1, 1) float
+        win_len_s=0.025,
+        hop_s=0.010,
+        n_fft=400,
+        window="hann_periodic",
+        frame_tail="center_reflect",
+        drop_last_frame=True,
+        preemph=0.0,
+        n_mels=80,
+        mel_variant="librosa_hz",
+        mel_scale="slaney",
+        mel_norm="slaney",
+        mel_low_hz=0.0,
+        mel_high_hz=8000.0,
+        power_scale_nfft=False,
+        log_kind="log10_floor",
+        log_eps=1e-10,
+        logmel_norm="whisper",
         append_energy=False,
         lifter=0,
     ),

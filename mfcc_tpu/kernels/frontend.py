@@ -510,6 +510,8 @@ def _make_epilogue(cfg: FrontendConfig, mp: int, block_frames: int):
             logged = 10.0 * jnp.log10(clamped)
         elif log_kind == "ln_floor":  # Kaldi ApplyFloor(eps) then log
             logged = jnp.log(jnp.maximum(proj, eps))
+        elif log_kind == "log10_floor":  # librosa/Whisper
+            logged = jnp.log10(jnp.maximum(proj, eps))
         else:  # pragma: no cover - config validates
             raise ValueError(log_kind)
         if frame_energy is not None:
@@ -849,6 +851,8 @@ def fused_logmel_stages(
     if block_frames is None:
         block_frames = _auto_block_frames(F)
     audio = audio.astype(jnp.float32)
+    if cfg.input_scale != 1.0:
+        audio = audio * jnp.float32(cfg.input_scale)
     B = audio.shape[0]
     c = max_kernel_batch
     if c and B > max(c, CHUNK_TRIGGER_BATCH) and B % c == 0:

@@ -74,8 +74,12 @@ def num_valid_frames(lengths: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
         n = 1 + (a + S - 1) // S
     elif cfg.frame_tail == "center":
         n = (lengths + S // 2) // S
+    elif cfg.frame_tail == "center_reflect":
+        n = 1 + (lengths + 2 * (L // 2) - L) // S
     else:
         n = jnp.where(lengths >= L, 1 + (lengths - L) // S, 0)
+    if cfg.drop_last_frame:
+        n = jnp.maximum(0, n - 1)
     return jnp.where(lengths > 0, n, 0)
 
 
@@ -112,20 +116,34 @@ def frame_signal(x: jnp.ndarray, num_frames: int, cfg: FrontendConfig) -> jnp.nd
 def frame_signal_centered(
     x: jnp.ndarray, num_frames: int, lengths: jnp.ndarray, cfg: FrontendConfig
 ) -> jnp.ndarray:
-    """Centered framing with per-utterance edge reflection (frame_tail
-    "center", Kaldi snip_edges=false): frame f covers samples
+    """Centered framing with per-utterance edge reflection.
+
+    frame_tail "center" (Kaldi snip_edges=false): frame f covers samples
     f*S + S//2 - L//2 + [0, L), indices reflected into [0, length) via the
-    closed-form period-2n triangular map (reference_numpy.reflect_index).
+    closed-form period-2n triangular map (reference_numpy.reflect_index —
+    the edge sample IS repeated: index -1 -> 0).
+
+    frame_tail "center_reflect" (librosa / torch.stft center=True,
+    pad_mode="reflect"): frame f covers f*S - L//2 + [0, L) with numpy-pad
+    reflection (edge sample NOT repeated: index -1 -> 1) — the period is
+    2(n-1), closed form m -> m if m < n else 2(n-1)-m over m = idx mod
+    2(n-1).
 
     Per-row dynamic gather (the reflection depends on each utterance's
     traced length) — jnp backend only; the fused kernel rejects this mode.
     """
     L, S = cfg.frame_length, cfg.frame_step
+    offset = (S // 2 - L // 2) if cfg.frame_tail == "center" else -(L // 2)
     idx = np.arange(L)[None, :] + S * np.arange(num_frames)[:, None] \
-        + (S // 2 - L // 2)  # [F, L], may be negative or >= length
+        + offset  # [F, L], may be negative or >= length
     n = jnp.maximum(lengths, 1).astype(jnp.int32)[:, None, None]  # [B,1,1]
-    m = jnp.mod(jnp.asarray(idx, jnp.int32)[None], 2 * n)
-    r = jnp.where(m < n, m, 2 * n - 1 - m)  # in [0, n) <= T always
+    if cfg.frame_tail == "center":
+        m = jnp.mod(jnp.asarray(idx, jnp.int32)[None], 2 * n)
+        r = jnp.where(m < n, m, 2 * n - 1 - m)  # in [0, n) <= T always
+    else:
+        period = jnp.maximum(2 * n - 2, 1)  # n == 1: constant signal
+        m = jnp.mod(jnp.asarray(idx, jnp.int32)[None], period)
+        r = jnp.where(m < n, m, 2 * n - 2 - m)
     return jax.vmap(lambda row, ri: row[ri])(x, r)  # [B, F, L]
 
 
@@ -150,6 +168,8 @@ def apply_log(x: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
         return 10.0 * jnp.log10(jnp.where(x <= 0, eps, x))
     if cfg.log_kind == "ln_floor":
         return jnp.log(jnp.maximum(x, eps))
+    if cfg.log_kind == "log10_floor":  # librosa/Whisper
+        return jnp.log10(jnp.maximum(x, eps))
     raise ValueError(cfg.log_kind)
 
 
@@ -249,11 +269,11 @@ def pallas_unsupported_reason(cfg: FrontendConfig) -> str | None:
             "features='ssc' needs the raw power spectrum, which the fused "
             "kernel's epilogue does not materialize"
         )
-    if cfg.frame_tail == "center":
+    if cfg.frame_tail in ("center", "center_reflect"):
         return (
-            "frame_tail='center' needs per-utterance reflection gathers "
-            "(Kaldi snip_edges=false), which the chunk-slab kernel framer "
-            "does not implement"
+            f"frame_tail={cfg.frame_tail!r} needs per-utterance reflection "
+            "gathers (Kaldi snip_edges=false / librosa center=True), which "
+            "the chunk-slab kernel framer does not implement"
         )
     if cfg.dither > 0.0:
         return "dither draws per-frame PRNG noise, jnp backend only"
@@ -272,13 +292,15 @@ def logmel_stages(
     k = device_constants(cfg)
     dtype = compute_dtype(cfg)
     audio = audio.astype(dtype)
+    if cfg.input_scale != 1.0:
+        audio = audio * jnp.asarray(cfg.input_scale, dtype)
 
     F = cfg.num_frames(audio.shape[-1])
     if cfg.preemph_mode == "signal":
         y = zero_beyond(preemphasis(audio, cfg.preemph), lengths)
     else:  # frame-first conditioning (Kaldi order): frame the raw signal
         y = zero_beyond(audio, lengths)
-    if cfg.frame_tail == "center":
+    if cfg.frame_tail in ("center", "center_reflect"):
         frames = frame_signal_centered(y, F, lengths, cfg)  # [B, F, L]
     else:
         # pad the time axis so the last frame's gather stays in bounds
@@ -347,10 +369,23 @@ def features_from_logmel(
     n_valid = stages["n_valid"]
     frame_mask = stages.get("frame_mask_fp", stages["frame_mask"])
 
+    def _logmel_norm(base):
+        """Whisper per-utterance dynamic-range compression, pad-masked:
+        clamp at 8 log10-units below each utterance's valid max, (x+4)/4."""
+        if cfg.logmel_norm != "whisper":
+            return base
+        fm = frame_mask[..., : base.shape[-2]]  # frame_mask may be fp-length
+        valid = fm[..., None] > 0
+        neg = jnp.asarray(-1e30, base.dtype)
+        mx = jnp.max(
+            jnp.where(valid, base, neg), axis=(-2, -1), keepdims=True
+        )  # [B, 1, 1]; all-pad rows give -1e30, harmless under the clamp
+        return (jnp.maximum(base, mx - 8.0) + 4.0) / 4.0
+
     if "prefix_fp" in stages:
         x = stages["prefix_fp"]  # [B, fp, n_mels+1]
         if cfg.features == "logmel":
-            base = x[..., : cfg.n_mels]
+            base = _logmel_norm(x[..., : cfg.n_mels])
         else:
             if cfg.append_energy:
                 lane = jnp.arange(cfg.n_mels + 1)
@@ -373,7 +408,7 @@ def features_from_logmel(
                 precision=jax.lax.Precision.HIGHEST,
             )
     elif cfg.features == "logmel":
-        base = stages["logmel"]
+        base = _logmel_norm(stages["logmel"])
     elif cfg.features == "ssc":
         # spectral subband centroids need the raw power spectrum, which
         # only the jnp twin materializes (the fused kernel's epilogue

@@ -24,16 +24,35 @@ import numpy as np
 from mfcc_tpu.config import FrontendConfig
 
 # ---------------------------------------------------------------------------
-# Mel scale (HTK): m = 2595 log10(1 + f/700)  ==  1127 ln(1 + f/700)
+# Mel scales:
+#   HTK:    m = 2595 log10(1 + f/700)  ≈  Kaldi's 1127 ln(1 + f/700)
+#           (2595/ln10 = 1127.0105 — ~9e-6 relative, inside feature gates)
+#   Slaney: linear 3f/200 below 1 kHz, log above (librosa/Auditory-Toolbox;
+#           matches transformers.audio_utils.hertz_to_mel(mel_scale="slaney"))
 # ---------------------------------------------------------------------------
 
+_SLANEY_MIN_LOG_HZ = 1000.0
+_SLANEY_MIN_LOG_MEL = 15.0  # == 3 * 1000 / 200
+_SLANEY_LOGSTEP = 27.0 / np.log(6.4)  # 27 mels span [1 kHz, 6.4 kHz]
 
-def hz_to_mel(hz):
-    return 2595.0 * np.log10(1.0 + np.asarray(hz, dtype=np.float64) / 700.0)
+
+def hz_to_mel(hz, scale: str = "htk"):
+    hz = np.asarray(hz, dtype=np.float64)
+    if scale == "htk":
+        return 2595.0 * np.log10(1.0 + hz / 700.0)
+    lin = 3.0 * hz / 200.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        log = _SLANEY_MIN_LOG_MEL + np.log(hz / _SLANEY_MIN_LOG_HZ) * _SLANEY_LOGSTEP
+    return np.where(hz >= _SLANEY_MIN_LOG_HZ, log, lin)
 
 
-def mel_to_hz(mel):
-    return 700.0 * (10.0 ** (np.asarray(mel, dtype=np.float64) / 2595.0) - 1.0)
+def mel_to_hz(mel, scale: str = "htk"):
+    mel = np.asarray(mel, dtype=np.float64)
+    if scale == "htk":
+        return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+    lin = 200.0 * mel / 3.0
+    log = _SLANEY_MIN_LOG_HZ * np.exp((mel - _SLANEY_MIN_LOG_MEL) / _SLANEY_LOGSTEP)
+    return np.where(mel >= _SLANEY_MIN_LOG_MEL, log, lin)
 
 
 # ---------------------------------------------------------------------------
@@ -75,24 +94,39 @@ def window_vector(kind: str, length: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _slaney_norm(fb: np.ndarray, edge_hz: np.ndarray) -> np.ndarray:
+    """Scale each triangle by 2 / bandwidth (librosa norm="slaney" /
+    transformers enorm): approximately constant energy per channel.
+    edge_hz: the [n_mels + 2] Hz edge points the triangles were built on."""
+    n_mels = fb.shape[1]
+    enorm = 2.0 / (edge_hz[2 : n_mels + 2] - edge_hz[:n_mels])
+    return fb * enorm[None, :]
+
+
 def mel_filterbank_psf(
-    n_mels: int, n_fft: int, sample_rate: int, low_hz: float, high_hz: float
+    n_mels: int, n_fft: int, sample_rate: int, low_hz: float, high_hz: float,
+    scale: str = "htk", norm: str = "none",
 ) -> np.ndarray:
     """Bin-quantized triangular filterbank (psf/tutorial lineage).
 
     Edges are FFT-bin indices floor((NFFT+1) * hz / sr); triangle j rises on
     [b_j, b_{j+1}) and falls on [b_{j+1}, b_{j+2}) (SURVEY.md Appendix B #6).
+    norm="slaney" uses the un-quantized edge frequencies for the bandwidth.
     """
     n_bins = n_fft // 2 + 1
-    mel_pts = np.linspace(hz_to_mel(low_hz), hz_to_mel(high_hz), n_mels + 2)
-    bins = np.floor((n_fft + 1) * mel_to_hz(mel_pts) / sample_rate).astype(np.int64)
+    mel_pts = np.linspace(
+        hz_to_mel(low_hz, scale), hz_to_mel(high_hz, scale), n_mels + 2
+    )
+    edge_hz = mel_to_hz(mel_pts, scale)
+    bins = np.floor((n_fft + 1) * edge_hz / sample_rate).astype(np.int64)
     fb = np.zeros((n_mels, n_bins), dtype=np.float64)
     for j in range(n_mels):
         for i in range(bins[j], bins[j + 1]):
             fb[j, i] = (i - bins[j]) / (bins[j + 1] - bins[j])
         for i in range(bins[j + 1], bins[j + 2]):
             fb[j, i] = (bins[j + 2] - i) / (bins[j + 2] - bins[j + 1])
-    return fb.T  # [n_bins, n_mels]
+    fb = fb.T  # [n_bins, n_mels]
+    return _slaney_norm(fb, edge_hz) if norm == "slaney" else fb
 
 
 def vtln_warp_freq(
@@ -135,6 +169,7 @@ def vtln_warp_freq(
 def mel_filterbank_tf(
     n_mels: int, n_fft: int, sample_rate: int, low_hz: float, high_hz: float,
     vtln: tuple[float, float, float] | None = None,
+    scale: str = "htk", norm: str = "none",
 ) -> np.ndarray:
     """Continuous mel-domain triangles, DC bin excluded.
 
@@ -144,38 +179,79 @@ def mel_filterbank_tf(
     mel_hi, n_mels+2), weight = max(0, min(up_slope, down_slope)); the DC
     row is zero. This is also the Kaldi mel-bank algebra: Kaldi evaluates
     the same triangles on the identical k*sr/n_fft grid (its bin loop stops
-    before nyquist, where the top triangle is zero anyway), and
-    1127*ln(1+f/700) == 2595*log10(1+f/700).
+    before nyquist, where the top triangle is zero anyway), and Kaldi's
+    rounded 1127*ln(1+f/700) matches 2595*log10(1+f/700) to ~9e-6 relative.
 
     vtln = (warp, vtln_low_hz, vtln_high_hz) warps the triangle EDGES
     through vtln_warp_freq in the Hz domain (Kaldi VtlnWarpMelFreq); the
     spectral bin grid is untouched.
     """
     n_bins = n_fft // 2 + 1
-    spec_mel = hz_to_mel(np.linspace(0.0, sample_rate / 2.0, n_bins)[1:])  # [n_bins-1]
-    edges_mel = np.linspace(hz_to_mel(low_hz), hz_to_mel(high_hz), n_mels + 2)
+    spec_mel = hz_to_mel(
+        np.linspace(0.0, sample_rate / 2.0, n_bins)[1:], scale
+    )  # [n_bins-1]
+    edges_mel = np.linspace(
+        hz_to_mel(low_hz, scale), hz_to_mel(high_hz, scale), n_mels + 2
+    )
     if vtln is not None and vtln[0] != 1.0:
         warp, vlow, vhigh = vtln
         if vhigh <= 0:  # Kaldi: non-positive vtln_high is nyquist-relative
             vhigh += sample_rate / 2.0
         edges_mel = hz_to_mel(
-            vtln_warp_freq(mel_to_hz(edges_mel), vlow, vhigh, low_hz, high_hz, warp)
+            vtln_warp_freq(
+                mel_to_hz(edges_mel, scale), vlow, vhigh, low_hz, high_hz, warp
+            ),
+            scale,
         )
     lower, center, upper = edges_mel[:-2], edges_mel[1:-1], edges_mel[2:]
     up = (spec_mel[:, None] - lower[None, :]) / (center - lower)[None, :]
     down = (upper[None, :] - spec_mel[:, None]) / (upper - center)[None, :]
     w = np.maximum(0.0, np.minimum(up, down))  # [n_bins-1, n_mels]
-    return np.concatenate([np.zeros((1, n_mels)), w], axis=0)  # [n_bins, n_mels]
+    fb = np.concatenate([np.zeros((1, n_mels)), w], axis=0)  # [n_bins, n_mels]
+    return _slaney_norm(fb, mel_to_hz(edges_mel, scale)) if norm == "slaney" else fb
+
+
+def mel_filterbank_hz(
+    n_mels: int, n_fft: int, sample_rate: int, low_hz: float, high_hz: float,
+    scale: str = "htk", norm: str = "none",
+) -> np.ndarray:
+    """Hz-domain continuous triangles on the linspace bin grid — the
+    librosa / transformers.audio_utils.mel_filter_bank (triangularize_in_
+    mel_space=False) / torchaudio lineage. Mel spacing places the EDGES;
+    the slopes are linear in Hz (unlike mel_filterbank_tf's mel-domain
+    slopes — the two differ above ~1 kHz even for identical edges).
+    scale="slaney" + norm="slaney" is the librosa default and the Whisper
+    front-end filterbank."""
+    n_bins = n_fft // 2 + 1
+    fft_hz = np.linspace(0.0, sample_rate / 2.0, n_bins)  # == k * sr / n_fft
+    edge_hz = mel_to_hz(
+        np.linspace(
+            hz_to_mel(low_hz, scale), hz_to_mel(high_hz, scale), n_mels + 2
+        ),
+        scale,
+    )
+    lower, center, upper = edge_hz[:-2], edge_hz[1:-1], edge_hz[2:]
+    up = (fft_hz[:, None] - lower[None, :]) / (center - lower)[None, :]
+    down = (upper[None, :] - fft_hz[:, None]) / (upper - center)[None, :]
+    fb = np.maximum(0.0, np.minimum(up, down))  # [n_bins, n_mels]
+    return _slaney_norm(fb, edge_hz) if norm == "slaney" else fb
 
 
 def mel_filterbank(cfg: FrontendConfig) -> np.ndarray:
     if cfg.mel_variant == "psf_quantized":
         return mel_filterbank_psf(
-            cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.mel_low_hz, cfg.mel_high
+            cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.mel_low_hz, cfg.mel_high,
+            scale=cfg.mel_scale, norm=cfg.mel_norm,
+        )
+    if cfg.mel_variant == "librosa_hz":
+        return mel_filterbank_hz(
+            cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.mel_low_hz, cfg.mel_high,
+            scale=cfg.mel_scale, norm=cfg.mel_norm,
         )
     return mel_filterbank_tf(
         cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.mel_low_hz, cfg.mel_high,
         vtln=(cfg.vtln_warp, cfg.vtln_low_hz, cfg.vtln_high_hz),
+        scale=cfg.mel_scale, norm=cfg.mel_norm,
     )
 
 

@@ -51,6 +51,16 @@ def frame_signal(x: np.ndarray, frame_length: int, frame_step: int, tail: str = 
         start = frame_step * np.arange(num)[:, None] + frame_step // 2 - frame_length // 2
         idx = reflect_index(start + np.arange(frame_length)[None, :], n)
         return x[idx]
+    elif tail == "center_reflect":
+        # librosa / torch.stft center=True, pad_mode="reflect": pad L//2
+        # both sides with numpy-style reflection (edge sample NOT repeated),
+        # frames start at f*S in the padded signal (centered at f*S in the
+        # original); F = 1 + (N + 2*(L//2) - L) // S
+        if n == 0:
+            return np.zeros((0, frame_length))
+        pad = frame_length // 2
+        x = np.pad(x, (pad, pad), mode="reflect")
+        num = 1 + (x.shape[0] - frame_length) // frame_step
     else:
         num = max(0, 1 + (n - frame_length) // frame_step) if n >= frame_length else 0
     idx = np.arange(frame_length)[None, :] + frame_step * np.arange(num)[:, None]
@@ -91,6 +101,8 @@ def apply_log(x: np.ndarray, kind: str, eps: float) -> np.ndarray:
         return 10.0 * np.log10(np.where(x <= 0, eps, x))
     if kind == "ln_floor":
         return np.log(np.maximum(x, eps))
+    if kind == "log10_floor":  # librosa/Whisper: log10(max(x, eps))
+        return np.log10(np.maximum(x, eps))
     raise ValueError(kind)
 
 
@@ -163,11 +175,16 @@ def logmel_chain(
     does NOT bit-match the jax draw — parity tests pass the noise in).
     """
     k = C.chain_constants(cfg)
+    x = np.asarray(x, dtype=np.float64)
+    if cfg.input_scale != 1.0:
+        x = x * cfg.input_scale
     if cfg.preemph_mode == "signal":
         y = preemphasis(x, cfg.preemph)
     else:
-        y = np.asarray(x, dtype=np.float64)
+        y = x
     frames = frame_signal(y, cfg.frame_length, cfg.frame_step, cfg.frame_tail)
+    if cfg.drop_last_frame:  # the Whisper log_spec[:, :-1] quirk
+        frames = frames[: max(0, frames.shape[0] - 1)]
     if cfg.dither > 0.0:
         if dither_noise is None:
             dither_noise = np.random.default_rng(cfg.dither_seed).standard_normal(
@@ -215,6 +232,11 @@ def extract_stages(
     stages = logmel_chain(x, cfg, dither_noise=dither_noise)
     if cfg.features == "logmel":
         base = stages["logmel"]
+        if cfg.logmel_norm == "whisper" and base.shape[0] > 0:
+            # per-utterance dynamic-range compression (Whisper front-end):
+            # clamp at 8 log10-units below the utterance max, shift+scale
+            base = np.maximum(base, base.max() - 8.0)
+            base = (base + 4.0) / 4.0
     elif cfg.features == "ssc":
         # spectral subband centroids (compat.ssc semantics): clamp the
         # power spectrum, then power-weighted mean frequency per band

@@ -183,13 +183,15 @@ def extract_long(
     n = int(x.shape[0])
     if cfg_t.num_frames(n) <= seg_frames:
         return chain.extract_single(x, cfg_t, backend=backend)
-    if cfg_t.frame_tail == "center":
-        # centered framing reflects indices around the GLOBAL signal edges;
-        # a segment row would reflect around its own edges instead, so the
-        # split is not frame-exact. The centered gather is already
-        # per-utterance dynamic (traced lengths), so one whole-length
-        # extraction is correct at any length; pad the row to a bucket
-        # multiple to bound the number of compiled programs.
+    if cfg_t.frame_tail in ("center", "center_reflect") or cfg_t.logmel_norm != "none":
+        # centered framing reflects indices around the GLOBAL signal edges
+        # (a segment row would reflect around its own edges instead), and
+        # logmel_norm="whisper" clamps at the GLOBAL utterance max (a
+        # segment row would clamp at its own max) — neither split is
+        # frame-exact. The centered gather is already per-utterance dynamic
+        # (traced lengths), so one whole-length extraction is correct at
+        # any length; pad the row to a bucket multiple to bound the number
+        # of compiled programs.
         import jax.numpy as jnp
 
         bucket = max(1, int(round(seg_len_s * cfg_t.sample_rate)))

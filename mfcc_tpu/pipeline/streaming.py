@@ -66,6 +66,8 @@ def _make_base_block(cfg: FrontendConfig, K: int):
 
     def block(xwin: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         xwin = xwin.astype(dtype)
+        if cfg.input_scale != 1.0:
+            xwin = xwin * jnp.asarray(cfg.input_scale, dtype)
         eps = jnp.asarray(cfg.log_eps, dtype)
         if cfg.preemph_mode == "signal":
             y = xwin[1:] - cfg.preemph * xwin[:-1] if cfg.preemph else xwin[1:]
@@ -168,11 +170,18 @@ class StreamingExtractor:
                 f"cfg.cmvn={cfg.cmvn!r} requires cmvn_moments=(s1, s2, n) "
                 "(for 'speaker': this session's speaker's pool)"
             )
-        if cfg.frame_tail == "center":
+        if cfg.frame_tail in ("center", "center_reflect") or cfg.drop_last_frame:
             raise ValueError(
-                "frame_tail='center' reflects frames around the FINAL "
-                "stream length (Kaldi snip_edges=false), which is unknown "
-                "until flush; use frame_tail='drop' or 'pad' for streaming"
+                "centered framing (frame_tail='center'/'center_reflect') "
+                "reflects frames around the FINAL stream length, and "
+                "drop_last_frame drops a frame known only at flush — "
+                "neither is streamable; use frame_tail='drop' or 'pad'"
+            )
+        if cfg.logmel_norm != "none":
+            raise ValueError(
+                "logmel_norm='whisper' clamps at the utterance-global max, "
+                "which is unknown until the stream ends; normalize offline "
+                "or post-hoc"
             )
         if cfg.dither > 0.0:
             raise ValueError(

@@ -59,6 +59,11 @@ def generate_goldens(configs: dict[str, FrontendConfig] | None = None) -> list[p
     for cname, cfg in configs.items():
         sr = cfg.input_sample_rate or cfg.sample_rate
         for sname, sig in golden_signals(sr).items():
+            if cfg.input_scale != 1.0:
+                # configs defined on [-1, 1) audio (input_scale=1/32768,
+                # e.g. whisper80) get the signals at int16 scale so the
+                # goldens exercise realistic levels, not the log floor
+                sig = sig * 8192.0
             sig_input = sig
             if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
                 # the oracle chain is defined at the target rate; the
