@@ -530,9 +530,7 @@ def _make_kernel(
     n_chunk_refs = 1 if slab_mode else nc
     epilogue = _make_epilogue(cfg, mp, block_frames)
     condition = _make_conditioning(cfg)
-    # frame-mode pre-emphasis happens INSIDE the conditioning pass, not in
-    # the signal-level gather
-    gather_preemph = 0.0 if cfg.preemph_mode == "frame" else cfg.preemph
+    gather_preemph = _gather_preemph(cfg)
 
     def kernel(*refs):
         # refs: [lengths (1,) SMEM if slab] + chunk slab [1, PRO+C, S] or
@@ -601,7 +599,7 @@ def _make_radix4_kernel(
     n_chunk_refs = 1 if slab_mode else nc
     epilogue = _make_epilogue(cfg, mp, block_frames)
     condition = _make_conditioning(cfg)
-    gather_preemph = 0.0 if cfg.preemph_mode == "frame" else cfg.preemph
+    gather_preemph = _gather_preemph(cfg)
 
     def kernel(*refs):
         if slab_mode:
@@ -707,9 +705,10 @@ def _fused_logmel_energy(
             memory_space=pltpu.VMEM,
         )
     else:
-        if cfg.preemph_mode == "signal":
+        if _gather_preemph(cfg) != 0.0:
             y = chain.zero_beyond(chain.preemphasis(audio, cfg.preemph), lengths)
-        else:  # frame-mode preemph happens in the kernel's conditioning pass
+        else:  # preemph happens in the conditioning pass (frame mode) or
+            # already happened in the reflect-extension prologue (center)
             y = chain.zero_beyond(audio, lengths)
         n_chunks = fp - 1 + nc
         t_need = n_chunks * S
@@ -800,6 +799,92 @@ def _fused_logmel_energy(
     return out  # [B, fp, MP]; caller trims frames at the very end
 
 
+def _reflect_extend(audio, lengths, cfg: FrontendConfig):
+    """Rewrite centered framing as STANDARD strided framing on a reflected
+    extension of the signal, so the fused kernel's framer applies unchanged:
+    ext[i] = x[reflect(i + shift)] makes frame t start at ext[t*S] exactly.
+
+      frame_tail="center_reflect" (librosa/torch center=True, whisper80):
+        shift = -(L//2), numpy-pad reflection (period 2(n-1), edge sample
+        not repeated);
+      frame_tail="center" (Kaldi snip_edges=false):
+        shift = S//2 - L//2, symmetric reflection (period 2n, edge repeated).
+
+    The reflection map is total, so every valid frame reads REAL samples;
+    returns (ext [B, T + slack], new_lengths) where new_lengths bounds the
+    last valid frame's end for the in-kernel beyond-length zeroing. Signal-
+    level pre-emphasis (when configured) is applied BEFORE reflection here
+    — reflect(preemph(x)) is the twin's order — so the kernel's gather
+    pre-emphasis must be disabled for these modes (_gather_preemph).
+
+    Cost note: a whole-row take_along_axis gather scalarizes on TPU
+    (measured 122 ms/step at batch-64 × 10 s). Only the boundary regions
+    actually differ from the identity, so ext is one static concat
+    [head | x | zeros] plus two TINY per-row gathers — head and tail
+    windows of O(frame_length) samples — with the tail written at each
+    row's dynamic offset (a vmapped dynamic_update_slice)."""
+    L, S = cfg.frame_length, cfg.frame_step
+    B, T = audio.shape
+    if cfg.preemph_mode == "signal" and cfg.preemph != 0.0:
+        audio = chain.zero_beyond(chain.preemphasis(audio, cfg.preemph), lengths)
+    n = jnp.maximum(lengths, 1).astype(jnp.int32)[:, None]  # [B, 1]
+    center_reflect = cfg.frame_tail == "center_reflect"
+
+    def refl_values(idx):
+        """values x[reflect(idx)] for per-row global indices idx [B, K]."""
+        if center_reflect:  # numpy-pad reflect: period 2(n-1), edge once
+            m = jnp.mod(idx, jnp.maximum(2 * n - 2, 1))
+            r = jnp.where(m < n, m, 2 * n - 2 - m)
+        else:  # Kaldi symmetric: period 2n, edge repeated
+            m = jnp.mod(idx, 2 * n)
+            r = jnp.where(m < n, m, 2 * n - 1 - m)
+        return jnp.take_along_axis(audio, r, axis=-1)
+
+    if center_reflect:
+        p_head = L // 2
+        tail_sz = L // 2
+        new_len = lengths + 2 * (L // 2)
+    else:
+        shift = S // 2 - L // 2
+        p_head = max(0, -shift)
+        tail_sz = L  # bound on how far past n the last valid frame reads
+        new_len = lengths + p_head + L
+        if shift > 0:  # degenerate L < S: frames start inside the signal;
+            # fall back to the full gather (correctness over speed)
+            ext_len = T + L
+            i = jnp.arange(ext_len, dtype=jnp.int32)[None, :] + shift
+            ext = refl_values(jnp.broadcast_to(i, (B, ext_len)))
+            return ext, new_len.astype(jnp.int32)
+
+    # head: ext[0:p_head] = x[reflect(-p_head .. -1)]
+    head = refl_values(
+        jnp.broadcast_to(
+            jnp.arange(-p_head, 0, dtype=jnp.int32)[None, :], (B, p_head)
+        )
+    )
+    # tail: ext[p_head + n + k] = x[reflect(n + k)], k < tail_sz
+    tail = refl_values(jnp.arange(tail_sz, dtype=jnp.int32)[None, :] + n)
+    ext = jnp.concatenate(
+        [head, audio, jnp.zeros((B, tail_sz), audio.dtype)], axis=-1
+    )
+    starts = p_head + jnp.maximum(lengths, 1).astype(jnp.int32)
+    ext = jax.vmap(
+        lambda row, t, s: jax.lax.dynamic_update_slice(row, t, (s,))
+    )(ext, tail, starts)
+    return ext, new_len.astype(jnp.int32)
+
+
+def _gather_preemph(cfg: FrontendConfig) -> float:
+    """Signal-level pre-emphasis coefficient for the in-kernel gather: zero
+    when pre-emphasis happens elsewhere (frame mode: the conditioning pass;
+    center modes: the XLA reflect-extension prologue)."""
+    if cfg.preemph_mode == "frame":
+        return 0.0
+    if cfg.frame_tail in ("center", "center_reflect"):
+        return 0.0
+    return cfg.preemph
+
+
 _BLOCK_CANDIDATES = (256, 512, 1024)
 
 
@@ -853,6 +938,12 @@ def fused_logmel_stages(
     audio = audio.astype(jnp.float32)
     if cfg.input_scale != 1.0:
         audio = audio * jnp.float32(cfg.input_scale)
+    orig_lengths = lengths
+    if cfg.frame_tail in ("center", "center_reflect"):
+        # centered framing becomes standard framing on the reflected
+        # extension (frame t starts at ext[t*S]); F above was computed from
+        # the ORIGINAL length, and n_valid below uses orig_lengths
+        audio, lengths = _reflect_extend(audio, lengths, cfg)
     B = audio.shape[0]
     c = max_kernel_batch
     if c and B > max(c, CHUNK_TRIGGER_BATCH) and B % c == 0:
@@ -889,7 +980,7 @@ def fused_logmel_stages(
     # cepstral epilogue downstream works on the prefix via one augmented
     # matmul (chain.features_from_logmel). The trimmed logmel/energy views
     # below exist for tests/inspection and are DCE'd when unused.
-    n_valid = chain.num_valid_frames(lengths, cfg)
+    n_valid = chain.num_valid_frames(orig_lengths, cfg)
     frame_mask_fp = (
         jnp.arange(fp)[None, :] < n_valid[:, None]
     ).astype(jnp.float32)

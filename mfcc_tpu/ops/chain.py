@@ -269,12 +269,6 @@ def pallas_unsupported_reason(cfg: FrontendConfig) -> str | None:
             "features='ssc' needs the raw power spectrum, which the fused "
             "kernel's epilogue does not materialize"
         )
-    if cfg.frame_tail in ("center", "center_reflect"):
-        return (
-            f"frame_tail={cfg.frame_tail!r} needs per-utterance reflection "
-            "gathers (Kaldi snip_edges=false / librosa center=True), which "
-            "the chunk-slab kernel framer does not implement"
-        )
     if cfg.dither > 0.0:
         return "dither draws per-frame PRNG noise, jnp backend only"
     return None

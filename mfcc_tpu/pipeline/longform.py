@@ -198,9 +198,10 @@ def extract_long(
         T = ((n + bucket - 1) // bucket) * bucket
         audio = np.zeros(T, dtype=chain.compute_dtype(cfg_t))
         audio[:n] = x
+        be = backend if chain.pallas_unsupported_reason(cfg_t) is None else "jnp"
         feat, _ = chain.extract_batch(
             jnp.asarray(audio)[None], jnp.asarray([n], np.int32), cfg_t,
-            backend="jnp",
+            backend=be,
         )
         return np.asarray(feat[0, : cfg_t.num_frames(n)])
     if cfg_t.dither > 0.0:

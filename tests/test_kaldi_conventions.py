@@ -283,17 +283,20 @@ def test_pallas_guard_rejects_unsupported_knobs():
     x = jnp.zeros((1, 16000), jnp.float32)
     l = jnp.asarray([16000], np.int32)
     for cfg in (
-        FrontendConfig(frame_tail="center"),
-        FrontendConfig(dither=0.5),
+        FrontendConfig(dither=0.5),  # the ONLY remaining jnp-only knob
     ):
         assert chain.pallas_unsupported_reason(cfg)
         with pytest.raises(ValueError):
             chain.extract_batch(x, l, cfg, backend="pallas")
-    # frame-first conditioning IS in the fused kernel (its conditioning
-    # pass, kernels/frontend._make_conditioning) — kernel-eligible
+    # frame-first conditioning is in the fused kernel (its conditioning
+    # pass) and centered framing rides the reflect-extension prologue
+    # (kernels/frontend._reflect_extend) — all kernel-eligible
     for cfg in (
         named_config("kaldi_mfcc"),
         named_config("kaldi_fbank"),
+        named_config("whisper80"),
+        FrontendConfig(frame_tail="center"),
+        FrontendConfig(frame_tail="center_reflect"),
         FrontendConfig(remove_dc_offset=True),
         FrontendConfig(energy_source="raw_frame"),
         FrontendConfig(energy_source="windowed_frame"),

@@ -252,12 +252,8 @@ def test_num_frames_center_reflect_and_drop_last():
 
 def test_guards():
     cfg = named_config("whisper80")
-    assert chain.pallas_unsupported_reason(cfg)  # center_reflect gather
-    with pytest.raises(ValueError):
-        chain.extract_batch(
-            jnp.zeros((1, 16000), jnp.float32), jnp.asarray([16000], np.int32),
-            cfg, backend="pallas",
-        )
+    # center_reflect is kernel-eligible via the reflect-extension prologue
+    assert chain.pallas_unsupported_reason(cfg) is None
     from mfcc_tpu.pipeline import StreamingExtractor
 
     with pytest.raises(ValueError):
@@ -298,3 +294,48 @@ def test_extract_auto_backend_whisper(tmp_path):
     want = fe._np_extract_fbank_features(pcm[None], "cpu")[0].T
     assert got.shape == want.shape == (3000, 80)
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+
+
+def test_whisper80_pallas_matches_jnp():
+    """center_reflect + whisper norm through the fused kernel: the reflect-
+    extension prologue (kernels/frontend._reflect_extend) must reproduce the
+    per-utterance reflection gather exactly, including multi-wrap rows."""
+    cfg = named_config("whisper80")
+    lens = [16000 * 2, 16000 - 373, 801, 250, 90]
+    utts = [RNG.standard_normal(n) * 8000.0 for n in lens]
+    b = pad_batch(utts, cfg)
+    fj, mj = chain.extract_batch(
+        jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg, backend="jnp"
+    )
+    fp_, mp_ = chain.extract_batch(
+        jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg, backend="pallas"
+    )
+    np.testing.assert_array_equal(np.asarray(mj), np.asarray(mp_))
+    np.testing.assert_allclose(
+        np.asarray(fp_), np.asarray(fj), rtol=0, atol=5e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        FrontendConfig(frame_tail="center"),  # Kaldi snip_edges=false
+        FrontendConfig(frame_tail="center_reflect", deltas=2),
+        FrontendConfig(frame_tail="center", preemph=0.0, features="logmel",
+                       append_energy=False, lifter=0),
+    ],
+    ids=["kaldi-center", "reflect-deltas", "center-logmel"],
+)
+def test_center_modes_pallas_matches_jnp(cfg):
+    lens = [16000, 801, 250, 90]
+    utts = [RNG.standard_normal(n) * 8000.0 for n in lens]
+    b = pad_batch(utts, cfg)
+    fj, _ = chain.extract_batch(
+        jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg, backend="jnp"
+    )
+    fp_, _ = chain.extract_batch(
+        jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg, backend="pallas"
+    )
+    np.testing.assert_allclose(
+        np.asarray(fp_), np.asarray(fj), rtol=2e-3, atol=5e-4
+    )

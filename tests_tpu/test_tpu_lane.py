@@ -20,6 +20,9 @@ PALLAS_CONFIGS = [
     # frame-first conditioning (DC removal, frame preemph, raw/windowed
     # frame energy) through the Mosaic-compiled conditioning pass
     "kaldi_mfcc", "kaldi_fbank",
+    # center_reflect framing via the XLA reflect-extension prologue +
+    # whisper logmel_norm
+    "whisper80",
 ]
 SIGNAL_NAMES = ["noise", "speechish", "chirp", "short"]
 
