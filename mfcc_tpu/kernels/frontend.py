@@ -832,13 +832,9 @@ def _reflect_extend(audio, lengths, cfg: FrontendConfig):
 
     def refl_values(idx):
         """values x[reflect(idx)] for per-row global indices idx [B, K]."""
-        if center_reflect:  # numpy-pad reflect: period 2(n-1), edge once
-            m = jnp.mod(idx, jnp.maximum(2 * n - 2, 1))
-            r = jnp.where(m < n, m, 2 * n - 2 - m)
-        else:  # Kaldi symmetric: period 2n, edge repeated
-            m = jnp.mod(idx, 2 * n)
-            r = jnp.where(m < n, m, 2 * n - 1 - m)
-        return jnp.take_along_axis(audio, r, axis=-1)
+        return jnp.take_along_axis(
+            audio, chain.reflect_index(idx, n, cfg.frame_tail), axis=-1
+        )
 
     if center_reflect:
         p_head = L // 2

@@ -113,37 +113,44 @@ def frame_signal(x: jnp.ndarray, num_frames: int, cfg: FrontendConfig) -> jnp.nd
     return jnp.take(x, jnp.asarray(idx), axis=-1)
 
 
+def reflect_index(idx: jnp.ndarray, n: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """Closed-form edge-reflection index maps into [0, n) — THE single
+    definition shared by the jnp framer below, the fused kernel's
+    reflect-extension prologue (kernels/frontend._reflect_extend) and, in
+    numpy form, the longform host prologue. n broadcasts against idx
+    (per-utterance traced lengths), pre-clamped to >= 1 by callers.
+
+    kind "center" (Kaldi snip_edges=false): symmetric reflection, the edge
+    sample IS repeated (index -1 -> 0) — period-2n triangular map.
+    kind "center_reflect" (librosa / torch.stft center=True,
+    pad_mode="reflect"): edge sample NOT repeated (index -1 -> 1) —
+    period 2(n-1) (clamped to 1 for n == 1: constant signal).
+    """
+    if kind == "center":
+        m = jnp.mod(idx, 2 * n)
+        return jnp.where(m < n, m, 2 * n - 1 - m)
+    m = jnp.mod(idx, jnp.maximum(2 * n - 2, 1))
+    return jnp.where(m < n, m, 2 * n - 2 - m)
+
+
 def frame_signal_centered(
     x: jnp.ndarray, num_frames: int, lengths: jnp.ndarray, cfg: FrontendConfig
 ) -> jnp.ndarray:
-    """Centered framing with per-utterance edge reflection.
+    """Centered framing with per-utterance edge reflection (reflect_index
+    semantics per frame_tail): frame f covers f*S + S//2 - L//2 + [0, L)
+    ("center") or f*S - L//2 + [0, L) ("center_reflect").
 
-    frame_tail "center" (Kaldi snip_edges=false): frame f covers samples
-    f*S + S//2 - L//2 + [0, L), indices reflected into [0, length) via the
-    closed-form period-2n triangular map (reference_numpy.reflect_index —
-    the edge sample IS repeated: index -1 -> 0).
-
-    frame_tail "center_reflect" (librosa / torch.stft center=True,
-    pad_mode="reflect"): frame f covers f*S - L//2 + [0, L) with numpy-pad
-    reflection (edge sample NOT repeated: index -1 -> 1) — the period is
-    2(n-1), closed form m -> m if m < n else 2(n-1)-m over m = idx mod
-    2(n-1).
-
-    Per-row dynamic gather (the reflection depends on each utterance's
-    traced length) — jnp backend only; the fused kernel rejects this mode.
+    Per-row dynamic gather over the full frame grid — the jnp twin's
+    path. The fused Pallas backend supports these modes too, via the
+    boundary-only reflect-extension prologue in kernels/frontend.py
+    (_reflect_extend), which is much cheaper on TPU.
     """
     L, S = cfg.frame_length, cfg.frame_step
     offset = (S // 2 - L // 2) if cfg.frame_tail == "center" else -(L // 2)
     idx = np.arange(L)[None, :] + S * np.arange(num_frames)[:, None] \
         + offset  # [F, L], may be negative or >= length
     n = jnp.maximum(lengths, 1).astype(jnp.int32)[:, None, None]  # [B,1,1]
-    if cfg.frame_tail == "center":
-        m = jnp.mod(jnp.asarray(idx, jnp.int32)[None], 2 * n)
-        r = jnp.where(m < n, m, 2 * n - 1 - m)  # in [0, n) <= T always
-    else:
-        period = jnp.maximum(2 * n - 2, 1)  # n == 1: constant signal
-        m = jnp.mod(jnp.asarray(idx, jnp.int32)[None], period)
-        r = jnp.where(m < n, m, 2 * n - 2 - m)
+    r = reflect_index(jnp.asarray(idx, jnp.int32)[None], n, cfg.frame_tail)
     return jax.vmap(lambda row, ri: row[ri])(x, r)  # [B, F, L]
 
 

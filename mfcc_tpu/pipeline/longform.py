@@ -91,6 +91,47 @@ def segment_plan(
     return segs, F_total
 
 
+def _host_reflect_extend(
+    x: np.ndarray, cfg: FrontendConfig
+) -> tuple[np.ndarray, FrontendConfig]:
+    """Numpy twin of kernels/frontend._reflect_extend for the longform
+    path: rewrite centered framing ("center"/"center_reflect") as standard
+    PAD framing on a reflected extension so the bounded segmented split
+    applies. ext[i] = y[reflect(i + shift)], with ext sized exactly
+    (F-1)*S + L so pad-tail framing of ext yields exactly F frames.
+
+    input_scale and signal-mode pre-emphasis fold into ext (they must act
+    BEFORE reflection — the twin computes reflect(preemph(scale(x)))); the
+    returned config neutralizes all three knobs. Per-frame (Kaldi-mode)
+    pre-emphasis is frame-local and stays in the config. All arithmetic in
+    cfg's compute dtype so results match the one-shot device chain."""
+    L, S = cfg.frame_length, cfg.frame_step
+    n = int(x.shape[0])
+    F = cfg.num_frames(n)  # includes drop_last_frame
+    dt = np.dtype(cfg.dtype)
+    y = np.asarray(x, dtype=dt)
+    reps: dict = {"frame_tail": "pad", "drop_last_frame": False}
+    if cfg.input_scale != 1.0:
+        y = y * dt.type(cfg.input_scale)
+        reps["input_scale"] = 1.0
+    if cfg.preemph_mode == "signal" and cfg.preemph != 0.0:
+        y = np.concatenate([y[:1], y[1:] - dt.type(cfg.preemph) * y[:-1]])
+        y = y.astype(dt)
+        reps["preemph"] = 0.0
+    shift = (S // 2 - L // 2) if cfg.frame_tail == "center" else -(L // 2)
+    ext_len = (F - 1) * S + L if F > 0 else 0
+    idx = np.arange(ext_len, dtype=np.int64) + shift
+    nn = max(n, 1)
+    if cfg.frame_tail == "center":
+        m = np.mod(idx, 2 * nn)
+        r = np.where(m < nn, m, 2 * nn - 1 - m)
+    else:
+        m = np.mod(idx, max(2 * nn - 2, 1))
+        r = np.where(m < nn, m, 2 * nn - 2 - m)
+    ext = y[r] if n > 0 else np.zeros(0, dt)
+    return ext, cfg.replace(**reps)
+
+
 def _post_pass(base: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
     """Δ/ΔΔ + CMVN over stitched base features [F_total, D_base] → final
     [F_total, feat_dim]; jitted with the frame axis padded to _F_BUCKET
@@ -183,15 +224,15 @@ def extract_long(
     n = int(x.shape[0])
     if cfg_t.num_frames(n) <= seg_frames:
         return chain.extract_single(x, cfg_t, backend=backend)
-    if cfg_t.frame_tail in ("center", "center_reflect") or cfg_t.logmel_norm != "none":
-        # centered framing reflects indices around the GLOBAL signal edges
-        # (a segment row would reflect around its own edges instead), and
-        # logmel_norm="whisper" clamps at the GLOBAL utterance max (a
-        # segment row would clamp at its own max) — neither split is
-        # frame-exact. The centered gather is already per-utterance dynamic
-        # (traced lengths), so one whole-length extraction is correct at
-        # any length; pad the row to a bucket multiple to bound the number
-        # of compiled programs.
+    if cfg_t.logmel_norm != "none":
+        # logmel_norm="whisper" clamps at the GLOBAL utterance max — a
+        # segment row would clamp at its own max, so the split is not
+        # frame-exact. One whole-length extraction is correct at any
+        # length; pad the row to a bucket multiple to bound the number of
+        # compiled programs. (Memory note: on the Pallas backend frames
+        # never materialize; the jnp backend peaks at O(F·L) — whisper80
+        # at 1 h is ~2 GB fp32 on CPU, acceptable for the norm's global
+        # dependence.)
         import jax.numpy as jnp
 
         bucket = max(1, int(round(seg_len_s * cfg_t.sample_rate)))
@@ -209,11 +250,27 @@ def extract_long(
             "extract_long with dither > 0 would draw different noise per "
             "segment row; extract in one piece or set dither=0"
         )
+    if cfg_t.frame_tail in ("center", "center_reflect"):
+        # centered framing reflects indices around the GLOBAL signal
+        # edges, which a segment row cannot see — but the reflection only
+        # touches O(frame_length) samples at the two ends, so a host-side
+        # reflect-extension (the numpy twin of the kernel prologue,
+        # kernels/frontend._reflect_extend) turns it into standard pad
+        # framing on ext, and the bounded segmented path below applies
+        # unchanged. input_scale / signal pre-emphasis fold into ext
+        # (they must happen BEFORE reflection — the twin's order).
+        x, cfg_t = _host_reflect_extend(x, cfg_t)
+        n = int(x.shape[0])
 
     segs, F_total = segment_plan(n, cfg_t, seg_frames)
-    # base (frame-local) features: no deltas, no CMVN — post-pass adds them
-    cfg_base = cfg_t.replace(deltas=0, cmvn="off")
-    T_row = seg_frames * S + L  # span of a halo-carrying full segment
+    # base (frame-local) features: no deltas, no CMVN, no per-row
+    # last-frame drop (segment_plan's F_total already excludes the
+    # dropped frame — a per-ROW drop would desync the stitch accounting)
+    cfg_base = cfg_t.replace(deltas=0, cmvn="off", drop_last_frame=False)
+    # span of a halo-carrying full segment; with drop_last_frame the final
+    # segment's row carries up to one extra hop of (unused) valid samples
+    # belonging to the dropped frame
+    T_row = seg_frames * S + L + (S if cfg_t.drop_last_frame else 0)
     d_base = cfg_base.feat_dim
 
     import jax.numpy as jnp

@@ -124,3 +124,51 @@ def test_seg_len_invariance(long_signal):
     a = extract_long(x, cfg, seg_len_s=5.0)
     b = extract_long(x, cfg, seg_len_s=9.0)
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Centered framing + drop_last_frame through the SEGMENTED path
+# (kernels-prologue twin: pipeline/longform._host_reflect_extend)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "knobs",
+    [
+        dict(drop_last_frame=True),  # review finding: crashed at stitch
+        dict(frame_tail="center"),
+        dict(frame_tail="center_reflect"),
+        dict(frame_tail="center", drop_last_frame=True),
+    ],
+    ids=["drop-last", "center", "center-reflect", "center-drop-last"],
+)
+def test_long_center_and_drop_last_segmented(knobs):
+    """Centered framing and drop_last_frame are NOT frame-local; the
+    segmented path must stay frame-exact: the host reflect-extension
+    rewrites center modes as pad framing on ext, and segment_plan's
+    F_total (drop included) governs the stitch while per-ROW extraction
+    never drops."""
+    from mfcc_tpu.config import named_config
+
+    rng = np.random.default_rng(77)
+    cfg = named_config("classic13").replace(**knobs)
+    x = (rng.standard_normal(16000 * 7 + 531) * 1000).astype(np.float32)
+    want = ref.extract(x.astype(np.float64), cfg)
+    got = extract_long(x, cfg, backend="jnp", seg_len_s=2.0)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=FEATURE_ATOL_FP32, rtol=FEATURE_RTOL)
+
+
+def test_long_center_fp64_exact_and_seg_invariant():
+    import jax
+
+    from mfcc_tpu.config import named_config
+
+    rng = np.random.default_rng(78)
+    cfg = named_config("kaldi_mfcc").replace(frame_tail="center", dtype="float64")
+    with jax.enable_x64(True):
+        x = rng.standard_normal(16000 * 9) * 1000
+        want = ref.extract(x, cfg)
+        for seg_s in (2.0, 3.7):
+            got = extract_long(x, cfg, backend="jnp", seg_len_s=seg_s)
+            np.testing.assert_allclose(got, want, atol=1e-10, rtol=1e-10)
