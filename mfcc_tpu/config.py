@@ -33,7 +33,7 @@ LOGMEL_NORMS = ("none", "whisper")  # whisper: max-8 clamp then (x+4)/4
 DCT_NORMS = ("ortho", "htk")
 FRAME_TAILS = ("pad", "drop", "center", "center_reflect")
 CMVN_MODES = ("off", "utterance", "global", "speaker")
-FEATURES = ("mfcc", "logmel", "ssc")
+FEATURES = ("mfcc", "logmel", "ssc", "plp")
 PREEMPH_MODES = ("signal", "frame")
 ENERGY_SOURCES = ("pspec", "raw_frame", "windowed_frame")
 
@@ -111,7 +111,14 @@ class FrontendConfig:
     # cepstra
     features: str = "mfcc"  # "mfcc": DCT to n_ceps; "logmel": stop after log;
     # "ssc": spectral subband centroids (power-weighted mean frequency per
-    # mel band, psf lineage) — log/DCT/lifter/energy knobs are unused
+    # mel band, psf lineage) — log/DCT/lifter/energy knobs are unused;
+    # "plp": perceptual linear prediction (Kaldi compute-plp-feats
+    # lineage): equal-loudness × mel energies → compress_factor power →
+    # IDFT to autocorrelation → order-lpc_order Levinson-Durbin →
+    # LPC-cepstra; c0 = residual log energy (or ln E with append_energy);
+    # lifter applies; log/DCT knobs are unused
+    lpc_order: int = 12  # PLP linear-prediction order
+    compress_factor: float = 1.0 / 3.0  # PLP intensity-loudness power law
     n_ceps: int = 13
     dct_norm: str = "ortho"  # "ortho": scipy ortho; "htk": ortho with bin0 * sqrt(2)
     lifter: int = 22  # 0 disables
@@ -153,6 +160,15 @@ class FrontendConfig:
             raise ValueError(f"deltas={self.deltas} must be 0, 1 or 2")
         if self.n_ceps > self.n_mels:
             raise ValueError("n_ceps must be <= n_mels")
+        if self.features == "plp":
+            if self.n_ceps > self.lpc_order + 1:
+                raise ValueError(
+                    "PLP yields lpc_order cepstra plus the residual-energy "
+                    f"c0: need n_ceps <= lpc_order + 1, got {self.n_ceps} > "
+                    f"{self.lpc_order + 1}"
+                )
+            if self.lpc_order < 1:
+                raise ValueError("lpc_order must be >= 1")
         if self.dither < 0:
             raise ValueError("dither must be >= 0")
         if self.vtln_warp != 1.0 and self.mel_variant != "tf_continuous":
@@ -190,7 +206,7 @@ class FrontendConfig:
     @property
     def feat_dim(self) -> int:
         """Output feature dimension after deltas are stacked."""
-        base = self.n_ceps if self.features == "mfcc" else self.n_mels
+        base = self.n_ceps if self.features in ("mfcc", "plp") else self.n_mels
         return base * (1 + self.deltas)
 
     def num_frames(self, n_samples: int) -> int:
@@ -287,6 +303,25 @@ NAMED_CONFIGS: dict[str, FrontendConfig] = {
         log_eps=1.1920928955078125e-07,
         append_energy=False,
         lifter=0,
+    ),
+    # Kaldi compute-plp-feats defaults (same provenance note as kaldi_mfcc;
+    # the PLP math is additionally property-certified in tests/test_plp.py:
+    # Durbin solves Yule-Walker, LPC-cepstra match the -log A(z) series,
+    # IDFT bases match a length-2(M+1) irfft): same feature-window and
+    # 23-bin mel bank as kaldi_mfcc, equal-loudness, cube-root compression,
+    # order-12 LPC, 13 cepstra with c0 <- log raw energy, lifter 22.
+    "kaldi_plp": FrontendConfig(
+        features="plp",
+        window="povey",
+        frame_tail="drop",
+        preemph_mode="frame",
+        remove_dc_offset=True,
+        energy_source="raw_frame",
+        n_mels=23,
+        mel_variant="tf_continuous",
+        mel_low_hz=20.0,
+        power_scale_nfft=False,
+        log_eps=1.1920928955078125e-07,
     ),
     # OpenAI Whisper log-mel front-end (certified against the on-disk
     # transformers.WhisperFeatureExtractor numpy path, which matches the

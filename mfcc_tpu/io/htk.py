@@ -35,19 +35,21 @@ __all__ = ["parm_kind", "write_htk", "read_htk", "energy_last_permutation",
 _BASE_MFCC = 6
 _BASE_FBANK = 7
 _BASE_USER = 9  # HTK's user-defined kind — used for SSC (no native kind)
+_BASE_PLP = 11  # HTK's native PLP kind
 _Q_E = 0o000100
 _Q_D = 0o000400
 _Q_A = 0o001000
 _Q_Z = 0o004000
 
-KIND_NAMES = {_BASE_MFCC: "MFCC", _BASE_FBANK: "FBANK", _BASE_USER: "USER"}
+KIND_NAMES = {_BASE_MFCC: "MFCC", _BASE_FBANK: "FBANK", _BASE_USER: "USER",
+              _BASE_PLP: "PLP"}
 
 
 def parm_kind(cfg: FrontendConfig) -> int:
     """HTK parmKind code for this config's output layout."""
     kind = {"mfcc": _BASE_MFCC, "logmel": _BASE_FBANK,
-            "ssc": _BASE_USER}[cfg.features]
-    if cfg.features == "mfcc" and cfg.append_energy:
+            "ssc": _BASE_USER, "plp": _BASE_PLP}[cfg.features]
+    if cfg.features in ("mfcc", "plp") and cfg.append_energy:
         kind |= _Q_E
     if cfg.deltas >= 1:
         kind |= _Q_D
@@ -71,7 +73,7 @@ def energy_last_permutation(cfg: FrontendConfig) -> np.ndarray | None:
     """Column permutation mapping the extractor layout (energy first per
     block) to HTK's _E layout (energy last per block), or None if the
     config carries no energy column."""
-    if cfg.features != "mfcc" or not cfg.append_energy:
+    if cfg.features not in ("mfcc", "plp") or not cfg.append_energy:
         return None
     d = cfg.n_ceps
     blocks = [

@@ -502,6 +502,17 @@ def _make_epilogue(cfg: FrontendConfig, mp: int, block_frames: int):
     def epilogue(proj, frame_energy=None):
         lane = jax.lax.broadcasted_iota(jnp.int32, (block_frames, mp), 1)
         clamped = jnp.where(proj <= 0.0, eps, proj)
+        if cfg.features == "plp":
+            # PLP consumes RAW mel energies (equal-loudness + power-law +
+            # LPC happen downstream in chain.plp_base, which clamps at 0
+            # itself) — skip the log; lane M stays the clamped energy
+            if frame_energy is not None:
+                e_lane = jnp.maximum(frame_energy, eps)
+            else:
+                e_lane = clamped
+            return jnp.where(
+                lane < M, proj, jnp.where(lane == M, e_lane, 0.0)
+            )
         if log_kind == "ln":
             logged = jnp.log(clamped)
         elif log_kind == "ln_stab":

@@ -264,6 +264,76 @@ def cmvn_apply_moments(
 
 
 # ---------------------------------------------------------------------------
+# PLP (jnp twins of reference_numpy.durbin / lpc_to_cepstrum / plp_base;
+# shared by the offline chain, the fused-kernel epilogue path and the
+# streaming base block — all frame-local, any leading batch dims)
+# ---------------------------------------------------------------------------
+
+
+def durbin(r: jnp.ndarray, lpc_order: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Levinson-Durbin, unrolled over the (static, small) order: r
+    [..., P+1] → (a [..., P], residual energy E [...]). Guarded division
+    makes all-zero rows (padding frames) yield a = 0, E = 0."""
+    a = jnp.zeros(r.shape[:-1] + (lpc_order,), r.dtype)
+    e = r[..., 0]
+    for i in range(lpc_order):
+        acc = r[..., i + 1]
+        for j in range(i):
+            acc = acc - a[..., j] * r[..., i - j]
+        k = jnp.where(e != 0, acc / jnp.where(e == 0, 1.0, e), 0.0)
+        new = a.at[..., i].set(k)
+        for j in range(i):
+            new = new.at[..., j].set(a[..., j] - k * a[..., i - 1 - j])
+        a = new
+        e = e * (1.0 - k * k)
+    return a, e
+
+
+def lpc_to_cepstrum(a: jnp.ndarray) -> jnp.ndarray:
+    """c_n = a_n + Σ_{k<n} (k/n)·c_k·a_{n-k} (cepstra of 1/A(z))."""
+    p = a.shape[-1]
+    c = jnp.zeros_like(a)
+    for n in range(1, p + 1):
+        acc = a[..., n - 1]
+        for k in range(1, n):
+            acc = acc + (k / n) * c[..., k - 1] * a[..., n - k - 1]
+        c = c.at[..., n - 1].set(acc)
+    return c
+
+
+def plp_base(
+    melspec: jnp.ndarray, energy: jnp.ndarray, cfg: FrontendConfig
+) -> jnp.ndarray:
+    """PLP cepstra from mel energies [..., M] (twin of
+    reference_numpy.plp_base; Kaldi compute-plp-feats order)."""
+    k = device_constants(cfg)
+    dtype = melspec.dtype
+    el = jnp.asarray(k["equal_loudness"], dtype)
+    mel = jnp.maximum(melspec, 0.0) * el
+    mel = jnp.power(mel, jnp.asarray(cfg.compress_factor, dtype))
+    dup = jnp.concatenate([mel[..., :1], mel, mel[..., -1:]], axis=-1)
+    r = jnp.matmul(
+        dup, jnp.asarray(k["idft"], dtype).T, preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    a, e = durbin(r, cfg.lpc_order)
+    c = lpc_to_cepstrum(a)
+    eps = jnp.asarray(cfg.log_eps, dtype)
+    c0 = jnp.log(jnp.maximum(e, eps))
+    base = jnp.concatenate([c0[..., None], c[..., : cfg.n_ceps - 1]], axis=-1)
+    base = base * jnp.asarray(k["lifter"], dtype)  # lifter[0] == 1
+    if cfg.append_energy:
+        log_e = jnp.log(energy)
+        if cfg.energy_floor > 0.0:
+            log_e = jnp.maximum(
+                log_e, jnp.asarray(np.log(cfg.energy_floor), dtype)
+            )
+        lane = jnp.arange(cfg.n_ceps)
+        base = jnp.where(lane == 0, log_e[..., None], base)
+    return base
+
+
+# ---------------------------------------------------------------------------
 # Full batched chain
 # ---------------------------------------------------------------------------
 
@@ -387,6 +457,10 @@ def features_from_logmel(
         x = stages["prefix_fp"]  # [B, fp, n_mels+1]
         if cfg.features == "logmel":
             base = _logmel_norm(x[..., : cfg.n_mels])
+        elif cfg.features == "plp":
+            # plp configs make the kernel epilogue SKIP the log: the mel
+            # lanes carry raw mel energies, lane M the clamped energy
+            base = plp_base(x[..., : cfg.n_mels], x[..., cfg.n_mels], cfg)
         else:
             if cfg.append_energy:
                 lane = jnp.arange(cfg.n_mels + 1)
@@ -410,6 +484,8 @@ def features_from_logmel(
             )
     elif cfg.features == "logmel":
         base = _logmel_norm(stages["logmel"])
+    elif cfg.features == "plp":
+        base = plp_base(stages["melspec"], stages["energy"], cfg)
     elif cfg.features == "ssc":
         # spectral subband centroids need the raw power spectrum, which
         # only the jnp twin materializes (the fused kernel's epilogue

@@ -256,6 +256,64 @@ def mel_filterbank(cfg: FrontendConfig) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PLP constants (Kaldi compute-plp-feats lineage; re-derived — no Kaldi on
+# disk — and property-certified in tests/test_plp.py)
+# ---------------------------------------------------------------------------
+
+
+def mel_center_freqs(cfg: FrontendConfig) -> np.ndarray:
+    """[n_mels] triangle center frequencies in Hz (VTLN-warped when the
+    config warps the bank) — the grid the equal-loudness curve is sampled
+    on, mirroring the edge algebra of the matching filterbank builder."""
+    edges_mel = np.linspace(
+        hz_to_mel(cfg.mel_low_hz, cfg.mel_scale),
+        hz_to_mel(cfg.mel_high, cfg.mel_scale),
+        cfg.n_mels + 2,
+    )
+    if cfg.mel_variant == "tf_continuous" and cfg.vtln_warp != 1.0:
+        vhigh = cfg.vtln_high_hz
+        if vhigh <= 0:
+            vhigh += cfg.sample_rate / 2.0
+        return vtln_warp_freq(
+            mel_to_hz(edges_mel[1:-1], cfg.mel_scale),
+            cfg.vtln_low_hz, vhigh, cfg.mel_low_hz, cfg.mel_high,
+            cfg.vtln_warp,
+        )
+    return mel_to_hz(edges_mel[1:-1], cfg.mel_scale)
+
+
+def equal_loudness(center_hz: np.ndarray) -> np.ndarray:
+    """Hermansky's equal-loudness approximation (the HTK/Kaldi form):
+    E(f) = (f²/(f²+1.6e5))² · (f²+1.44e6)/(f²+9.61e6) — ~40 dB attenuation
+    at low frequencies, peak sensitivity around 3–4 kHz."""
+    fsq = np.asarray(center_hz, dtype=np.float64) ** 2
+    fsub = fsq / (fsq + 1.6e5)
+    return fsub * fsub * ((fsq + 1.44e6) / (fsq + 9.61e6))
+
+
+def idft_bases(lpc_order: int, n_mels: int) -> np.ndarray:
+    """[lpc_order+1, n_mels+2] inverse-DFT bases mapping the (first/last-
+    duplicated) compressed mel spectrum to autocorrelation coefficients.
+
+    The duplicated M+2 points sample half a period of an even spectrum on
+    the grid ω_j = πj/(M+1), j = 0..M+1; the autocorrelation is its
+    inverse cosine transform with endpoint weights ½ (trapezoid closure of
+    the even symmetric extension):
+      r[i] = 1/(2(M+1)) · [x₀ + 2·Σ_{j=1..M} x_j cos(πij/(M+1))
+                           + x_{M+1}·cos(πi)]
+    Certified against a length-2(M+1) numpy irfft in tests/test_plp.py."""
+    d = n_mels + 2
+    angle = np.pi / (d - 1)
+    scale = 1.0 / (2.0 * (d - 1))
+    i = np.arange(lpc_order + 1, dtype=np.float64)[:, None]
+    j = np.arange(d, dtype=np.float64)[None, :]
+    mat = 2.0 * scale * np.cos(angle * i * j)
+    mat[:, 0] = scale
+    mat[:, d - 1] = scale * np.cos(angle * i[:, 0] * (d - 1))
+    return mat
+
+
+# ---------------------------------------------------------------------------
 # DCT-II matrix, shape [n_mels, n_ceps]
 # ---------------------------------------------------------------------------
 
@@ -330,4 +388,12 @@ def chain_constants(cfg: FrontendConfig) -> dict[str, np.ndarray]:
         # SSC frequency grid — the psf lineage's linspace(1, sr/2, bins)
         # (compat.ssc); only features="ssc" consumes it
         "freqs": np.linspace(1.0, cfg.sample_rate / 2.0, cfg.n_bins),
+        **(
+            {
+                "equal_loudness": equal_loudness(mel_center_freqs(cfg)),
+                "idft": idft_bases(cfg.lpc_order, cfg.n_mels),
+            }
+            if cfg.features == "plp"
+            else {}
+        ),
     }

@@ -119,6 +119,71 @@ def delta(feat: np.ndarray, n: int) -> np.ndarray:
     return out / denom
 
 
+def durbin(r: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Levinson-Durbin over the frame axis: autocorrelations r [F, P+1] →
+    (prediction coefficients a [F, P] with x̂[t] = Σ a_k x[t-k], residual
+    energy E [F]). Solves the Yule-Walker Toeplitz system exactly
+    (certified vs np.linalg.solve in tests/test_plp.py). All-zero frames
+    (silence/padding) yield a = 0, E = 0 via the guarded division."""
+    f, p1 = r.shape
+    p = p1 - 1
+    a = np.zeros((f, p), dtype=np.float64)
+    e = r[:, 0].astype(np.float64).copy()
+    for i in range(p):
+        acc = r[:, i + 1].astype(np.float64).copy()
+        for j in range(i):
+            acc -= a[:, j] * r[:, i - j]
+        k = np.where(e != 0, acc / np.where(e == 0, 1.0, e), 0.0)
+        new = a.copy()
+        new[:, i] = k
+        for j in range(i):
+            new[:, j] = a[:, j] - k * a[:, i - 1 - j]
+        a = new
+        e = e * (1.0 - k * k)
+    return a, e
+
+
+def lpc_to_cepstrum(a: np.ndarray) -> np.ndarray:
+    """LPC → cepstra of the all-pole model 1/A(z), A(z) = 1 - Σ a_k z^-k:
+    c_n = a_n + Σ_{k=1..n-1} (k/n)·c_k·a_{n-k} — the power series of
+    -log A(z) (certified vs an FFT log-spectrum in tests/test_plp.py)."""
+    f, p = a.shape
+    c = np.zeros((f, p), dtype=np.float64)
+    for n in range(1, p + 1):
+        acc = a[:, n - 1].astype(np.float64).copy()
+        for k in range(1, n):
+            acc += (k / n) * c[:, k - 1] * a[:, n - k - 1]
+        c[:, n - 1] = acc
+    return c
+
+
+def plp_base(
+    melspec: np.ndarray, energy: np.ndarray, cfg: FrontendConfig,
+    k: dict[str, np.ndarray],
+) -> np.ndarray:
+    """PLP cepstra from mel energies [F, M] (Kaldi compute-plp-feats
+    order): equal-loudness weighting → compress_factor power law →
+    first/last-bin duplication → IDFT to autocorrelation → Levinson-
+    Durbin → LPC cepstra; c0 = residual log energy; lifter; optional
+    c0 ← ln(frame energy)."""
+    mel = np.maximum(melspec, 0.0) * k["equal_loudness"][None, :]
+    mel = mel ** cfg.compress_factor
+    dup = np.concatenate([mel[:, :1], mel, mel[:, -1:]], axis=1)
+    r = dup @ k["idft"].T  # [F, lpc_order+1]
+    a, e = durbin(r)
+    c = lpc_to_cepstrum(a)
+    c0 = np.log(np.maximum(e, cfg.log_eps))
+    base = np.concatenate([c0[:, None], c[:, : cfg.n_ceps - 1]], axis=1)
+    base = base * k["lifter"][None, :]  # lifter[0] == 1: c0 unscaled
+    if cfg.append_energy:
+        log_e = np.log(energy)
+        if cfg.energy_floor > 0.0:
+            log_e = np.maximum(log_e, math.log(cfg.energy_floor))
+        base = base.copy()
+        base[:, 0] = log_e
+    return base
+
+
 def cmvn_utterance(feat: np.ndarray, var_norm: bool, eps: float) -> np.ndarray:
     """(11) per-utterance mean/variance normalization over the frame axis."""
     mu = feat.mean(axis=0, keepdims=True)
@@ -242,6 +307,8 @@ def extract_stages(
         # power spectrum, then power-weighted mean frequency per band
         p = np.where(stages["pspec"] <= 0, cfg.log_eps, stages["pspec"])
         base = (p * k["freqs"][None, :]) @ k["mel"] / (p @ k["mel"])
+    elif cfg.features == "plp":
+        base = plp_base(stages["melspec"], stages["energy"], cfg, k)
     else:
         ceps = stages["logmel"] @ k["dct"]  # (8) DCT-II slice to n_ceps
         ceps = ceps * k["lifter"][None, :]  # (9) lifter...

@@ -93,6 +93,8 @@ def _make_base_block(cfg: FrontendConfig, K: int):
             pspec, k["mel"], preferred_element_type=dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
+        if cfg.features == "plp":
+            return chain.plp_base(melspec, energy, cfg)
         logmel = chain.apply_log(melspec, cfg)
         if cfg.features == "logmel":
             return logmel
@@ -280,7 +282,9 @@ class StreamingExtractor:
     # -- internals -----------------------------------------------------------
 
     def _base_dim(self) -> int:
-        return self.cfg.n_ceps if self.cfg.features == "mfcc" else self.cfg.n_mels
+        if self.cfg.features in ("mfcc", "plp"):
+            return self.cfg.n_ceps
+        return self.cfg.n_mels
 
     def _avail_samples(self) -> int:
         """Samples on hand counting from frame _t0's start."""
