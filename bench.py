@@ -42,7 +42,7 @@ def main() -> int:
 
     from mfcc_tpu.config import named_config
     from mfcc_tpu.ops import chain
-    from mfcc_tpu.pipeline import pad_batch
+    from mfcc_tpu.pipeline import pad_batch, resample_layout
 
     cfg = named_config(args.config)
     B_, SECONDS_ = args.batch, args.seconds
@@ -52,6 +52,7 @@ def main() -> int:
         [g.standard_normal(sr * SECONDS_) for _ in range(B_)],
         cfg,
         bucket_len=sr * SECONDS_,
+        layout=resample_layout(cfg, sr * SECONDS_),
     )
     audio, lengths = jnp.asarray(bb.audio), jnp.asarray(bb.lengths)
     backend = "pallas" if jax.default_backend() == "tpu" else "jnp"

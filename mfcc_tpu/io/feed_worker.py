@@ -6,8 +6,12 @@ Run as `python -m mfcc_tpu.io.feed_worker`; the parent (io.reader._MpPool)
 speaks newline-delimited JSON over stdin/stdout:
 
   → {"op": "decode_chunk", "id": 7, "slab": "/dev/shm/..", "shape": [B, T],
-     "dtype": "i16", "blen": 160000, "downmix": "first",
+     "dtype": "i16", "blen": 160000, "off": 0, "downmix": "first",
      "jobs": [[row, "path"], ...]}
+
+"off" (default 0) is the row offset samples land at — the resample
+BlockedLayout's pad_lo zeros (ops/resample.py): rows decode at
+slab[row, off:off+blen] and both flanks are zeroed.
   ← {"id": 7, "fails": [[row, "error message"], ...]}
 
   → {"op": "exit"}   (or EOF)
@@ -72,6 +76,7 @@ def main() -> int:
                              shape=tuple(cmd["shape"]))
             slabs[key] = slab
         blen = cmd["blen"]
+        off = cmd.get("off", 0)
         downmix = cmd.get("downmix", "first")
         fails = []
         want_sr = cmd.get("sr")
@@ -80,7 +85,7 @@ def main() -> int:
             want_n = job[2] if len(job) > 2 else None
             try:
                 fsr, n_valid = wav.decode_file_into(
-                    path, slab[row, :blen], downmix=downmix
+                    path, slab[row, off : off + blen], downmix=downmix
                 )
                 if (want_sr is not None and fsr != want_sr) or (
                     want_n is not None and n_valid != want_n
@@ -88,16 +93,17 @@ def main() -> int:
                     # file changed between the parent's header parse and
                     # this decode: fail the row rather than ship features
                     # extracted under a stale length/rate
-                    slab[row, :blen] = 0
+                    slab[row, off : off + blen] = 0
                     fails.append([row, (
                         f"file changed since header parse: decoded "
                         f"{n_valid} samples at {fsr} Hz, header said "
                         f"{want_n} at {want_sr}"
                     )])
             except (OSError, ValueError, RuntimeError, wav.WavError) as e:
-                slab[row, :blen] = 0
+                slab[row, off : off + blen] = 0
                 fails.append([row, str(e)])
-            slab[row, blen:] = 0  # tail beyond the bucket span
+            slab[row, :off] = 0  # blocked-layout prologue zeros
+            slab[row, off + blen :] = 0  # tail beyond the bucket span
         out.write(json.dumps({"id": cmd["id"], "fails": fails}) + "\n")
         out.flush()
     return 0

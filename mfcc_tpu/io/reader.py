@@ -270,6 +270,10 @@ def stream_batches(
         max_workers=max(2, num_threads)
     )
 
+    from mfcc_tpu.pipeline.batch import resample_layout
+
+    layouts = {b: resample_layout(cfg, b) for b in buckets}
+
     def flush(blen: int, pad_rows: bool) -> Batch | None:
         items = pending[blen]
         if not items:
@@ -282,6 +286,7 @@ def stream_batches(
             ids=[p for p, _ in items],
             pad_batch_to=batch_size if pad_rows else None,
             copy_pool=copy_pool,
+            layout=layouts[blen],
         )
 
     try:
@@ -371,7 +376,9 @@ def stream_batches_direct(
     def parse_header(path):
         return _parse_header_counted(path, expect_sr, stats)
 
-    from mfcc_tpu.pipeline.batch import required_samples
+    from mfcc_tpu.pipeline.batch import required_samples, resample_layout
+
+    layouts = {b: resample_layout(cfg, b) for b in buckets}
 
     # slab recycling: consumers that call Batch.release() hand the audio
     # buffer back here, saving the page-fault pass of a fresh allocation
@@ -390,7 +397,15 @@ def stream_batches_direct(
 
         def __init__(self, blen: int):
             self.blen = blen
-            self.T = required_samples(blen, cfg)
+            lay = layouts[blen]
+            # blocked resample layout: rows carry the pad_lo prologue and
+            # land pre-tiled for the device-side two-dot resample
+            self.off = 0 if lay is None else lay.pad_lo
+            self.out_shape = None if lay is None else (lay.n_sup, lay.step)
+            self.T = (
+                required_samples(blen, cfg) if lay is None
+                else lay.n_sup * lay.step
+            )
             with slab_lock:
                 stack = free_slabs.get(self.T)
                 slab = stack.pop() if stack else None
@@ -407,11 +422,12 @@ def stream_batches_direct(
     pending: dict[int, _Open] = {}
 
     def decode_chunk(ob: _Open, jobs: list) -> None:
+        off = ob.off
         for row, path in jobs:
             try:
                 fsr, n_valid = wav.decode_file_into(
-                    path, ob.audio[row, : ob.blen], downmix=downmix,
-                    native=native,
+                    path, ob.audio[row, off : off + ob.blen],
+                    downmix=downmix, native=native,
                 )
                 if fsr != sr or n_valid != ob.lengths[row]:
                     # the file changed between the phase-A header parse
@@ -426,14 +442,15 @@ def stream_batches_direct(
             except (OSError, ValueError, RuntimeError, wav.WavError) as e:
                 log.warning("decode failed for %s: %s", path, e)
                 secs = ob.lengths[row] / sr  # undo the header credit
-                ob.audio[row, : ob.blen] = 0
+                ob.audio[row, off : off + ob.blen] = 0
                 ob.lengths[row] = 0
                 ob.ids[row] = None
                 with lock:
                     stats.errors += 1
                     stats.decoded -= 1
                     stats.audio_seconds -= secs
-            ob.audio[row, ob.blen :] = 0  # row tail beyond the bucket span
+            ob.audio[row, :off] = 0  # blocked-layout prologue
+            ob.audio[row, off + ob.blen :] = 0  # tail beyond the bucket span
 
     def submit(ob: _Open) -> None:
         if ob.jobs:
@@ -456,8 +473,11 @@ def stream_batches_direct(
         else:
             out_rows = rows
         ids = ob.ids + [None] * (out_rows - rows)
+        audio = ob.audio[:out_rows]
+        if ob.out_shape is not None:
+            audio = audio.reshape(out_rows, *ob.out_shape)
         return Batch(
-            audio=ob.audio[:out_rows],
+            audio=audio,
             lengths=ob.lengths[:out_rows],
             ids=ids,
             on_release=recycle,
@@ -771,7 +791,9 @@ def stream_batches_mp(
         raise ValueError(f"dtype={dtype!r} must be 'f32' or 'i16'")
     row_dtype = np.int16 if dtype == "i16" else np.float32
 
-    from mfcc_tpu.pipeline.batch import required_samples
+    from mfcc_tpu.pipeline.batch import required_samples, resample_layout
+
+    layouts = {b: resample_layout(cfg, b) for b in buckets}
 
     pool, pool_private = _acquire_mp_pool(max(1, num_threads))
     slab_lock = threading.Lock()
@@ -804,7 +826,13 @@ def stream_batches_mp(
     class _Open:
         def __init__(self, blen: int):
             self.blen = blen
-            self.T = required_samples(blen, cfg)
+            lay = layouts[blen]
+            self.off = 0 if lay is None else lay.pad_lo
+            self.out_shape = None if lay is None else (lay.n_sup, lay.step)
+            self.T = (
+                required_samples(blen, cfg) if lay is None
+                else lay.n_sup * lay.step
+            )
             self.name, self.audio = new_slab(self.T)
             self.audio._mfcc_slab_name = self.name
             self.lengths = np.zeros(batch_size, dtype=np.int32)
@@ -823,6 +851,7 @@ def stream_batches_mp(
             "shape": [batch_size, ob.T],
             "dtype": dtype,
             "blen": ob.blen,
+            "off": ob.off,
             "downmix": downmix,
             "sr": sr,
             # expected valid samples per row: the worker cross-checks the
@@ -861,8 +890,11 @@ def stream_batches_mp(
         else:
             out_rows = rows
         ids = ob.ids + [None] * (out_rows - rows)
+        audio = ob.audio[:out_rows]
+        if ob.out_shape is not None:
+            audio = audio.reshape(out_rows, *ob.out_shape)
         return Batch(
-            audio=ob.audio[:out_rows],
+            audio=audio,
             lengths=ob.lengths[:out_rows],
             ids=ids,
             on_release=recycle,

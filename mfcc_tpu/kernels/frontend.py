@@ -663,9 +663,54 @@ def _make_radix4_kernel(
     return kernel
 
 
+def resolve_dft_passes(cfg: FrontendConfig, dft_passes: str = "radix4") -> str:
+    """The dft_passes actually used (radix4 falls back to the direct fp32
+    matmul for n_fft the factorization cannot tile)."""
+    if dft_passes == "radix4" and not radix4_applicable(cfg):
+        return "fp32"
+    return dft_passes
+
+
+def slab_geometry(
+    cfg: FrontendConfig, t_samples: int,
+    block_frames: int | None = None, dft_passes: str = "radix4",
+) -> dict | None:
+    """Chunk-slab geometry for slab-mode fused extraction of (padded)
+    t_samples-long audio, or None when the utterance exceeds the VMEM slab
+    budget (the kernel then runs in view mode, which needs flat audio).
+
+    THE single source of the layout contract between _fused_logmel_energy
+    and producers that emit chunk slabs directly (the fused resample seam,
+    ops.resample.resample_to_chunk_slab): [B, n_rows, S] with n_rows =
+    pro + fp + tail, sample t of an utterance at (row pro + t // S,
+    lane t % S), prologue/tail rows zero."""
+    dft_passes = resolve_dft_passes(cfg, dft_passes)
+    if dft_passes == "radix4":
+        nc, S, _, _ = radix4_constants(cfg)["dims"]
+    else:
+        nc, S, _, _ = kernel_constants(cfg)["dims"]
+    F = cfg.num_frames(t_samples)
+    if block_frames is None:
+        block_frames = _auto_block_frames(F)
+    block_frames = _round_up(block_frames, 8)
+    block_frames = min(block_frames, max(8, _round_up(F, 8)))
+    fp = _round_up(max(F, block_frames), block_frames)
+    tail = _slab_tail(nc)
+    pro = SLAB_PROLOGUE_ROWS
+    n_rows = pro + fp + tail
+    if n_rows * S * 4 > SLAB_VMEM_BUDGET_BYTES:
+        return None
+    return {
+        "block_frames": block_frames, "fp": fp, "pro": pro, "tail": tail,
+        "nc": nc, "chunk": S, "n_rows": n_rows, "num_frames": F,
+        "dft_passes": dft_passes,
+    }
+
+
 def _fused_logmel_energy(
-    audio: jnp.ndarray, lengths: jnp.ndarray, cfg: FrontendConfig,
+    audio: jnp.ndarray | None, lengths: jnp.ndarray, cfg: FrontendConfig,
     num_frames: int, block_frames: int, interpret: bool, dft_passes: str,
+    chunks: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """audio: RAW fp32 audio [B, T] (zero beyond each length, as pad_batch
     produces) → [B, fp, MP] where lanes [0:M] are log-mel, lane M is the
@@ -673,14 +718,18 @@ def _fused_logmel_energy(
 
     Slab mode consumes the raw audio directly — pre-emphasis and
     beyond-length zeroing happen in-kernel on the VMEM-resident window (the
-    XLA pass over [B, T] is skipped). View mode preemphasizes in XLA."""
+    XLA pass over [B, T] is skipped). View mode preemphasizes in XLA.
+
+    chunks: optional pre-built chunk slab in the slab_geometry layout
+    (e.g. from ops.resample.resample_to_chunk_slab) — audio may then be
+    None; only valid when the geometry is slab-mode."""
     if dft_passes == "radix4":
         k = radix4_constants(cfg)
         nc, S, n2, mp = k["dims"]
     else:
         k = kernel_constants(cfg)
         nc, S, k2, mp = k["dims"]
-    B = audio.shape[0]
+    B = (chunks if audio is None else audio).shape[0]
 
     # Shrink the block for short batches so a 1-s utterance doesn't pay for
     # a 256-frame block of padding (sublane granularity is 8). User-passed
@@ -695,19 +744,28 @@ def _fused_logmel_energy(
     slab_tail = _slab_tail(nc)
     pro = SLAB_PROLOGUE_ROWS
     slab_mode = (pro + fp + slab_tail) * S * 4 <= SLAB_VMEM_BUDGET_BYTES
+    if chunks is not None:
+        want = (B, pro + fp + slab_tail, S)
+        if not slab_mode or chunks.shape != want:
+            raise ValueError(
+                f"chunk slab {chunks.shape} does not match the slab-mode "
+                f"geometry {want} (slab_mode={slab_mode}); build it with "
+                "slab_geometry()"
+            )
 
     lengths = lengths.astype(jnp.int32)
     if slab_mode:
-        # raw audio with a zero prologue (x[-1] = 0 for the first frame)
-        # and the block tail; front+tail padding is ONE XLA pad op — the
-        # same single copy the tail-only pad already cost
         n_chunks = pro + fp + slab_tail
-        t_need = (fp + slab_tail) * S
-        y = jnp.pad(
-            audio[:, :t_need],
-            ((0, 0), (pro * S, max(0, t_need - audio.shape[-1]))),
-        )
-        chunks = y.reshape(B, n_chunks, S)
+        if chunks is None:
+            # raw audio with a zero prologue (x[-1] = 0 for the first
+            # frame) and the block tail; front+tail padding is ONE XLA pad
+            # op — the same single copy the tail-only pad already cost
+            t_need = (fp + slab_tail) * S
+            y = jnp.pad(
+                audio[:, :t_need],
+                ((0, 0), (pro * S, max(0, t_need - audio.shape[-1]))),
+            )
+            chunks = y.reshape(B, n_chunks, S)
         views = [chunks]
         # *_: under PrefetchScalarGridSpec index maps also receive the
         # scalar-prefetch refs — ignored here
@@ -907,7 +965,7 @@ def _auto_block_frames(num_frames: int) -> int:
 
 
 def fused_logmel_stages(
-    audio: jnp.ndarray,
+    audio: jnp.ndarray | None,
     lengths: jnp.ndarray,
     cfg: FrontendConfig,
     *,
@@ -915,6 +973,8 @@ def fused_logmel_stages(
     interpret: bool | None = None,
     dft_passes: str = "radix4",
     max_kernel_batch: int | None = 64,
+    chunks: jnp.ndarray | None = None,
+    chunks_t: int | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Drop-in fused replacement for ops.chain.logmel_stages.
 
@@ -924,6 +984,11 @@ def fused_logmel_stages(
 
     interpret=None auto-enables Pallas interpreter mode off-TPU so the same
     code path runs under the CPU test mesh (SURVEY.md §4.2 item 6).
+
+    chunks/chunks_t: pre-built chunk slab in the slab_geometry layout plus
+    the nominal sample count it carries (audio=None then; the producer must
+    have applied input_scale already, and centered frame_tail modes are not
+    supported on this path — they reflect-extend flat audio first).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -937,8 +1002,39 @@ def fused_logmel_stages(
         raise ValueError(
             f"dft_passes={dft_passes!r} not in ('radix4', 'bf16x3', 'fp32')"
         )
-    if dft_passes == "radix4" and not radix4_applicable(cfg):
-        dft_passes = "fp32"  # generic fallback for exotic n_fft
+    dft_passes = resolve_dft_passes(cfg, dft_passes)
+    if chunks is not None:
+        if chunks_t is None:
+            raise ValueError("chunks requires chunks_t (nominal sample count)")
+        if cfg.frame_tail in ("center", "center_reflect"):
+            raise ValueError(
+                "pre-chunked input cannot express centered framing; pass "
+                "flat audio instead"
+            )
+        F = cfg.num_frames(chunks_t)
+        if block_frames is None:
+            block_frames = _auto_block_frames(F)
+        orig_lengths = lengths
+        B = chunks.shape[0]
+        c = max_kernel_batch
+        if c and B > max(c, CHUNK_TRIGGER_BATCH) and B % c == 0:
+            out = jax.lax.map(
+                lambda t: _fused_logmel_energy(
+                    None, t[1], cfg, F, block_frames, interpret, dft_passes,
+                    chunks=t[0],
+                ),
+                (
+                    chunks.reshape(B // c, c, *chunks.shape[1:]),
+                    lengths.reshape(B // c, c),
+                ),
+            )
+            out = out.reshape(B, *out.shape[2:])
+        else:
+            out = _fused_logmel_energy(
+                None, lengths, cfg, F, block_frames, interpret, dft_passes,
+                chunks=chunks,
+            )
+        return _stage_dict(out, orig_lengths, cfg, F)
     F = cfg.num_frames(audio.shape[-1])
     if block_frames is None:
         block_frames = _auto_block_frames(F)
@@ -979,14 +1075,20 @@ def fused_logmel_stages(
         out = _fused_logmel_energy(
             audio, lengths, cfg, F, block_frames, interpret, dft_passes
         )
-    fp = out.shape[1]
+    return _stage_dict(out, orig_lengths, cfg, F)
 
-    # The hot path consumes only the contiguous [0:M+1] lane prefix (log-mel
-    # + raw energy) at full block-padded length; single-lane or offset lane
-    # slices of the [B, fp, MP] output cost ~0.45 ms/step in XLA, so the
-    # cepstral epilogue downstream works on the prefix via one augmented
-    # matmul (chain.features_from_logmel). The trimmed logmel/energy views
-    # below exist for tests/inspection and are DCE'd when unused.
+
+def _stage_dict(
+    out: jnp.ndarray, orig_lengths: jnp.ndarray, cfg: FrontendConfig, F: int
+) -> dict[str, jnp.ndarray]:
+    """Kernel output [B, fp, MP] → the stage dict features_from_logmel
+    consumes. The hot path consumes only the contiguous [0:M+1] lane prefix
+    (log-mel + raw energy) at full block-padded length; single-lane or
+    offset lane slices of the [B, fp, MP] output cost ~0.45 ms/step in XLA,
+    so the cepstral epilogue downstream works on the prefix via one
+    augmented matmul (chain.features_from_logmel). The trimmed
+    logmel/energy views exist for tests/inspection and are DCE'd unused."""
+    fp = out.shape[1]
     n_valid = chain.num_valid_frames(orig_lengths, cfg)
     frame_mask_fp = (
         jnp.arange(fp)[None, :] < n_valid[:, None]

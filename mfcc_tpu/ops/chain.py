@@ -546,19 +546,65 @@ def extract_batch(
 
     backend: "jnp" (this module) or "pallas" (fused TPU kernels with this
     chain as their equivalence twin — mfcc_tpu/kernels/).
+
+    Resampling configs (input_sample_rate != sample_rate) additionally
+    accept BLOCKED audio [B, n_sup, step] in the ops.resample.BlockedLayout
+    host-feed contract (pad_batch(layout=...) builds it for free during its
+    pad copy). That is the fast path: the polyphase resample becomes two
+    MXU dots on the natively-tiled input — no device-side relayout — and
+    its output lands directly in the fused kernel's chunk-slab layout.
+    `lengths` stays in INPUT samples either way.
     """
     if jnp.issubdtype(audio.dtype, jnp.integer):
         # int16 host feed (half the H2D bytes): convert on device, once
         audio = audio.astype(compute_dtype(cfg))
+    chunks = chunks_t = None
     if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
         from mfcc_tpu.ops import resample
 
-        audio = resample.resample_batch(
-            audio.astype(compute_dtype(cfg)), cfg.input_sample_rate, cfg.sample_rate
-        )
-        lengths = resample.output_lengths(
-            lengths, cfg.input_sample_rate, cfg.sample_rate
-        )
+        audio = audio.astype(compute_dtype(cfg))
+        sr_in, sr_out = cfg.input_sample_rate, cfg.sample_rate
+        lengths = resample.output_lengths(lengths, sr_in, sr_out)
+        if audio.ndim == 3:
+            lay = resample.layout_for_shape(
+                sr_in, sr_out, audio.shape[1], audio.shape[2]
+            )
+            n_out = lay.n_out  # capacity semantics: n_blk*J (>= true n_out;
+            # the surplus < J samples are masked by lengths downstream)
+            fuse = (
+                backend == "pallas"
+                and cfg.dtype == "float32"
+                and cfg.frame_tail not in ("center", "center_reflect")
+                and pallas_unsupported_reason(cfg) is None
+            )
+            geo = None
+            if fuse:
+                from mfcc_tpu.kernels import frontend as _fk
+
+                geo = _fk.slab_geometry(cfg, n_out)
+            if geo is not None:
+                # fused resample->frontend seam (VERDICT r2 item 1): the
+                # blocked dots' output reshapes straight into the fused
+                # kernel's chunk slab; input_scale rides the tap matrices
+                y = resample.resample_blocked(audio, lay, cfg.input_scale)
+                B = y.shape[0]
+                flat = y.reshape(B, lay.n_blk * lay.J)
+                total = geo["n_rows"] * geo["chunk"]
+                front = geo["pro"] * geo["chunk"]
+                if flat.shape[-1] > total - front:
+                    flat = flat[:, : total - front]
+                flat = jnp.pad(
+                    flat, ((0, 0), (front, total - front - flat.shape[-1]))
+                )
+                chunks = flat.reshape(B, geo["n_rows"], geo["chunk"])
+                chunks_t = n_out
+                # input_scale rode the resample taps; the chunks branch of
+                # fused_logmel_stages never re-applies it (producer contract)
+            else:
+                y = resample.resample_blocked(audio, lay)
+                audio = y.reshape(y.shape[0], lay.n_blk * lay.J)
+        else:
+            audio = resample.resample_batch(audio, sr_in, sr_out)
     if backend == "pallas":
         reason = pallas_unsupported_reason(cfg)
         if reason:
@@ -570,7 +616,12 @@ def extract_batch(
     elif backend == "pallas":
         from mfcc_tpu.kernels import fused_logmel_stages
 
-        stages = fused_logmel_stages(audio, lengths, cfg)
+        if chunks is not None:
+            stages = fused_logmel_stages(
+                None, lengths, cfg, chunks=chunks, chunks_t=chunks_t
+            )
+        else:
+            stages = fused_logmel_stages(audio, lengths, cfg)
     else:
         raise ValueError(f"unknown backend {backend!r}")
     feat = features_from_logmel(stages, cfg)

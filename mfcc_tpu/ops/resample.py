@@ -20,6 +20,7 @@ MXU-friendly strided convolution — no Python loop, batch-parallel.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 
@@ -80,62 +81,36 @@ def _block_J(up: int) -> int:
     return -(-128 // up) * up
 
 
-def resample_batch(
-    audio: jnp.ndarray, sr_in: int, sr_out: int, method: str = "auto"
-) -> jnp.ndarray:
-    """Resample [..., T] along the last axis; sr_in -> sr_out.
+def _resample_flat(x: jnp.ndarray, up: int, down: int, n_out: int) -> jnp.ndarray:
+    """Core banded-matmul apply: pre-flattened [B, n_in] -> [B, >= n_out]
+    (padded to whole J-blocks; callers trim). gcd-reduced up/down.
 
-    method: "auto" (Pallas kernel on TPU for fp32 integer decimation,
-    XLA otherwise), "pallas" (force the kernel — interpret mode off-TPU),
-    or "xla" (the blocked-matmul fallback; also the float64 path).
+    Formulation: two dots + one shifted add,
 
-    Zero padding beyond each utterance's length behaves exactly like
-    scipy's 'constant' edge mode, so a padded batch resamples to the same
-    values as each utterance alone (valid output range per row:
-    output_lengths(lengths)).
+        slab = x_padded.reshape(B, n_blk+1, step)
+        y    = slab[:, :n_blk] @ M1  +  (slab[:, :, :E] @ M2)[:, 1:]
 
-    Device mapping: the polyphase apply is BLOCKED — J outputs per block
-    read one W-wide input window at a fixed alignment, so the whole
-    resample is overlapping static gathers + one `[B·n_blk, W] @ [W, J]`
-    MXU matmul against the banded block matrix (shared with
-    StreamingResampler via _stream_design). The previous
-    `conv_general_dilated(lhs_dilation=up, stride=down)` formulation
-    lowered to a non-MXU strided conv and cost 17.4 ms/step at
-    batch-64 × 10 s × 48 kHz — 21× the entire feature chain; the blocked
-    matmul does ~(3 + lh/(up·J))× the minimal MACs but puts them on the
-    systolic array.
-    """
-    if sr_in == sr_out:
-        return audio
-    d = _design(sr_out, sr_in)  # up = sr_out, down = sr_in (gcd-reduced inside)
-    up, down = d["up"], d["down"]
-    n_in = audio.shape[-1]
-    n_out = output_length(n_in, sr_in, sr_out)
-    if n_in == 0:  # empty input: n_out = ceil(0) = 0, no compute
-        return jnp.zeros(audio.shape[:-1] + (0,), audio.dtype)
-
-    if method != "xla":
-        from mfcc_tpu.kernels import resample as K
-
-        ok = K.applicable(up, down, n_in, audio.dtype)
-        if method == "pallas" and not ok:
-            raise ValueError(
-                "pallas resample kernel not applicable here (needs fp32 "
-                "integer decimation with a <=128-sample halo)"
-            )
-        if ok and (method == "pallas" or jax.default_backend() == "tpu"):
-            lead = audio.shape[:-1]
-            y = K.resample_pallas(
-                audio.reshape((-1, n_in)), up, down, n_out
-            )
-            return y.reshape(lead + (n_out,))
-
+    with M1 = M.T[:step] (main taps) and M2 = M.T[step:W] (the E-sample
+    halo each block reads from the next row). The dots themselves run at
+    MXU speed (~0.28 ms for the batch-64 x 10 s x 48 kHz main dot at
+    fp32-HIGHEST, scripts/probe_mxu_rate.py) — but when the input arrives
+    FLAT, XLA's fused pad+offset-slice+reshape relayout of the 123 MB
+    input costs ~2.3 ms on v5e (measured: the [B, T] (8,128)-tiled layout
+    vs the [B, n_blk, step] layout is a physical transpose, and the
+    origin offset additionally misaligns every tile). So on TPU this path
+    is for compatibility/fallback only:
+      * hot path: the host feeds the blocked layout directly
+        (blocked_layout + pad_batch(layout=...) -> resample_blocked) —
+        same bytes over PCIe, zero device-side relayout;
+      * flat fp32 on TPU: resample_batch(method="auto") prefers the
+        Pallas VMEM-slab kernel (1.78 ms incl. its host retile — still
+        ~1 ms faster than this XLA formulation's poisoned fusion).
+    Off-TPU (CPU tests, float64 oracle runs) this is the best device
+    formulation and the default."""
     J = _block_J(up)
     M, origin, W, step = _stream_design(up, down, J)
-    dtype = audio.dtype
-    lead = audio.shape[:-1]
-    x = audio.reshape((-1, n_in))
-
+    dtype = x.dtype
+    n_in = x.shape[-1]
     n_blk = -(-n_out // J)
     # block b reads input [origin + b*step, origin + b*step + W); shift by
     # pad_lo so all indices are >= 0, zero-fill outside (= scipy constant)
@@ -147,27 +122,220 @@ def resample_batch(
     pad_hi = max(0, need - (n_in + pad_lo))
     x = jnp.pad(x, ((0, 0), (pad_lo, pad_hi)))
     B = x.shape[0]
+    hi = jax.lax.Precision.HIGHEST
     if 0 < E <= step:
-        # overlapping windows as two strided reshapes + one concat — a
-        # gather here (jnp.take over a [n_blk, W] index matrix) costs ~6 ms
-        # at batch-64 x 10 s x 48 kHz, 20x the matmul it feeds
-        main = x[:, o : o + n_blk * step].reshape(B, n_blk, step)
-        halo = x[:, o + step : o + (n_blk + 1) * step].reshape(
-            B, n_blk, step
-        )[:, :, :E]
-        win = jnp.concatenate([main, halo], axis=-1)  # [B, n_blk, W]
+        slab = x[:, o : o + (n_blk + 1) * step].reshape(B, n_blk + 1, step)
+        ym = jnp.matmul(
+            slab[:, :n_blk], jnp.asarray(M.T[:step], dtype=dtype),
+            preferred_element_type=dtype, precision=hi,
+        )
+        yh = jnp.matmul(
+            slab[:, :, :E], jnp.asarray(M.T[step:W], dtype=dtype),
+            preferred_element_type=dtype, precision=hi,
+        )
+        y = ym + yh[:, 1:]
     elif E <= 0:
         win = x[:, o : o + n_blk * step].reshape(B, n_blk, step)[:, :, :W]
+        y = jnp.matmul(
+            win, jnp.asarray(M.T, dtype=dtype),
+            preferred_element_type=dtype, precision=hi,
+        )
     else:  # exotic design with halo wider than a block: gather fallback
         idx = o + step * np.arange(n_blk)[:, None] + np.arange(W)
         win = jnp.take(x, jnp.asarray(idx), axis=-1)
-    y = jnp.matmul(
-        win, jnp.asarray(M.T, dtype=dtype),
-        preferred_element_type=dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [B, n_blk, J]
-    y = y.reshape(x.shape[0], n_blk * J)[..., :n_out]
-    return y.reshape(lead + (n_out,))
+        y = jnp.matmul(
+            win, jnp.asarray(M.T, dtype=dtype),
+            preferred_element_type=dtype, precision=hi,
+        )
+    return y.reshape(B, n_blk * J)
+
+
+def resample_batch(
+    audio: jnp.ndarray, sr_in: int, sr_out: int, method: str = "auto"
+) -> jnp.ndarray:
+    """Resample [..., T] along the last axis; sr_in -> sr_out.
+
+    method: "auto" (Pallas VMEM-slab kernel on TPU for fp32 integer
+    decimation, the two-dot XLA formulation otherwise), "pallas" (force
+    the kernel — interpret mode off-TPU), or "xla" (the two-dot
+    formulation; also the float64 path). For the genuinely fast TPU path
+    feed the blocked layout instead — see blocked_layout/resample_blocked.
+
+    Zero padding beyond each utterance's length behaves exactly like
+    scipy's 'constant' edge mode, so a padded batch resamples to the same
+    values as each utterance alone (valid output range per row:
+    output_lengths(lengths)).
+    """
+    if sr_in == sr_out:
+        return audio
+    d = _design(sr_out, sr_in)  # up = sr_out, down = sr_in (gcd-reduced inside)
+    up, down = d["up"], d["down"]
+    n_in = audio.shape[-1]
+    n_out = output_length(n_in, sr_in, sr_out)
+    if n_in == 0:  # empty input: n_out = ceil(0) = 0, no compute
+        return jnp.zeros(audio.shape[:-1] + (0,), audio.dtype)
+    lead = audio.shape[:-1]
+
+    if method != "xla":
+        from mfcc_tpu.kernels import resample as K
+
+        ok = K.applicable(up, down, n_in, audio.dtype)
+        if method == "pallas" and not ok:
+            raise ValueError(
+                "pallas resample kernel not applicable here (needs fp32 "
+                "integer decimation with a <=128-sample halo)"
+            )
+        if ok and (method == "pallas" or jax.default_backend() == "tpu"):
+            y = K.resample_pallas(audio.reshape((-1, n_in)), up, down, n_out)
+            return y.reshape(lead + (n_out,))
+
+    y = _resample_flat(audio.reshape((-1, n_in)), up, down, n_out)
+    return y[:, :n_out].reshape(lead + (n_out,))
+
+
+# ---------------------------------------------------------------------------
+# Blocked feed layout: the zero-relayout resample fast path (VERDICT r2 #1)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockedLayout:
+    """Host-feed contract for the device-side two-dot resample.
+
+    The host lays raw sr_in audio out as [B, n_sup, step] float rows where
+    flat position (pad_lo + t) holds sample t and everything else is zero
+    (pad_batch(layout=...) builds this during its one mandatory pad copy —
+    same bytes over H2D as the flat [B, T] buffer). On device, block b of
+    the resample then reads rows b and b+1 through pure slices: the
+    entire polyphase apply is two MXU matmuls plus a shifted add, with no
+    pad, no gather and — critically — no (8,128)-tile relayout of the
+    input (the flat->blocked reshape of a 123 MB batch costs ~2.3 ms on
+    v5e inside XLA's pad+reshape fusion; measured in docs/KERNEL.md §7).
+
+    Capacity semantics: the layout carries ceil(n_out/J)*J output samples;
+    per-utterance validity travels in `lengths` as usual, so callers never
+    need the original n_in at trace time.
+    """
+
+    up: int          # gcd-reduced output rate factor
+    down: int        # gcd-reduced input rate factor
+    J: int           # output samples per block (multiple of up, >= 128)
+    step: int        # input samples per block = J*down/up
+    W: int           # full window width per block
+    E: int           # halo read from the next block = W - step (0 < E <= step)
+    pad_lo: int      # zeros before sample 0 in the flat view ( = -origin)
+    n_in: int        # nominal (bucket) input sample count
+    n_out: int       # output_length(n_in) — true resampled length
+    n_blk: int       # ceil(n_out / J) output blocks
+    n_sup: int       # input rows = n_blk + 1 (last row = halo for block n_blk-1)
+
+    @property
+    def buffer_shape(self) -> tuple[int, int]:
+        """Per-utterance blocked buffer shape (n_sup, step)."""
+        return (self.n_sup, self.step)
+
+
+def blocked_layout(sr_in: int, sr_out: int, n_in: int) -> BlockedLayout | None:
+    """Layout for the blocked fast path, or None when it doesn't apply
+    (identical rates, empty input, or an exotic design whose halo exceeds
+    one block / whose origin is positive — those fall back to the flat
+    path, which handles every design)."""
+    if sr_in == sr_out or n_in <= 0:
+        return None
+    d = _design(sr_out, sr_in)
+    up, down = d["up"], d["down"]
+    J = _block_J(up)
+    M, origin, W, step = _stream_design(up, down, J)
+    pad_lo = max(0, -origin)
+    if origin + pad_lo != 0:  # origin > 0: block reads start past sample 0
+        return None
+    E = W - step
+    if not (0 < E <= step):
+        return None
+    n_out = output_length(n_in, sr_in, sr_out)
+    n_blk = -(-n_out // J)
+    # rows must cover pad_lo + n_in input samples AND n_blk + 1 block reads
+    n_sup = max(n_blk + 1, -(-(pad_lo + n_in) // step))
+    return BlockedLayout(
+        up=up, down=down, J=J, step=step, W=W, E=E, pad_lo=pad_lo,
+        n_in=n_in, n_out=n_out, n_blk=n_blk, n_sup=n_sup,
+    )
+
+
+def layout_for_shape(
+    sr_in: int, sr_out: int, n_sup: int, step: int
+) -> BlockedLayout:
+    """Recover the layout from a blocked array's static shape (the inverse
+    of blocked_layout for trace-time use: capacity semantics, n_out =
+    n_blk*J). Raises if (n_sup, step) cannot come from this rate pair."""
+    lay = blocked_layout(sr_in, sr_out, (n_sup - 1) * step)
+    if lay is None or lay.step != step:
+        raise ValueError(
+            f"[{n_sup}, {step}] is not a blocked layout for "
+            f"{sr_in}->{sr_out} Hz (expected step "
+            f"{lay.step if lay else '?'})"
+        )
+    n_blk = n_sup - 1
+    return dataclasses.replace(
+        lay, n_in=n_blk * step - lay.pad_lo, n_out=n_blk * lay.J,
+        n_blk=n_blk, n_sup=n_sup,
+    )
+
+
+def to_blocked_numpy(
+    audio: np.ndarray, lay: BlockedLayout, out: np.ndarray | None = None
+) -> np.ndarray:
+    """Host-side [B, T] -> [B, n_sup, step] (one copy — callers that
+    already copy, like pad_batch, build the layout in place instead)."""
+    B, n_in = audio.shape
+    if n_in > lay.n_sup * lay.step - lay.pad_lo:
+        raise ValueError(f"audio length {n_in} exceeds layout capacity")
+    if out is None:
+        out = np.zeros((B, lay.n_sup, lay.step), dtype=audio.dtype)
+    flat = out.reshape(B, -1)
+    flat[:, lay.pad_lo : lay.pad_lo + n_in] = audio
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def _blocked_mats(up: int, down: int, J: int, scale: float, dtype: str):
+    """fp-cast (main, halo) tap matrices with input_scale folded in."""
+    M, origin, W, step = _stream_design(up, down, J)
+    Ms = M.T * scale if scale != 1.0 else M.T
+    return (
+        np.asarray(Ms[:step], dtype=dtype),
+        np.asarray(Ms[step:W], dtype=dtype),
+    )
+
+
+def resample_blocked(
+    xb: jnp.ndarray, lay: BlockedLayout, scale: float = 1.0
+) -> jnp.ndarray:
+    """[B, n_sup, step] blocked audio -> [B, n_blk, J] resampled blocks
+    (flat sample t of the output lives at [t // J, t % J]; samples beyond
+    n_out are filter ringing off the zero tail — mask downstream by
+    output_lengths). Two MXU dots + one shifted add; `scale` (input gain)
+    is folded into the host-built tap matrices for free.
+
+    Bit-identical to _resample_flat/resample_batch on the same audio: the
+    host-built layout holds exactly the values the flat path's device pad
+    produces, and the dot algebra is unchanged (tests/test_resample.py)."""
+    if xb.shape[1:] != (lay.n_sup, lay.step):
+        raise ValueError(
+            f"blocked audio {xb.shape[1:]} != layout {(lay.n_sup, lay.step)}"
+        )
+    dtype = xb.dtype
+    m1, m2 = _blocked_mats(lay.up, lay.down, lay.J, scale, np.dtype(dtype).name)
+    hi = jax.lax.Precision.HIGHEST
+    ym = jnp.matmul(
+        xb[:, : lay.n_blk], jnp.asarray(m1),
+        preferred_element_type=dtype, precision=hi,
+    )
+    yh = jnp.matmul(
+        xb[:, :, : lay.E], jnp.asarray(m2),
+        preferred_element_type=dtype, precision=hi,
+    )
+    return ym + yh[:, 1 : lay.n_blk + 1]
 
 
 def resample_numpy(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:

@@ -4,6 +4,7 @@ from mfcc_tpu.pipeline.batch import (  # noqa: F401
     make_buckets,
     pad_batch,
     required_samples,
+    resample_layout,
 )
 from mfcc_tpu.pipeline.longform import (  # noqa: F401
     extract_long,

@@ -54,22 +54,43 @@ def main() -> int:
 
         return sorted(slope(10, 410) for _ in range(5))[2] * 1e3
 
+    from mfcc_tpu.pipeline import resample_layout
+
     g = np.random.default_rng(0)
     rows = {}
     for cname in ("mfcc39_48k", "classic13_deltas"):
         cfg = named_config(cname)
         sr_in = cfg.input_sample_rate or cfg.sample_rate
-        bb = pad_batch([g.standard_normal(sr_in * SEC) for _ in range(B)],
-                       cfg, bucket_len=sr_in * SEC)
-        audio = jnp.asarray(bb.audio)
-        lengths = jnp.asarray(bb.lengths)
-        ms = slope_ms(
-            lambda a, l=lengths, c=cfg: chain.extract_batch(
-                a, l, c, backend="pallas")[0],
-            audio,
-        )
-        rows[f"{cname}_ms_per_step"] = round(ms, 3)
-        rows[f"{cname}_audio_s_per_s"] = round(B * SEC / (ms / 1e3), 0)
+        sigs = [g.standard_normal(sr_in * SEC) for _ in range(B)]
+        lay = resample_layout(cfg, sr_in * SEC)
+        variants = [("", None)] if lay is None else [
+            ("_flat", None), ("", lay)]
+        for tag, vlay in variants:
+            bb = pad_batch(sigs, cfg, bucket_len=sr_in * SEC, layout=vlay)
+            audio = jnp.asarray(bb.audio)
+            lengths = jnp.asarray(bb.lengths)
+            ms = slope_ms(
+                lambda a, l=lengths, c=cfg: chain.extract_batch(
+                    a, l, c, backend="pallas")[0],
+                audio,
+            )
+            rows[f"{cname}{tag}_ms_per_step"] = round(ms, 3)
+            rows[f"{cname}{tag}_audio_s_per_s"] = round(B * SEC / (ms / 1e3), 0)
+            if vlay is not None:
+                # production default: i16 feed rows (stream_batches_mp
+                # dtype="i16"), converted on device — halves the feed
+                # bytes the harness's perturbation pass touches too
+                a16 = jnp.asarray(np.clip(
+                    np.asarray(bb.audio) * 3000, -32768, 32767
+                ).astype(np.int16))
+                ms = slope_ms(
+                    lambda a, l=lengths, c=cfg: chain.extract_batch(
+                        a, l, c, backend="pallas")[0],
+                    a16,
+                )
+                rows[f"{cname}_i16_ms_per_step"] = round(ms, 3)
+                rows[f"{cname}_i16_audio_s_per_s"] = round(
+                    B * SEC / (ms / 1e3), 0)
 
     x48 = jnp.asarray(
         g.standard_normal((B, 48000 * SEC)).astype(np.float32)
@@ -80,15 +101,23 @@ def main() -> int:
             x48,
         )
         rows[f"resample_{method}_ms_per_step"] = round(ms, 3)
+    lay48 = resample_layout(named_config("mfcc39_48k"), 48000 * SEC)
+    xb = jnp.asarray(resample.to_blocked_numpy(np.asarray(x48), lay48))
+    ms = slope_ms(lambda a: resample.resample_blocked(a, lay48), xb)
+    rows["resample_blocked_ms_per_step"] = round(ms, 3)
 
     print(json.dumps({
         "metric": "resample_48k",
         "platform": jax.default_backend(),
         "batch": B, "utterance_s": SEC,
         **rows,
-        "note": "r2 history at b64x10s: dilated conv 17.4 ms -> XLA blocked "
-                "matmul 4.8 -> pallas kernel ~1.7 (0.54 of it pad/reshape); "
-                "mfcc39_48k end-to-end 35k -> ~244k audio-s/s",
+        "note": "r3: host-blocked feed layout (pad_batch(layout=...)) makes "
+                "the device resample two MXU dots at fp32-HIGHEST — no "
+                "input relayout. History at b64x10s: dilated conv 17.4 ms "
+                "-> XLA blocked matmul 4.8 -> pallas kernel 1.78 (0.54 "
+                "host retile) -> blocked dots ~0.55; e2e 35k (r1) -> 244k "
+                "(r2) -> ~420k audio-s/s i16 (r3). The *_flat rows keep "
+                "the r2 flat-input path honest for comparison.",
     }))
     return 0
 

@@ -286,3 +286,193 @@ def test_high_decimation_and_empty_input():
         )
         assert z.shape == (2, 0)
     assert not K.applicable(1, 3, 0, jnp.float32)
+
+
+# -- Blocked feed layout (the zero-relayout device fast path) ----------------
+
+def test_blocked_layout_geometry():
+    """Layout invariants across rate pairs: aligned origin, one-block halo,
+    capacity covers pad_lo + n_in, and step/J match the stream design."""
+    from mfcc_tpu.ops.resample import blocked_layout
+
+    for sr_in, sr_out, n in [
+        (48000, 16000, 480000),
+        (48000, 16000, 48123),
+        (8000, 16000, 8001),
+        (44100, 16000, 44100),
+        (22050, 16000, 10007),
+    ]:
+        lay = blocked_layout(sr_in, sr_out, n)
+        assert lay is not None, (sr_in, sr_out)
+        assert 0 < lay.E <= lay.step
+        assert lay.step * lay.up == lay.J * lay.down
+        assert lay.n_sup * lay.step - lay.pad_lo >= n
+        assert lay.n_blk * lay.J >= lay.n_out
+        assert lay.buffer_shape == (lay.n_sup, lay.step)
+    assert blocked_layout(16000, 16000, 100) is None
+    assert blocked_layout(48000, 16000, 0) is None
+
+
+def test_layout_for_shape_roundtrip():
+    from mfcc_tpu.ops.resample import blocked_layout, layout_for_shape
+
+    lay = blocked_layout(48000, 16000, 480000)
+    rec = layout_for_shape(48000, 16000, lay.n_sup, lay.step)
+    assert (rec.up, rec.down, rec.J, rec.step, rec.E, rec.pad_lo) == (
+        lay.up, lay.down, lay.J, lay.step, lay.E, lay.pad_lo
+    )
+    assert rec.n_blk == lay.n_sup - 1 and rec.n_out == rec.n_blk * rec.J
+    with pytest.raises(ValueError, match="not a blocked layout"):
+        layout_for_shape(48000, 16000, lay.n_sup, lay.step + 1)
+
+
+@pytest.mark.parametrize(
+    "sr_in,sr_out,n",
+    [(48000, 16000, 480000), (48000, 16000, 48123), (8000, 16000, 8001),
+     (44100, 16000, 44100)],
+)
+def test_resample_blocked_matches_flat(sr_in, sr_out, n):
+    """Blocked two-dot resample is BIT-IDENTICAL to the flat XLA path (the
+    host layout holds exactly what the flat path's device pad builds, and
+    the dot algebra is unchanged)."""
+    from mfcc_tpu.ops.resample import (
+        blocked_layout, resample_blocked, to_blocked_numpy,
+    )
+
+    g = np.random.default_rng(13)
+    x = g.standard_normal((3, n)).astype(np.float32)
+    lay = blocked_layout(sr_in, sr_out, n)
+    xb = to_blocked_numpy(x, lay)
+    assert xb.shape == (3,) + lay.buffer_shape
+    y = np.asarray(resample_blocked(jnp.asarray(xb), lay))
+    assert y.shape == (3, lay.n_blk, lay.J)
+    flat = y.reshape(3, -1)[:, : lay.n_out]
+    want = np.asarray(
+        resample.resample_batch(jnp.asarray(x), sr_in, sr_out, method="xla")
+    )
+    np.testing.assert_array_equal(flat, want)
+    # and scale folding is exact reordering-free scaling of the taps
+    ys = np.asarray(resample_blocked(jnp.asarray(xb), lay, scale=0.5))
+    np.testing.assert_allclose(
+        ys.reshape(3, -1)[:, : lay.n_out], 0.5 * want, rtol=1e-6, atol=1e-7
+    )
+
+
+def test_blocked_pad_batch_extract_parity():
+    """pad_batch(layout=...) + extract_batch(jnp) == flat path on valid
+    frames, for full and partial rows."""
+    from mfcc_tpu.pipeline import resample_layout
+
+    cfg = NAMED_CONFIGS["mfcc39_48k"]
+    g = np.random.default_rng(17)
+    sigs = [g.standard_normal(48000).astype(np.float32),
+            g.standard_normal(30011).astype(np.float32)]
+    blen = 48000
+    flat = pad_batch(sigs, cfg, bucket_len=blen)
+    lay = resample_layout(cfg, blen)
+    assert lay is not None
+    blk = pad_batch(sigs, cfg, bucket_len=blen, layout=lay)
+    assert blk.audio.shape == (2, lay.n_sup, lay.step)
+    f_flat, m_flat = chain.extract_batch(
+        jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg
+    )
+    f_blk, m_blk = chain.extract_batch(
+        jnp.asarray(blk.audio), jnp.asarray(blk.lengths), cfg
+    )
+    nv_flat = np.asarray(m_flat).sum(axis=1).astype(int)
+    nv_blk = np.asarray(m_blk).sum(axis=1).astype(int)
+    np.testing.assert_array_equal(nv_flat, nv_blk)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(f_blk)[i, : nv_blk[i]],
+            np.asarray(f_flat)[i, : nv_flat[i]],
+            atol=1e-5, rtol=1e-5,
+        )
+
+
+def test_blocked_pallas_seam_matches_jnp():
+    """The fused resample->chunk-slab->frontend seam (pallas backend,
+    interpret mode off-TPU) matches the jnp twin on valid frames."""
+    from mfcc_tpu.pipeline import resample_layout
+
+    cfg = NAMED_CONFIGS["mfcc39_48k"]
+    g = np.random.default_rng(19)
+    sigs = [g.standard_normal(48000).astype(np.float32),
+            g.standard_normal(24001).astype(np.float32)]
+    blen = 48000
+    lay = resample_layout(cfg, blen)
+    blk = pad_batch(sigs, cfg, bucket_len=blen, layout=lay)
+    a, l = jnp.asarray(blk.audio), jnp.asarray(blk.lengths)
+    f_jnp, m = chain.extract_batch(a, l, cfg, backend="jnp")
+    f_pal, m2 = chain.extract_batch(a, l, cfg, backend="pallas")
+    nv = np.asarray(m).sum(axis=1).astype(int)
+    np.testing.assert_array_equal(nv, np.asarray(m2).sum(axis=1).astype(int))
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(f_pal)[i, : nv[i]], np.asarray(f_jnp)[i, : nv[i]],
+            atol=FEATURE_ATOL_FP32, rtol=1e-3,
+        )
+
+
+def test_blocked_seam_input_scale():
+    """input_scale folds into the resample taps on the fused seam path:
+    pallas blocked == jnp flat with the same scale."""
+    from mfcc_tpu.pipeline import resample_layout
+
+    cfg = NAMED_CONFIGS["mfcc39_48k"].replace(input_scale=1.0 / 32768.0)
+    g = np.random.default_rng(23)
+    sig = (g.standard_normal(48000) * 3000).astype(np.float32)
+    blen = 48000
+    lay = resample_layout(cfg, blen)
+    blk = pad_batch([sig], cfg, bucket_len=blen, layout=lay)
+    flat = pad_batch([sig], cfg, bucket_len=blen)
+    f_ref, m = chain.extract_batch(
+        jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg
+    )
+    f_blk, m2 = chain.extract_batch(
+        jnp.asarray(blk.audio), jnp.asarray(blk.lengths), cfg,
+        backend="pallas",
+    )
+    nv = int(np.asarray(m)[0].sum())
+    np.testing.assert_allclose(
+        np.asarray(f_blk)[0, :nv], np.asarray(f_ref)[0, :nv],
+        atol=FEATURE_ATOL_FP32, rtol=1e-3,
+    )
+
+
+def test_blocked_feed_stream_batches():
+    """stream_batches emits blocked batches for resampling configs and the
+    features match the flat per-utterance path."""
+    import tempfile, pathlib
+    from mfcc_tpu.io import wav
+
+    cfg = NAMED_CONFIGS["mfcc39_48k"]
+    g = np.random.default_rng(29)
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i, n in enumerate((48000, 30011)):
+            p = pathlib.Path(td) / f"u{i}.wav"
+            pcm = (g.standard_normal(n) * 3000).astype(np.int16)
+            wav.write_wav(str(p), 48000, pcm)
+            paths.append(str(p))
+        from mfcc_tpu.io import stream_batches
+
+        batches = list(stream_batches(paths, cfg, batch_size=2, max_len_s=1.0))
+        assert len(batches) >= 1
+        b = batches[0]
+        assert b.audio.ndim == 3  # blocked layout engaged
+        feat, mask = chain.extract_batch(
+            jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg
+        )
+        # per-utterance reference through the flat single path
+        order = [b.ids.index(p) for p in b.ids if p is not None]
+        for row, pid in enumerate(b.ids):
+            if pid is None:
+                continue
+            sr, x = wav.read_wav(pid)
+            ref = chain.extract_single(x, cfg)
+            nv = int(np.asarray(mask)[row].sum())
+            assert nv == ref.shape[0]
+            np.testing.assert_allclose(
+                np.asarray(feat)[row, :nv], ref, atol=2e-4, rtol=1e-4
+            )

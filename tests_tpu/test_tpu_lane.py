@@ -302,3 +302,62 @@ def test_plp_conditioning_floor_on_tpu(tpu):
         devs[be] = np.abs(got - g["features"]).max()
     assert devs["pallas"] < 2.0 * devs["jnp"] + 1e-4, devs
     assert devs["pallas"] < 0.05 and devs["jnp"] < 0.05, devs
+
+
+def test_blocked_seam_on_tpu(tpu, signals):
+    """The host-blocked resample->frontend seam (Mosaic-compiled fused
+    kernel fed by the two-dot blocked resample) matches the flat-input
+    pallas path on valid frames, and the blocked dots match scipy."""
+    import jax.numpy as jnp
+    import scipy.signal
+
+    from mfcc_tpu.ops import resample
+    from mfcc_tpu.pipeline import resample_layout
+
+    cfg = NAMED_CONFIGS["mfcc39_48k"]
+    sigs = [signals[n] for n in SIGNAL_NAMES]
+    # signals are 16 kHz-length fixtures; treat samples as 48 kHz content
+    blen = max(s.shape[0] for s in sigs)
+    lay = resample_layout(cfg, blen)
+    assert lay is not None
+    flat = pad_batch(sigs, cfg, bucket_len=blen)
+    blk = pad_batch(sigs, cfg, bucket_len=blen, layout=lay)
+    f_flat, m_flat = chain.extract_batch(
+        jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg,
+        backend="pallas",
+    )
+    f_blk, m_blk = chain.extract_batch(
+        jnp.asarray(blk.audio), jnp.asarray(blk.lengths), cfg,
+        backend="pallas",
+    )
+    # twin gate: same blocked resample values feed both backends, so this
+    # isolates kernel-vs-twin divergence at the standard tolerance
+    f_twin, m_twin = chain.extract_batch(
+        jnp.asarray(blk.audio), jnp.asarray(blk.lengths), cfg,
+        backend="jnp",
+    )
+    nv = np.asarray(m_flat).sum(axis=1).astype(int)
+    np.testing.assert_array_equal(nv, np.asarray(m_blk).sum(axis=1).astype(int))
+    np.testing.assert_array_equal(nv, np.asarray(m_twin).sum(axis=1).astype(int))
+    for i in range(len(sigs)):
+        np.testing.assert_allclose(
+            np.asarray(f_blk)[i, : nv[i]], np.asarray(f_twin)[i, : nv[i]],
+            atol=1e-3, rtol=2e-3,
+        )
+        # cross-path: flat runs the Pallas VMEM resample kernel, blocked
+        # the XLA dots — two fp32 summation orders whose ~2e-3 signal
+        # divergence (test_resample_kernel_on_tpu's gate) the ×~12 lifter
+        # carries into the features; gate at the same class of tolerance
+        np.testing.assert_allclose(
+            np.asarray(f_blk)[i, : nv[i]], np.asarray(f_flat)[i, : nv[i]],
+            atol=4e-3, rtol=2e-3,
+        )
+    # blocked dots vs scipy on the raw resample
+    g = np.random.default_rng(7)
+    x = (g.standard_normal((2, 480000)) * 3000).astype(np.float32)
+    lay2 = resample.blocked_layout(48000, 16000, 480000)
+    xb = jnp.asarray(resample.to_blocked_numpy(x, lay2))
+    y = np.asarray(resample.resample_blocked(xb, lay2))
+    flat_y = y.reshape(2, -1)[:, : lay2.n_out]
+    want = scipy.signal.resample_poly(x[0].astype(np.float64), 1, 3)
+    np.testing.assert_allclose(flat_y[0], want, atol=2e-3, rtol=1e-5)
