@@ -42,20 +42,24 @@ def main() -> int:
 
     from mfcc_tpu.config import named_config
     from mfcc_tpu.ops import chain
-    from mfcc_tpu.pipeline import pad_batch, resample_layout
+    from mfcc_tpu.pipeline import device_layout, pad_batch
 
     cfg = named_config(args.config)
     B_, SECONDS_ = args.batch, args.seconds
     g = np.random.default_rng(0)
     sr = cfg.input_sample_rate or cfg.sample_rate
+    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    # the device-optimal host feed layout (what the production feeds emit):
+    # blocked polyphase rows for resampling configs, kernel chunk slabs
+    # otherwise; flat [B, T] for jnp-only configs / the CPU fallback
+    layout = device_layout(cfg, sr * SECONDS_) if backend == "pallas" else None
     bb = pad_batch(
         [g.standard_normal(sr * SECONDS_) for _ in range(B_)],
         cfg,
         bucket_len=sr * SECONDS_,
-        layout=resample_layout(cfg, sr * SECONDS_),
+        layout=layout,
     )
     audio, lengths = jnp.asarray(bb.audio), jnp.asarray(bb.lengths)
-    backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
     @partial(jax.jit, static_argnames=("iters",))
     def chained(audio, lengths, iters):

@@ -294,6 +294,10 @@ def cmd_extract(args) -> int:
         batch_size=batch_size, max_len_s=args.max_len_s,
         num_threads=args.threads, stats=stats,
         long_mode="defer" if args.long == "split" else "truncate",
+        # device-optimal host feed layouts (blocked resample rows, kernel
+        # chunk slabs) only make sense for the fused backend; the jnp twin
+        # takes flat audio (blocked rows it accepts too, but keep it simple)
+        layouts="device" if backend == "pallas" else "resample",
     )
     feed = args.feed
     if feed == "auto":

@@ -89,6 +89,22 @@ class DecodeStats:
     queue_depth: int = 0
 
 
+def _feed_layout(cfg: FrontendConfig, blen: int, layouts: str):
+    """Device feed layout for the decode-into-buffer feeds: "resample"
+    (blocked rows only — safe for every extract backend) or "device" (adds
+    standard-mode kernel chunk slabs; requires a pallas consumer). Extended
+    (center-mode) slabs need pad_batch's per-row host transform, which the
+    raw-decode feeds can't do — those configs stay flat here."""
+    from mfcc_tpu.pipeline.batch import device_layout, resample_layout
+
+    if layouts == "device":
+        lay = device_layout(cfg, blen)
+        if lay is not None and getattr(lay, "extended", False):
+            return None
+        return lay
+    return resample_layout(cfg, blen)
+
+
 def shard_files(files: Sequence, process_index: int, process_count: int) -> list:
     """Per-host file-list sharding: host i takes files[i::n] (SURVEY.md §2.3
     DP row). Deterministic, no coordination needed."""
@@ -245,8 +261,14 @@ def stream_batches(
     pad_batch_rows: bool = True,
     stats: DecodeStats | None = None,
     long_mode: str = "defer",
+    layouts: str = "resample",
 ) -> Iterator[Batch]:
     """files → padded, bucketed Batch stream.
+
+    layouts: "resample" (default — blocked polyphase rows for resampling
+    configs, accepted by both extract backends) or "device" (the full
+    device-optimal layout incl. fused-kernel chunk slabs; batches then
+    require backend='pallas' in extract_batch).
 
     Utterances longer than the largest bucket are deferred to the
     split/stitch path (long_mode "defer", the default: path recorded in
@@ -270,9 +292,10 @@ def stream_batches(
         max_workers=max(2, num_threads)
     )
 
-    from mfcc_tpu.pipeline.batch import resample_layout
+    from mfcc_tpu.pipeline.batch import device_layout, resample_layout
 
-    layouts = {b: resample_layout(cfg, b) for b in buckets}
+    _lay_fn = device_layout if layouts == "device" else resample_layout
+    bucket_layouts = {b: _lay_fn(cfg, b) for b in buckets}
 
     def flush(blen: int, pad_rows: bool) -> Batch | None:
         items = pending[blen]
@@ -286,7 +309,7 @@ def stream_batches(
             ids=[p for p, _ in items],
             pad_batch_to=batch_size if pad_rows else None,
             copy_pool=copy_pool,
-            layout=layouts[blen],
+            layout=bucket_layouts[blen],
         )
 
     try:
@@ -333,6 +356,7 @@ def stream_batches_direct(
     long_mode: str = "defer",
     dtype: str = "f32",
     skip_ids: frozenset | set | None = None,
+    layouts: str = "resample",
 ) -> Iterator[Batch]:
     """Decode-into-buffer batch streaming (the host-feed fast path).
 
@@ -376,9 +400,12 @@ def stream_batches_direct(
     def parse_header(path):
         return _parse_header_counted(path, expect_sr, stats)
 
-    from mfcc_tpu.pipeline.batch import required_samples, resample_layout
+    from mfcc_tpu.pipeline.batch import feed_geometry
 
-    layouts = {b: resample_layout(cfg, b) for b in buckets}
+    bucket_geom = {
+        b: feed_geometry(cfg, b, _feed_layout(cfg, b, layouts))
+        for b in buckets
+    }
 
     # slab recycling: consumers that call Batch.release() hand the audio
     # buffer back here, saving the page-fault pass of a fresh allocation
@@ -397,15 +424,9 @@ def stream_batches_direct(
 
         def __init__(self, blen: int):
             self.blen = blen
-            lay = layouts[blen]
-            # blocked resample layout: rows carry the pad_lo prologue and
-            # land pre-tiled for the device-side two-dot resample
-            self.off = 0 if lay is None else lay.pad_lo
-            self.out_shape = None if lay is None else (lay.n_sup, lay.step)
-            self.T = (
-                required_samples(blen, cfg) if lay is None
-                else lay.n_sup * lay.step
-            )
+            # device feed layout (blocked resample rows / kernel chunk
+            # slabs): rows land at the layout's offset, pre-tiled
+            self.off, self.T, self.out_shape = bucket_geom[blen]
             with slab_lock:
                 stack = free_slabs.get(self.T)
                 slab = stack.pop() if stack else None
@@ -761,6 +782,7 @@ def stream_batches_mp(
     long_mode: str = "defer",
     dtype: str = "i16",
     skip_ids: frozenset | set | None = None,
+    layouts: str = "resample",
 ) -> Iterator[Batch]:
     """Multi-process decode-into-buffer batch streaming.
 
@@ -791,9 +813,12 @@ def stream_batches_mp(
         raise ValueError(f"dtype={dtype!r} must be 'f32' or 'i16'")
     row_dtype = np.int16 if dtype == "i16" else np.float32
 
-    from mfcc_tpu.pipeline.batch import required_samples, resample_layout
+    from mfcc_tpu.pipeline.batch import feed_geometry
 
-    layouts = {b: resample_layout(cfg, b) for b in buckets}
+    bucket_geom = {
+        b: feed_geometry(cfg, b, _feed_layout(cfg, b, layouts))
+        for b in buckets
+    }
 
     pool, pool_private = _acquire_mp_pool(max(1, num_threads))
     slab_lock = threading.Lock()
@@ -826,13 +851,7 @@ def stream_batches_mp(
     class _Open:
         def __init__(self, blen: int):
             self.blen = blen
-            lay = layouts[blen]
-            self.off = 0 if lay is None else lay.pad_lo
-            self.out_shape = None if lay is None else (lay.n_sup, lay.step)
-            self.T = (
-                required_samples(blen, cfg) if lay is None
-                else lay.n_sup * lay.step
-            )
+            self.off, self.T, self.out_shape = bucket_geom[blen]
             self.name, self.audio = new_slab(self.T)
             self.audio._mfcc_slab_name = self.name
             self.lengths = np.zeros(batch_size, dtype=np.int32)

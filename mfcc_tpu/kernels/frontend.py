@@ -46,6 +46,7 @@ twin: ops.chain.logmel_stages (tests/test_pallas_kernels.py).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -193,13 +194,17 @@ def _win_energy_np(cfg: FrontendConfig, kw: int) -> np.ndarray:
 
 
 def radix4_applicable(cfg: FrontendConfig) -> bool:
-    """The factorized DFT needs n_fft = 4*N2 with N2 a lane multiple (so the
-    stage-1 butterflies are 128-aligned lane slices). Covers every standard
-    config (512, 1024, 2048-point FFTs). Frames longer than n_fft need no
-    check: win4 zero-truncates them (= rfft(frames, n_fft)), verified in
-    test_frame_longer_than_nfft_truncates."""
+    """The factorized DFT needs n_fft = 4*N2 with N2 even (h = N2/2 for the
+    Hermitian trim of the real s=0 sub-DFT). N2 % 128 == 0 (512, 1024,
+    2048-point FFTs) gives 128-aligned stage-1 lane slices; other even N2
+    (e.g. whisper's 400-point FFT, N2=100) emit Mosaic lane-shift relayouts
+    in stage 1 and pad the stage-2 matmuls to the next lane multiple —
+    still ~2.5× fewer MAC-passes than the direct [KW, K2] matmul (measured:
+    whisper80 1.87 → 1.40 ms/step, docs/KERNEL.md §4c). Frames longer than
+    n_fft need no check: win4 zero-truncates them (= rfft(frames, n_fft)),
+    verified in test_frame_longer_than_nfft_truncates."""
     n2 = cfg.n_fft // 4
-    return cfg.n_fft % 4 == 0 and n2 % LANE == 0
+    return cfg.n_fft % 4 == 0 and n2 % 2 == 0 and n2 >= 8
 
 
 @functools.lru_cache(maxsize=32)
@@ -671,6 +676,17 @@ def resolve_dft_passes(cfg: FrontendConfig, dft_passes: str = "radix4") -> str:
     return dft_passes
 
 
+def slab_dims(cfg: FrontendConfig, dft_passes: str = "radix4"):
+    """(chunk, pro, tail) of the slab layout for this config — the shape
+    invariants that don't depend on utterance length."""
+    dft_passes = resolve_dft_passes(cfg, dft_passes)
+    if dft_passes == "radix4":
+        nc, S, _, _ = radix4_constants(cfg)["dims"]
+    else:
+        nc, S, _, _ = kernel_constants(cfg)["dims"]
+    return S, SLAB_PROLOGUE_ROWS, _slab_tail(nc)
+
+
 def slab_geometry(
     cfg: FrontendConfig, t_samples: int,
     block_frames: int | None = None, dft_passes: str = "radix4",
@@ -705,6 +721,91 @@ def slab_geometry(
         "nc": nc, "chunk": S, "n_rows": n_rows, "num_frames": F,
         "dft_passes": dft_passes,
     }
+
+
+@functools.lru_cache(maxsize=64)
+def slab_layout(cfg: FrontendConfig, bucket_len: int):
+    """Host-feed contract for pre-built chunk slabs (the slab twin of
+    ops.resample.BlockedLayout): pad_batch(layout=<this>) writes each
+    utterance straight into the fused kernel's [n_rows, chunk] slab layout
+    during its one pad copy — the device-side pad+reshape retile (~0.1 ms
+    at batch-64 × 10 s) and, for centered configs, the whole XLA
+    reflect-extension prologue (~0.6 ms, docs/KERNEL.md §4c) disappear.
+
+    Returns a SlabLayout (hashable namedtuple-style dict) or None when the
+    fused kernel can't own this config (non-fp32, unsupported knobs, slab
+    over the VMEM budget) — callers then feed flat audio as before.
+
+    Contract (single source: slab_geometry): flat sample t of the
+    (possibly reflect-extended) signal lives at row pro + t//chunk, lane
+    t % chunk; rows outside are zero. For center modes the host writes the
+    REFLECT-EXTENDED signal (input_scale and signal pre-emphasis applied
+    first, mirroring _reflect_extend); for standard modes it writes raw
+    samples and the kernel conditions as usual (input_scale then rides
+    extract_batch's in-graph multiply, so int16 rows stay exact).
+    """
+    if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
+        return None  # the blocked resample layout owns resampling configs
+    if cfg.dtype != "float32":
+        return None
+    if chain.pallas_unsupported_reason(cfg) is not None:
+        return None
+    centered = cfg.frame_tail in ("center", "center_reflect")
+    geo = slab_geometry(cfg, bucket_len)
+    if geo is None:
+        return None
+    return SlabLayout(
+        n_rows=geo["n_rows"], chunk=geo["chunk"], pro=geo["pro"],
+        tail=geo["tail"], fp=geo["fp"], num_frames=geo["num_frames"],
+        bucket_len=bucket_len, extended=centered,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SlabLayout:
+    n_rows: int      # slab rows per utterance
+    chunk: int       # lane width = frame hop S
+    pro: int         # zero prologue rows
+    tail: int        # zero tail rows beyond the frame capacity
+    fp: int          # frame capacity (block-rounded; >= num_frames)
+    num_frames: int  # true frame count of a bucket_len utterance
+    bucket_len: int  # max raw samples per utterance
+    extended: bool   # host writes the reflect-EXTENDED signal (center modes)
+
+    @property
+    def buffer_shape(self) -> tuple[int, int]:
+        return (self.n_rows, self.chunk)
+
+    def host_rows(self, cfg: FrontendConfig, u: "np.ndarray") -> "np.ndarray":
+        """The flat sample stream to write at offset pro*chunk for one
+        utterance (identity for standard modes; the scaled/pre-emphasized
+        reflect-extension — numpy twin of _reflect_extend — for center
+        modes), truncated to the slab capacity like the XLA path."""
+        cap = (self.n_rows - self.pro) * self.chunk
+        if not self.extended:
+            return u[:cap]
+        x = np.asarray(u, np.float32)
+        if cfg.input_scale != 1.0:
+            x = x * np.float32(cfg.input_scale)
+        if cfg.preemph_mode == "signal" and cfg.preemph != 0.0:
+            y = x.copy()
+            y[1:] -= np.float32(cfg.preemph) * x[:-1]
+            x = y
+        L, S = cfg.frame_length, cfg.frame_step
+        n = max(1, x.shape[0])
+        if cfg.frame_tail == "center_reflect":
+            shift, tail_sz = -(L // 2), L // 2
+        else:
+            shift, tail_sz = S // 2 - L // 2, L
+        p_head = max(0, -shift)
+        idx = np.arange(shift, n + tail_sz + (shift + p_head), dtype=np.int64)
+        if cfg.frame_tail == "center":
+            m = np.mod(idx, 2 * n)
+            ridx = np.where(m < n, m, 2 * n - 1 - m)
+        else:
+            m = np.mod(idx, max(2 * n - 2, 1))
+            ridx = np.where(m < n, m, 2 * n - 2 - m)
+        return x[ridx][:cap] if x.shape[0] else np.zeros(0, np.float32)
 
 
 def _fused_logmel_energy(
@@ -975,6 +1076,8 @@ def fused_logmel_stages(
     max_kernel_batch: int | None = 64,
     chunks: jnp.ndarray | None = None,
     chunks_t: int | None = None,
+    chunks_frames: int | None = None,
+    chunks_extended: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Drop-in fused replacement for ops.chain.logmel_stages.
 
@@ -985,10 +1088,16 @@ def fused_logmel_stages(
     interpret=None auto-enables Pallas interpreter mode off-TPU so the same
     code path runs under the CPU test mesh (SURVEY.md §4.2 item 6).
 
-    chunks/chunks_t: pre-built chunk slab in the slab_geometry layout plus
-    the nominal sample count it carries (audio=None then; the producer must
-    have applied input_scale already, and centered frame_tail modes are not
-    supported on this path — they reflect-extend flat audio first).
+    chunks: pre-built chunk slab in the slab_geometry layout (audio=None
+    then; the producer must have applied input_scale already). The frame
+    count comes from chunks_t (nominal sample count, F = num_frames) or
+    directly from chunks_frames (capacity semantics — the host slab feed,
+    which only knows the slab's row count; frames beyond each utterance's
+    true count are masked by lengths). Centered frame_tail modes require
+    chunks_extended=True: the producer wrote the reflect-EXTENDED signal
+    into the slab (pipeline.pad_batch(layout=SlabLayout) — the host twin
+    of _reflect_extend), and `lengths` stays in original samples; the
+    extended in-kernel bound is derived here.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1004,17 +1113,32 @@ def fused_logmel_stages(
         )
     dft_passes = resolve_dft_passes(cfg, dft_passes)
     if chunks is not None:
-        if chunks_t is None:
-            raise ValueError("chunks requires chunks_t (nominal sample count)")
-        if cfg.frame_tail in ("center", "center_reflect"):
+        if (chunks_t is None) == (chunks_frames is None):
             raise ValueError(
-                "pre-chunked input cannot express centered framing; pass "
-                "flat audio instead"
+                "chunks requires exactly one of chunks_t / chunks_frames"
             )
-        F = cfg.num_frames(chunks_t)
+        centered = cfg.frame_tail in ("center", "center_reflect")
+        if centered and not chunks_extended:
+            raise ValueError(
+                "pre-chunked input cannot express centered framing unless "
+                "the producer reflect-extended it (chunks_extended=True); "
+                "pass flat audio instead"
+            )
+        if chunks_extended and not centered:
+            raise ValueError("chunks_extended only applies to center modes")
+        F = cfg.num_frames(chunks_t) if chunks_t is not None else chunks_frames
         if block_frames is None:
             block_frames = _auto_block_frames(F)
         orig_lengths = lengths
+        if chunks_extended:
+            # in-kernel beyond-length zeroing bound on the EXTENDED signal
+            # (same formulas as _reflect_extend's new_len)
+            L, S = cfg.frame_length, cfg.frame_step
+            if cfg.frame_tail == "center_reflect":
+                lengths = lengths + 2 * (L // 2)
+            else:
+                lengths = lengths + max(0, -(S // 2 - L // 2)) + L
+            lengths = lengths.astype(jnp.int32)
         B = chunks.shape[0]
         c = max_kernel_batch
         if c and B > max(c, CHUNK_TRIGGER_BATCH) and B % c == 0:

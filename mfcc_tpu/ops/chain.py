@@ -559,7 +559,35 @@ def extract_batch(
         # int16 host feed (half the H2D bytes): convert on device, once
         audio = audio.astype(compute_dtype(cfg))
     chunks = chunks_t = None
-    if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
+    chunks_frames = None
+    chunks_extended = False
+    resampling = bool(
+        cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate
+    )
+    if audio.ndim == 3 and not resampling:
+        # host-built chunk slab (pipeline.device_layout / pad_batch):
+        # already in the fused kernel's layout — capacity frame semantics,
+        # per-utterance validity from lengths as always
+        if backend != "pallas":
+            raise ValueError(
+                "chunk-slab input (3-D audio, SlabLayout) requires "
+                "backend='pallas'; feed flat [B, T] for the jnp twin"
+            )
+        from mfcc_tpu.kernels import frontend as _fk
+
+        S, pro, tail = _fk.slab_dims(cfg)
+        if audio.shape[2] != S:
+            raise ValueError(
+                f"slab lane width {audio.shape[2]} != frame hop {S}"
+            )
+        chunks = audio
+        chunks_frames = audio.shape[1] - pro - tail
+        chunks_extended = cfg.frame_tail in ("center", "center_reflect")
+        if cfg.input_scale != 1.0 and not chunks_extended:
+            # standard-mode slabs carry RAW samples (int16 rows stay
+            # exact); centered slabs are host-conditioned (scale applied)
+            chunks = chunks * jnp.asarray(cfg.input_scale, chunks.dtype)
+    if resampling:
         from mfcc_tpu.ops import resample
 
         audio = audio.astype(compute_dtype(cfg))
@@ -618,7 +646,8 @@ def extract_batch(
 
         if chunks is not None:
             stages = fused_logmel_stages(
-                None, lengths, cfg, chunks=chunks, chunks_t=chunks_t
+                None, lengths, cfg, chunks=chunks, chunks_t=chunks_t,
+                chunks_frames=chunks_frames, chunks_extended=chunks_extended,
             )
         else:
             stages = fused_logmel_stages(audio, lengths, cfg)

@@ -1,6 +1,7 @@
 from mfcc_tpu.pipeline.batch import (  # noqa: F401
     Batch,
     bucket_for,
+    device_layout,
     make_buckets,
     pad_batch,
     required_samples,

@@ -98,6 +98,46 @@ def resample_layout(
     )
 
 
+def device_layout(cfg: FrontendConfig, bucket_len: int) -> "object | None":
+    """The device-optimal host feed layout for this config's bucket, for
+    pad_batch(layout=...): a resample BlockedLayout (resampling configs — the
+    device resample becomes two pure-slice MXU dots), a frontend SlabLayout
+    (fused-kernel configs — the device-side slab retile and, for centered
+    framing, the XLA reflect-extension prologue disappear), or None (feed
+    flat [B, T]; jnp-only configs and non-fp32 dtypes).
+
+    Layout batches require backend='pallas' in extract_batch except for
+    BlockedLayout, which both backends accept."""
+    lay = resample_layout(cfg, bucket_len)
+    if lay is not None:
+        return lay
+    from mfcc_tpu.kernels import frontend
+
+    return frontend.slab_layout(cfg, bucket_len)
+
+
+def feed_geometry(cfg: FrontendConfig, blen: int, layout) -> tuple:
+    """(row_offset, flat_T, out_shape | None) for a feed that decodes raw
+    samples directly into batch rows (io.reader stream_batches_direct/_mp).
+    Handles layout=None (flat), BlockedLayout, and non-extended SlabLayout;
+    extended (center-mode) slabs need per-row host transforms those feeds
+    can't do in the decode-into-buffer model — callers pass layout=None for
+    them (pad_batch-based feeds handle every kind)."""
+    if layout is None:
+        return 0, required_samples(blen, cfg), None
+    if hasattr(layout, "chunk"):  # SlabLayout
+        if layout.extended:
+            raise ValueError(
+                "extended slab layouts need pad_batch's host transform"
+            )
+        return (
+            layout.pro * layout.chunk,
+            layout.n_rows * layout.chunk,
+            layout.buffer_shape,
+        )
+    return layout.pad_lo, layout.n_sup * layout.step, layout.buffer_shape
+
+
 def pad_batch(
     utterances: Iterable[np.ndarray],
     cfg: FrontendConfig,
@@ -118,10 +158,13 @@ def pad_batch(
     contiguous same-dtype copies/memsets for which NumPy releases the GIL,
     so a thread pool genuinely parallelizes batch assembly (the serial
     consumer copy was the feed pipeline's bottleneck after decode threads).
-    layout: optional ops.resample.BlockedLayout (see resample_layout):
-    the audio buffer is emitted as [rows, n_sup, step] blocked rows —
-    same copy, same H2D bytes, but the device-side resample skips its
-    ~2.3 ms/batch input relayout (extract_batch detects the 3-D shape).
+    layout: optional device feed layout (see device_layout): a resample
+    BlockedLayout emits [rows, n_sup, step] polyphase-blocked rows (the
+    device resample skips its ~2.3 ms/batch input relayout); a frontend
+    SlabLayout emits [rows, n_rows, chunk] kernel chunk slabs (the device
+    slab retile — and for centered configs the XLA reflect-extension
+    prologue — disappears). Same single copy, same H2D bytes either way;
+    extract_batch dispatches on the 3-D shape.
     """
     utts = [np.asarray(u) for u in utterances]
     if not utts:
@@ -134,16 +177,29 @@ def pad_batch(
             f"{int(too_long.sum())} utterance(s) exceed bucket {blen}; "
             "split or re-bucket upstream"
         )
-    if layout is not None and blen > layout.n_sup * layout.step - layout.pad_lo:
-        raise ValueError(
-            f"bucket {blen} exceeds blocked layout capacity "
-            f"{layout.n_sup * layout.step - layout.pad_lo}; build the "
-            "layout from the bucket length (pipeline.resample_layout)"
-        )
-    off = 0 if layout is None else layout.pad_lo
-    T = required_samples(blen, cfg) if layout is None else (
-        layout.n_sup * layout.step
-    )
+    slab = layout is not None and hasattr(layout, "chunk")
+    xform = None
+    if slab:
+        if blen > layout.bucket_len:
+            raise ValueError(
+                f"bucket {blen} exceeds slab layout bucket {layout.bucket_len}"
+            )
+        off = layout.pro * layout.chunk
+        T = layout.n_rows * layout.chunk
+        if layout.extended:
+            xform = lambda u: layout.host_rows(cfg, u)  # noqa: E731
+    elif layout is not None:
+        if blen > layout.n_sup * layout.step - layout.pad_lo:
+            raise ValueError(
+                f"bucket {blen} exceeds blocked layout capacity "
+                f"{layout.n_sup * layout.step - layout.pad_lo}; build the "
+                "layout from the bucket length (pipeline.device_layout)"
+            )
+        off = layout.pad_lo
+        T = layout.n_sup * layout.step
+    else:
+        off = 0
+        T = required_samples(blen, cfg)
     B = len(utts)
     rows = B if pad_batch_to is None else max(B, pad_batch_to)
     dtype = np.dtype(cfg.dtype)
@@ -152,6 +208,8 @@ def pad_batch(
     audio = np.empty((rows, T), dtype=dtype)
 
     def fill_row(i: int, u: np.ndarray) -> None:
+        if xform is not None:
+            u = xform(u)
         n = u.shape[0]
         audio[i, :off] = 0.0
         audio[i, off : off + n] = u
@@ -173,5 +231,5 @@ def pad_batch(
     out_ids = list(ids) if ids is not None else list(range(B))
     out_ids += [None] * (rows - B)
     if layout is not None:
-        audio = audio.reshape(rows, layout.n_sup, layout.step)
+        audio = audio.reshape(rows, *layout.buffer_shape)
     return Batch(audio=audio, lengths=out_lengths, ids=out_ids)

@@ -437,3 +437,139 @@ def test_conditioning_energy_lane_replaces_matmul_column():
     # pspec energy keeps the ones-column
     kp = kernel_constants(FrontendConfig())
     assert kp["mel"][: 2 * FrontendConfig().n_bins, FrontendConfig().n_mels].min() == 1.0
+
+
+# -- Host slab feed (pipeline.device_layout -> pad_batch(layout=SlabLayout)) --
+
+def _slab_parity(cfg, sigs, blen, atol=None, rtol=None):
+    from mfcc_tpu.pipeline.batch import device_layout
+
+    lay = device_layout(cfg, blen)
+    assert lay is not None and hasattr(lay, "chunk"), cfg
+    flat = pad_batch(sigs, cfg, bucket_len=blen)
+    slab = pad_batch(sigs, cfg, bucket_len=blen, layout=lay)
+    assert slab.audio.shape[1:] == lay.buffer_shape
+    f_ref, m_ref = chain.extract_batch(
+        jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg, backend="jnp"
+    )
+    f_sl, m_sl = chain.extract_batch(
+        jnp.asarray(slab.audio), jnp.asarray(slab.lengths), cfg,
+        backend="pallas",
+    )
+    nv = np.asarray(m_ref).sum(axis=1).astype(int)
+    np.testing.assert_array_equal(nv, np.asarray(m_sl).sum(axis=1).astype(int))
+    for i in range(len(sigs)):
+        np.testing.assert_allclose(
+            np.asarray(f_sl)[i, : nv[i]], np.asarray(f_ref)[i, : nv[i]],
+            atol=atol or FEATURE_ATOL_FP32, rtol=rtol or 1e-3,
+        )
+
+
+@pytest.mark.parametrize(
+    "config_name",
+    ["classic13_deltas", "logmel80", "kaldi_mfcc", "whisper80", "kaldi_plp"],
+)
+def test_slab_feed_matches_flat_jnp(config_name):
+    """Host-built chunk slabs (standard AND reflect-extended center modes)
+    through the fused kernel == the flat jnp twin on valid frames."""
+    cfg = NAMED_CONFIGS[config_name]
+    g = np.random.default_rng(31)
+    sigs = [g.standard_normal(16000).astype(np.float32),
+            g.standard_normal(6007).astype(np.float32)]
+    _slab_parity(cfg, sigs, 16000)
+
+
+def test_slab_feed_bucket_length_sweep():
+    """The producer (slab_layout) and consumer (extract_batch) must agree
+    on the slab geometry for any bucket length — the consumer recomputes
+    block_frames from the slab's row count, and _fused_logmel_energy
+    raises on any mismatch."""
+    cfg = NAMED_CONFIGS["classic13"]
+    g = np.random.default_rng(37)
+    for blen in (400, 401, 1600, 4801, 16000, 40000, 163999):
+        sigs = [g.standard_normal(blen).astype(np.float32)]
+        _slab_parity(cfg, sigs, blen)
+
+
+def test_slab_feed_int16_rows():
+    """Standard-mode slabs carry raw samples: int16 rows stay exact and
+    input_scale is applied on device."""
+    cfg = NAMED_CONFIGS["classic13_deltas"].replace(input_scale=1.0 / 8.0)
+    from mfcc_tpu.pipeline.batch import device_layout
+
+    g = np.random.default_rng(41)
+    pcm = (g.standard_normal(16000) * 3000).astype(np.int16)
+    lay = device_layout(cfg, 16000)
+    flat = pad_batch([pcm.astype(np.float32)], cfg, bucket_len=16000)
+    # slab built from the int16 rows directly (i16 feed layout)
+    import dataclasses as _dc
+
+    slab_f32 = pad_batch([pcm.astype(np.float32)], cfg, bucket_len=16000,
+                         layout=lay)
+    slab_i16 = np.asarray(slab_f32.audio).astype(np.int16)
+    f_ref, m = chain.extract_batch(
+        jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg, backend="jnp"
+    )
+    f_sl, _ = chain.extract_batch(
+        jnp.asarray(slab_i16), jnp.asarray(slab_f32.lengths), cfg,
+        backend="pallas",
+    )
+    nv = int(np.asarray(m)[0].sum())
+    np.testing.assert_allclose(
+        np.asarray(f_sl)[0, :nv], np.asarray(f_ref)[0, :nv],
+        atol=FEATURE_ATOL_FP32, rtol=1e-3,
+    )
+
+
+def test_slab_feed_requires_pallas_backend():
+    cfg = NAMED_CONFIGS["classic13"]
+    from mfcc_tpu.pipeline.batch import device_layout
+
+    lay = device_layout(cfg, 16000)
+    g = np.random.default_rng(43)
+    slab = pad_batch([g.standard_normal(16000).astype(np.float32)], cfg,
+                     bucket_len=16000, layout=lay)
+    with pytest.raises(ValueError, match="requires.*pallas"):
+        chain.extract_batch(
+            jnp.asarray(slab.audio), jnp.asarray(slab.lengths), cfg,
+            backend="jnp",
+        )
+
+
+def test_host_extend_matches_xla_reflect():
+    """SlabLayout.host_rows (numpy) == kernels.frontend._reflect_extend
+    (XLA) on the extension region, both center modes, odd lengths."""
+    from mfcc_tpu.kernels import frontend as fe
+
+    g = np.random.default_rng(47)
+    for mode in ("center", "center_reflect"):
+        cfg = NAMED_CONFIGS["whisper80"].replace(frame_tail=mode)
+        lay = fe.slab_layout(cfg, 16000)
+        assert lay is not None and lay.extended
+        for n in (1, 2, 399, 400, 401, 16000):
+            u = g.standard_normal(n).astype(np.float32)
+            host = lay.host_rows(cfg, u)
+            a = jnp.asarray(u * np.float32(cfg.input_scale))[None, :]
+            ext, new_len = fe._reflect_extend(
+                jnp.asarray(u)[None, :] * 0 + a,  # scale applied like host
+                jnp.asarray([n], jnp.int32), cfg,
+            )
+            m = min(host.shape[0], int(new_len[0]))
+            np.testing.assert_allclose(
+                host[:m], np.asarray(ext)[0, :m], atol=2e-7, rtol=1e-6
+            )
+
+
+def test_radix4_nonaligned_n2_constants():
+    """n_fft=400 (N2=100, whisper) now rides the radix-4 factorization:
+    applicability, full bin coverage, and golden parity via the existing
+    whisper gates."""
+    from mfcc_tpu.kernels.frontend import radix4_applicable, radix4_constants
+
+    cfg = NAMED_CONFIGS["whisper80"]
+    assert cfg.n_fft == 400 and radix4_applicable(cfg)
+    k = radix4_constants(cfg)
+    nc, S, n2, mp = k["dims"]
+    assert n2 == 100 and (k["lanes_per_bin"] > 0).all()
+    # odd N2 stays on the direct path
+    assert not radix4_applicable(NAMED_CONFIGS["classic13"].replace(n_fft=404))

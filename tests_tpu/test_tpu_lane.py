@@ -361,3 +361,41 @@ def test_blocked_seam_on_tpu(tpu, signals):
     flat_y = y.reshape(2, -1)[:, : lay2.n_out]
     want = scipy.signal.resample_poly(x[0].astype(np.float64), 1, 3)
     np.testing.assert_allclose(flat_y[0], want, atol=2e-3, rtol=1e-5)
+
+
+def test_slab_feed_on_tpu(tpu, signals):
+    """Host-built chunk slabs through the Mosaic-compiled kernel: standard
+    (classic13_deltas), frame-conditioned (kaldi_mfcc), and reflect-extended
+    center mode with the non-lane-aligned radix-4 DFT (whisper80, N2=100)
+    all match their flat-path pallas runs on valid frames."""
+    import jax.numpy as jnp
+
+    from mfcc_tpu.pipeline import device_layout
+
+    for cname in ("classic13_deltas", "kaldi_mfcc", "whisper80"):
+        cfg = NAMED_CONFIGS[cname]
+        sigs = [signals[n] for n in SIGNAL_NAMES]
+        blen = max(s.shape[0] for s in sigs)
+        lay = device_layout(cfg, blen)
+        assert lay is not None and hasattr(lay, "chunk"), cname
+        flat = pad_batch(sigs, cfg, bucket_len=blen)
+        slab = pad_batch(sigs, cfg, bucket_len=blen, layout=lay)
+        f_ref, m_ref = chain.extract_batch(
+            jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg,
+            backend="pallas",
+        )
+        f_sl, m_sl = chain.extract_batch(
+            jnp.asarray(slab.audio), jnp.asarray(slab.lengths), cfg,
+            backend="pallas",
+        )
+        nv = np.asarray(m_ref).sum(axis=1).astype(int)
+        np.testing.assert_array_equal(
+            nv, np.asarray(m_sl).sum(axis=1).astype(int)
+        )
+        for i in range(len(sigs)):
+            # same resample-free compute on both paths; the only differences
+            # are slab-vs-XLA extension arithmetic (fp32 fma ordering)
+            np.testing.assert_allclose(
+                np.asarray(f_sl)[i, : nv[i]], np.asarray(f_ref)[i, : nv[i]],
+                atol=1e-3, rtol=2e-3, err_msg=cname,
+            )
