@@ -60,6 +60,7 @@ import ml_dtypes
 from mfcc_tpu.config import FrontendConfig
 from mfcc_tpu.ops import chain
 from mfcc_tpu.ops import constants as C
+from mfcc_tpu.ops import dither as dither_mod
 
 LANE = 128
 
@@ -178,6 +179,19 @@ def kernel_constants(cfg: FrontendConfig):
         "mel_l": mel_l,
         "dims": (nc, S, K2, mp),
     }
+    if cfg.features == "ssc":
+        # SSC numerator matrix (freq-weighted mel rows, same duplicated
+        # layout, no energy column) + the per-lane clamp vector: every bin
+        # has exactly 2 lanes here, so eps/2 per lane reproduces the twin's
+        # per-bin where(pspec <= 0, eps, pspec) on exact-zero bins
+        melf = np.zeros((K2, mp), dtype=np.float64)
+        fw = host["freqs"][:, None] * host["mel"]  # [NB, n_mels]
+        melf[:NB, : cfg.n_mels] = fw
+        melf[NB : 2 * NB, : cfg.n_mels] = fw
+        melf_h, melf_l = _bf16_split_np(melf.astype(np.float32))
+        eps_lane = np.zeros((1, K2), dtype=np.float32)
+        eps_lane[0, : 2 * NB] = cfg.log_eps / 2.0
+        out.update(melf_h=melf_h, melf_l=melf_l, eps_lane=eps_lane)
     if cfg.energy_source == "windowed_frame":
         out["win_energy"] = _win_energy_np(cfg, KW)
     return out
@@ -305,6 +319,16 @@ def radix4_constants(cfg: FrontendConfig):
         return kc if 0 <= kc < NB else None
 
     energy_rides_matmul = cfg.energy_source == "pspec"
+    ssc = cfg.features == "ssc"
+    if ssc:
+        # SSC numerator (freq-weighted mel rows, same scrambled layout) +
+        # the per-lane clamp: eps / lanes_per_bin reproduces the twin's
+        # per-bin where(pspec <= 0, eps, pspec) on exact-zero bins (a bin
+        # is zero iff ALL its lanes are zero); a zero lane of a nonzero
+        # bin picks up a spurious <= eps/2 — ~1e-16 relative, documented
+        melf = np.zeros((4 * N2, mp), dtype=np.float64)
+        eps_lane = np.zeros((1, 4 * N2), dtype=np.float32)
+        freqs = host["freqs"]
 
     def assign(lanes, s, qq):
         k = bin_of(s, qq)
@@ -316,6 +340,9 @@ def radix4_constants(cfg: FrontendConfig):
             mel[lane, : cfg.n_mels] = melfb[k]
             if energy_rides_matmul:
                 mel[lane, cfg.n_mels] = 1.0  # energy column
+            if ssc:
+                melf[lane, : cfg.n_mels] = freqs[k] * melfb[k]
+                eps_lane[0, lane] = cfg.log_eps / len(lanes)
     for qq in range(h + 1):
         # q=0 / q=h have no imag lane (exactly real components)
         im = [h + qq] if 0 < qq < h else []
@@ -339,6 +366,9 @@ def radix4_constants(cfg: FrontendConfig):
         "lanes_per_bin": lanes_per_bin,
         "dims": (nc, S, N2, mp),
     }
+    if ssc:
+        melf_h, melf_l = _bf16_split_np(melf.astype(np.float32))
+        out.update(melf_h=melf_h, melf_l=melf_l, eps_lane=eps_lane)
     if cfg.energy_source == "windowed_frame":
         out["win_energy"] = _win_energy_np(cfg, nc * S)
     return out
@@ -372,15 +402,25 @@ SLAB_PROLOGUE_ROWS = 8
 
 def _gather_frames(
     chunk_refs, nc: int, S: int, block_frames: int, slab_mode: bool,
-    preemph: float, lengths_ref,
+    preemph: float, lengths_ref, dither: tuple[float, int] | None = None,
 ):
     """[FBLK, nc*S] frame block from either the resident chunk slab (sliced
     at dynamic sublane offsets) or nc pre-shifted chunk views.
 
-    Slab mode consumes RAW audio and applies pre-emphasis + beyond-length
-    zeroing here (one VPU pass over the loaded window) — the XLA-side
-    preemph pass over [B, T] is skipped entirely. View mode receives audio
-    already preemphasized/zeroed by the caller.
+    Slab mode consumes RAW audio and applies dither + pre-emphasis +
+    beyond-length zeroing here (one VPU pass over the loaded window) — the
+    XLA-side passes over [B, T] are skipped entirely. View mode receives
+    audio already dithered/preemphasized/zeroed by the caller.
+
+    dither: (stddev, seed) to add the signal-level contract noise
+    (ops/dither.py) IN-KERNEL: the slab's (row, lane) indices are exactly
+    the contract's (t // S, t % S) keys, so the hash costs one per-row mix
+    at [rows, 1] plus one full-width mix + Box-Muller over the [rows, S]
+    slab window — ~4x cheaper than noising the frame-overlap matrix
+    (VERDICT r2 item 3: Kaldi's dither=1.0 default no longer forces the
+    ~8x slower jnp fallback). Noise is masked to real samples
+    (0 <= t < length) so prologue zeros — preemph's x[-1] — and padding
+    stay exact; it precedes pre-emphasis like the twin.
     """
     if slab_mode:
         # One ALIGNED load (Mosaic requires sublane-aligned dynamic bases:
@@ -392,6 +432,17 @@ def _gather_frames(
         base = pl.multiple_of(pl.program_id(1) * block_frames, block_frames)
         n_rows = block_frames + tail + pro
         big = slab[0, pl.ds(base, n_rows), :]  # padded rows [base, base+n_rows)
+
+        if dither is not None:
+            sigma, seed = dither
+            g_row = base - pro + jax.lax.broadcasted_iota(
+                jnp.int32, (n_rows, 1), 0
+            )
+            lane_d = jax.lax.broadcasted_iota(jnp.int32, (n_rows, S), 1)
+            noise = dither_mod.dither_field(seed, g_row, lane_d)
+            t_d = g_row * S + lane_d
+            valid = (t_d >= 0) & (t_d < lengths_ref[pl.program_id(0)])
+            big = big + jnp.where(valid, jnp.float32(sigma) * noise, 0.0)
 
         # y[t] = x[t] - a*x[t-1]; prev via row-roll + lane shift. Row 0's
         # rolled prev is wraparound garbage, but row 0 is prologue: parts
@@ -449,7 +500,9 @@ def _dot_pos_bf16x3(x, b_h, b_l, rows=None):
 def needs_conditioning(cfg: FrontendConfig) -> bool:
     """True when the config asks for frame-first conditioning (the Kaldi
     feature-window order): per-frame DC removal, per-frame pre-emphasis,
-    or a frame-local (time-domain) energy source."""
+    or a frame-local (time-domain) energy source. (Dither is SIGNAL-level
+    by contract — ops/dither.py — and happens in _gather_frames' slab
+    pass, not here.)"""
     return (
         cfg.remove_dc_offset
         or cfg.preemph_mode == "frame"
@@ -457,7 +510,7 @@ def needs_conditioning(cfg: FrontendConfig) -> bool:
     )
 
 
-def _make_conditioning(cfg: FrontendConfig):
+def _make_conditioning(cfg: FrontendConfig, block_frames: int):
     """In-kernel twin of the frame-domain ops in chain.logmel_stages (Kaldi
     ProcessWindow order): mask the chunk tail beyond frame_length → remove
     DC offset → raw-frame energy → per-frame pre-emphasis → windowed-frame
@@ -545,8 +598,9 @@ def _make_kernel(
 ):
     n_chunk_refs = 1 if slab_mode else nc
     epilogue = _make_epilogue(cfg, mp, block_frames)
-    condition = _make_conditioning(cfg)
+    condition = _make_conditioning(cfg, block_frames)
     gather_preemph = _gather_preemph(cfg)
+    gather_dither = _gather_dither(cfg)
 
     def kernel(*refs):
         # refs: [lengths (1,) SMEM if slab] + chunk slab [1, PRO+C, S] or
@@ -566,7 +620,7 @@ def _make_kernel(
         hi = jax.lax.Precision.HIGHEST
         frames = _gather_frames(
             chunk_refs, nc, S, block_frames, slab_mode, gather_preemph,
-            lengths_ref,
+            lengths_ref, gather_dither,
         )
         frame_energy = None
         if condition is not None:
@@ -614,8 +668,9 @@ def _make_radix4_kernel(
     hi = jax.lax.Precision.HIGHEST
     n_chunk_refs = 1 if slab_mode else nc
     epilogue = _make_epilogue(cfg, mp, block_frames)
-    condition = _make_conditioning(cfg)
+    condition = _make_conditioning(cfg, block_frames)
     gather_preemph = _gather_preemph(cfg)
+    gather_dither = _gather_dither(cfg)
 
     def kernel(*refs):
         if slab_mode:
@@ -628,7 +683,7 @@ def _make_radix4_kernel(
         win_ref, f0_ref, f1_ref, f2_ref, mel_h, mel_l, out_ref = rest
         frames = _gather_frames(
             chunk_refs, nc, S, block_frames, slab_mode, gather_preemph,
-            lengths_ref,
+            lengths_ref, gather_dither,
         )
         frame_energy = None
         if condition is not None:
@@ -751,6 +806,8 @@ def slab_layout(cfg: FrontendConfig, bucket_len: int):
     if chain.pallas_unsupported_reason(cfg) is not None:
         return None
     centered = cfg.frame_tail in ("center", "center_reflect")
+    if centered and cfg.dither > 0.0:
+        return None  # noise must precede the host-side reflection
     geo = slab_geometry(cfg, bucket_len)
     if geo is None:
         return None
@@ -875,6 +932,10 @@ def _fused_logmel_energy(
             memory_space=pltpu.VMEM,
         )
     else:
+        if _gather_dither(cfg) is not None:
+            # view mode (utterance exceeds the VMEM slab budget): the slab
+            # dither pass never runs, so add the same contract noise in XLA
+            audio, _ = dither_mod.add_signal_dither(audio, cfg)
         if _gather_preemph(cfg) != 0.0:
             y = chain.zero_beyond(chain.preemphasis(audio, cfg.preemph), lengths)
         else:  # preemph happens in the conditioning pass (frame mode) or
@@ -1051,6 +1112,19 @@ def _gather_preemph(cfg: FrontendConfig) -> float:
     return cfg.preemph
 
 
+def _gather_dither(cfg: FrontendConfig) -> tuple[float, int] | None:
+    """(stddev, seed) for the in-kernel slab dither, or None when dither is
+    off or happens in XLA instead (center modes: the noise must precede the
+    reflect-extension, so fused_logmel_stages adds it to the flat signal;
+    view mode: _fused_logmel_energy's XLA prologue — _gather_frames' view
+    branch never dithers)."""
+    if cfg.dither <= 0.0:
+        return None
+    if cfg.frame_tail in ("center", "center_reflect"):
+        return None
+    return (cfg.dither, cfg.dither_seed)
+
+
 _BLOCK_CANDIDATES = (256, 512, 1024)
 
 
@@ -1118,6 +1192,12 @@ def fused_logmel_stages(
                 "chunks requires exactly one of chunks_t / chunks_frames"
             )
         centered = cfg.frame_tail in ("center", "center_reflect")
+        if chunks_extended and cfg.dither > 0.0:
+            raise ValueError(
+                "extended (host-reflected) chunk slabs cannot express "
+                "dither: the noise must precede the reflection; feed flat "
+                "audio (slab_layout already returns None for this combo)"
+            )
         if centered and not chunks_extended:
             raise ValueError(
                 "pre-chunked input cannot express centered framing unless "
@@ -1167,6 +1247,12 @@ def fused_logmel_stages(
         audio = audio * jnp.float32(cfg.input_scale)
     orig_lengths = lengths
     if cfg.frame_tail in ("center", "center_reflect"):
+        if cfg.dither > 0.0:
+            # noise precedes the reflection (the reflected head/tail carry
+            # dithered samples, like the twin's framing of the dithered
+            # signal); _gather_dither is None here so the kernel won't
+            # dither again
+            audio, _ = dither_mod.add_signal_dither(audio, cfg)
         # centered framing becomes standard framing on the reflected
         # extension (frame t starts at ext[t*S]); F above was computed from
         # the ORIGINAL length, and n_valid below uses orig_lengths

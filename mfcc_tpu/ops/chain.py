@@ -346,8 +346,6 @@ def pallas_unsupported_reason(cfg: FrontendConfig) -> str | None:
             "features='ssc' needs the raw power spectrum, which the fused "
             "kernel's epilogue does not materialize"
         )
-    if cfg.dither > 0.0:
-        return "dither draws per-frame PRNG noise, jnp backend only"
     return None
 
 
@@ -367,6 +365,14 @@ def logmel_stages(
         audio = audio * jnp.asarray(cfg.input_scale, dtype)
 
     F = cfg.num_frames(audio.shape[-1])
+    dither_noise = None
+    if cfg.dither > 0.0:
+        # signal-level counter-based noise (the cross-backend contract,
+        # ops/dither.py) BEFORE pre-emphasis in both modes — the same field
+        # the fused kernel adds to its chunk slab; exposed for oracle replay
+        from mfcc_tpu.ops import dither as _dither
+
+        audio, dither_noise = _dither.add_signal_dither(audio, cfg)
     if cfg.preemph_mode == "signal":
         y = zero_beyond(preemphasis(audio, cfg.preemph), lengths)
     else:  # frame-first conditioning (Kaldi order): frame the raw signal
@@ -380,11 +386,6 @@ def logmel_stages(
             y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, span - y.shape[-1])])
         frames = frame_signal(y, F, cfg)  # [B, F, L]
     eps = jnp.asarray(cfg.log_eps, dtype)
-    dither_noise = None
-    if cfg.dither > 0.0:
-        key = jax.random.PRNGKey(cfg.dither_seed)
-        dither_noise = jax.random.normal(key, frames.shape, dtype)
-        frames = frames + cfg.dither * dither_noise
     if cfg.remove_dc_offset:
         frames = frames - frames.mean(axis=-1, keepdims=True)
     if cfg.energy_source == "raw_frame":  # pre-preemph, pre-window (Kaldi)

@@ -234,15 +234,26 @@ def logmel_chain(
     dither -> DC removal -> [raw energy] -> pre-emphasis -> window ->
     [windowed energy] -> spectrum.
 
-    dither_noise: optional pre-drawn [F, L] gaussian noise (unit stddev) so
-    a caller can reproduce the jnp chain's PRNG draw exactly; when None and
-    cfg.dither > 0, numpy's default_rng(cfg.dither_seed) is used (which
-    does NOT bit-match the jax draw — parity tests pass the noise in).
+    dither_noise: optional pre-drawn [len(x)] SIGNAL noise (unit stddev) so
+    a caller can reproduce the jnp chain's draw bit-exactly; when None and
+    cfg.dither > 0, the numpy twin of the cross-backend contract
+    (ops/dither.signal_noise_np) is used — equal to the jnp draw up to
+    transcendental ulps (~1e-7 relative), so exact-replay tests pass the
+    noise in. Dither is applied to the SIGNAL, before pre-emphasis in both
+    modes (the contract's ordering; ops/dither.py docstring).
     """
     k = C.chain_constants(cfg)
     x = np.asarray(x, dtype=np.float64)
     if cfg.input_scale != 1.0:
         x = x * cfg.input_scale
+    if cfg.dither > 0.0:
+        if dither_noise is None:
+            from mfcc_tpu.ops.dither import signal_noise_np
+
+            dither_noise = signal_noise_np(
+                cfg.dither_seed, x.shape[0], cfg.frame_step
+            )
+        x = x + cfg.dither * np.asarray(dither_noise, dtype=np.float64)
     if cfg.preemph_mode == "signal":
         y = preemphasis(x, cfg.preemph)
     else:
@@ -250,12 +261,6 @@ def logmel_chain(
     frames = frame_signal(y, cfg.frame_length, cfg.frame_step, cfg.frame_tail)
     if cfg.drop_last_frame:  # the Whisper log_spec[:, :-1] quirk
         frames = frames[: max(0, frames.shape[0] - 1)]
-    if cfg.dither > 0.0:
-        if dither_noise is None:
-            dither_noise = np.random.default_rng(cfg.dither_seed).standard_normal(
-                frames.shape
-            )
-        frames = frames + cfg.dither * np.asarray(dither_noise, dtype=np.float64)
     if cfg.remove_dc_offset:
         frames = frames - frames.mean(axis=1, keepdims=True)
     raw_energy = np.maximum((frames ** 2).sum(axis=1), cfg.log_eps)

@@ -186,8 +186,9 @@ def test_energy_floor_binds_on_silence():
 
 
 def test_dither_replay_parity():
-    """The jnp chain's PRNG draw, replayed through the float64 oracle,
-    matches exactly — dither changes the samples, not the algebra."""
+    """The jnp chain's contract draw (signal noise [T]), replayed through
+    the float64 oracle, matches exactly — dither changes the samples, not
+    the algebra."""
     cfg = named_config("kaldi_mfcc").replace(
         dtype="float64", dither=1.0, dither_seed=42
     )
@@ -196,11 +197,82 @@ def test_dither_replay_parity():
         a = jnp.asarray(x)[None]
         l = jnp.asarray([len(x)], np.int32)
         stages = chain.logmel_stages(a, l, cfg)
-        feat, _ = chain.extract_batch(a, l, cfg)
+        # features from the SAME eager stages: bit-consistent with the
+        # exposed noise (the jitted extract_batch redraws the field under
+        # different XLA fusion — log/sqrt ulps shift the noise ~1e-7)
+        feat = chain.features_from_logmel(stages, cfg)
+        feat_jit, _ = chain.extract_batch(a, l, cfg)
     F = cfg.num_frames(len(x))
-    noise = np.asarray(stages["dither_noise"][0, :F])
+    noise = np.asarray(stages["dither_noise"][0])  # [T] signal noise
     want = ref.extract(x, cfg, dither_noise=noise)
     np.testing.assert_allclose(np.asarray(feat[0, :F]), want, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(feat_jit[0, :F]), want, atol=1e-7)
+
+
+def test_dither_oracle_default_draw_matches_twin():
+    """Without replaying noise, the oracle's own contract draw (numpy twin,
+    ops/dither.signal_noise_np) agrees with the jnp chain to ln/sqrt-ulp
+    level — the hash and the polynomial cos are bit-identical."""
+    cfg = named_config("kaldi_mfcc").replace(
+        dtype="float64", dither=1.0, dither_seed=3
+    )
+    x = _signal(16000)
+    with jax.enable_x64(True):
+        a = jnp.asarray(x)[None]
+        l = jnp.asarray([len(x)], np.int32)
+        feat, _ = chain.extract_batch(a, l, cfg)
+    F = cfg.num_frames(len(x))
+    want = ref.extract(x, cfg)  # no noise passed: oracle draws the contract
+    np.testing.assert_allclose(np.asarray(feat[0, :F]), want, atol=1e-6)
+
+
+def test_dither_kernel_equals_twin():
+    """In-kernel slab dither (signal-level contract noise generated inside
+    _gather_frames) == the jnp twin, across convention families including
+    the centered (XLA-prologue) and resample paths."""
+    g = np.random.default_rng(11)
+    x = np.stack([
+        g.standard_normal(16000 * 2).astype(np.float32) * 300,
+        np.concatenate([
+            g.standard_normal(9000).astype(np.float32) * 300,
+            np.zeros(16000 * 2 - 9000, np.float32),
+        ]),
+    ])
+    a = jnp.asarray(x)
+    l = jnp.asarray([32000, 9000], np.int32)
+    for name, kw, tol in [
+        ("kaldi_mfcc", dict(dither=1.0), 5e-4),
+        ("classic13_deltas", dict(dither=0.5), 5e-4),
+        ("kaldi_mfcc", dict(dither=1.0, frame_tail="center"), 5e-4),
+        ("kaldi_plp", dict(dither=1.0), 5e-4),
+    ]:
+        cfg = named_config(name).replace(**kw)
+        fj, _ = chain.extract_batch(a, l, cfg, backend="jnp")
+        fp, _ = chain.extract_batch(a, l, cfg, backend="pallas")
+        err = np.abs(np.asarray(fj) - np.asarray(fp)).max()
+        assert err < tol, (name, kw, err)
+
+
+def test_dither_batch_position_invariance():
+    """The contract has no batch term: the same utterance at two positions
+    of one padded batch gets bit-identical dithered features. (Different
+    batch SHAPES compile different XLA programs whose log/sqrt fusions
+    differ at ulp level — position within a program is the exact
+    invariant.)"""
+    cfg = named_config("kaldi_mfcc").replace(dither=1.0)
+    g = np.random.default_rng(4)
+    u = np.concatenate([
+        g.standard_normal(12000).astype(np.float32) * 200,
+        np.zeros(16000 - 12000, np.float32),
+    ])
+    batch = np.stack([u, g.standard_normal(16000).astype(np.float32), u])
+    l3 = jnp.asarray([12000, 16000, 12000], np.int32)
+    for backend in ("jnp", "pallas"):
+        f3, _ = chain.extract_batch(jnp.asarray(batch), l3, cfg, backend=backend)
+        nv = int(np.asarray(chain.num_valid_frames(jnp.asarray([12000]), cfg))[0])
+        np.testing.assert_array_equal(
+            np.asarray(f3[0, :nv]), np.asarray(f3[2, :nv])
+        )
 
 
 def test_dither_statistics_and_determinism():
@@ -279,22 +351,17 @@ def test_vtln_validation():
 # ---------------------------------------------------------------------------
 
 
-def test_pallas_guard_rejects_unsupported_knobs():
-    x = jnp.zeros((1, 16000), jnp.float32)
-    l = jnp.asarray([16000], np.int32)
-    for cfg in (
-        FrontendConfig(dither=0.5),  # the ONLY remaining jnp-only knob
-    ):
-        assert chain.pallas_unsupported_reason(cfg)
-        with pytest.raises(ValueError):
-            chain.extract_batch(x, l, cfg, backend="pallas")
-    # frame-first conditioning is in the fused kernel (its conditioning
-    # pass) and centered framing rides the reflect-extension prologue
-    # (kernels/frontend._reflect_extend) — all kernel-eligible
+def test_pallas_guard_accepts_every_knob():
+    # frame-first conditioning (incl. in-kernel dither, r3) is in the fused
+    # kernel's conditioning pass and centered framing rides the
+    # reflect-extension prologue (kernels/frontend._reflect_extend) — every
+    # convention knob is kernel-eligible
     for cfg in (
         named_config("kaldi_mfcc"),
+        named_config("kaldi_mfcc").replace(dither=1.0),  # Kaldi's default
         named_config("kaldi_fbank"),
         named_config("whisper80"),
+        FrontendConfig(dither=0.5),
         FrontendConfig(frame_tail="center"),
         FrontendConfig(frame_tail="center_reflect"),
         FrontendConfig(remove_dc_offset=True),
