@@ -78,7 +78,9 @@ class FrontendConfig:
     # signal before framing (psf lineage); "frame": per extracted frame,
     # w[0] *= (1-c) (Kaldi feature-window ProcessWindow order)
     # frame-first conditioning (Kaldi feature-window lineage; all default off)
-    dither: float = 0.0  # gaussian noise stddev added per frame sample
+    dither: float = 0.0  # gaussian noise stddev, SIGNAL-level: one draw per
+    # absolute sample position (shared across overlapping frames) — a
+    # deliberate deviation from Kaldi's per-frame redraw; see ops/dither.py
     dither_seed: int = 0  # PRNG seed for on-device dither (deterministic)
     remove_dc_offset: bool = False  # subtract each frame's mean (post-dither)
     # mel

@@ -510,7 +510,7 @@ def needs_conditioning(cfg: FrontendConfig) -> bool:
     )
 
 
-def _make_conditioning(cfg: FrontendConfig, block_frames: int):
+def _make_conditioning(cfg: FrontendConfig):
     """In-kernel twin of the frame-domain ops in chain.logmel_stages (Kaldi
     ProcessWindow order): mask the chunk tail beyond frame_length → remove
     DC offset → raw-frame energy → per-frame pre-emphasis → windowed-frame
@@ -598,7 +598,7 @@ def _make_kernel(
 ):
     n_chunk_refs = 1 if slab_mode else nc
     epilogue = _make_epilogue(cfg, mp, block_frames)
-    condition = _make_conditioning(cfg, block_frames)
+    condition = _make_conditioning(cfg)
     gather_preemph = _gather_preemph(cfg)
     gather_dither = _gather_dither(cfg)
 
@@ -668,7 +668,7 @@ def _make_radix4_kernel(
     hi = jax.lax.Precision.HIGHEST
     n_chunk_refs = 1 if slab_mode else nc
     epilogue = _make_epilogue(cfg, mp, block_frames)
-    condition = _make_conditioning(cfg, block_frames)
+    condition = _make_conditioning(cfg)
     gather_preemph = _gather_preemph(cfg)
     gather_dither = _gather_dither(cfg)
 

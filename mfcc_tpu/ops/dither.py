@@ -6,7 +6,7 @@ Kaldi's dither (feature-window.cc ProcessWindow order: dither -> DC removal
 Kaldi match is possible; what matters is ~N(0, dither) noise on every
 sample a frame consumes. This module fixes OUR cross-backend contract:
 
-    noise[t] = BoxMuller16(fmix32(fmix32((t // S) * GOLDEN + seed) + t % S))
+    noise[t] = BoxMuller16(fmix32(fmix32((t // S) * GOLDEN ^ fmix32(seed)) + t % S))
 
 with S = cfg.frame_step — i.e. **the SIGNAL is dithered, per absolute
 sample position t**, before pre-emphasis, DC removal and framing. Design
@@ -118,7 +118,7 @@ def dither_field(
     broadcast shape."""
     kr = _fmix32(
         row_idx.astype(jnp.uint32) * jnp.uint32(_GOLDEN)
-        + jnp.uint32(seed & 0xFFFFFFFF)
+        ^ jnp.uint32(_fmix32_int(seed))
     )
     h = _fmix32(kr + lane_idx.astype(jnp.uint32))
 
@@ -163,6 +163,21 @@ def add_signal_dither(audio: jnp.ndarray, cfg) -> tuple[jnp.ndarray, jnp.ndarray
 # ---------------------------------------------------------------------------
 
 
+def _fmix32_int(x: int) -> int:
+    """Host-side (Python int) fmix32 — pre-mixes the seed so it enters the
+    row key NONLINEARLY. With the former linear entry (row*GOLDEN + seed),
+    seeds differing by exactly GOLDEN produced identical noise fields
+    shifted by one row (ADVICE r3); xor-ing a finalized seed breaks that
+    additive aliasing for all seed pairs."""
+    x &= 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * _M1) & 0xFFFFFFFF
+    x ^= x >> 13
+    x = (x * _M2) & 0xFFFFFFFF
+    x ^= x >> 16
+    return x
+
+
 def _fmix32_np(x: np.ndarray) -> np.ndarray:
     x = x ^ (x >> np.uint32(16))
     x = x * np.uint32(_M1)
@@ -182,7 +197,7 @@ def signal_noise_np(seed: int, t_samples: int, frame_step: int) -> np.ndarray:
     row_idx = np.arange(rows, dtype=np.uint32)[:, None]
     lane_idx = np.arange(s, dtype=np.uint32)[None, :]
     with np.errstate(over="ignore"):
-        kr = _fmix32_np(row_idx * np.uint32(_GOLDEN) + np.uint32(seed & 0xFFFFFFFF))
+        kr = _fmix32_np((row_idx * np.uint32(_GOLDEN)) ^ np.uint32(_fmix32_int(seed)))
         h = _fmix32_np(kr + lane_idx)
     u1 = ((h >> np.uint32(16)).astype(np.float32) + np.float32(0.5)) * np.float32(
         1.0 / 65536.0

@@ -296,6 +296,26 @@ def test_dither_statistics_and_determinism():
     assert not np.array_equal(np.asarray(s1["frames"]), np.asarray(s2["frames"]))
 
 
+def test_dither_seed_golden_increment_no_row_shift():
+    """ADVICE r3: with the former linear seed entry (row*GOLDEN + seed),
+    seeds differing by exactly GOLDEN = 0x9E3779B9 produced identical noise
+    fields shifted by one row. The fmix32 seed pre-mix must break that."""
+    from mfcc_tpu.ops import dither as D
+
+    s, t = 160, 160 * 64
+    for seed in (0, 7, 12345):
+        a = D.signal_noise_np(seed, t, s).reshape(-1, s)
+        b = D.signal_noise_np((seed + D._GOLDEN) & 0xFFFFFFFF, t, s).reshape(-1, s)
+        # not the same field, and not the same field shifted by one row
+        assert not np.array_equal(a, b)
+        assert not np.array_equal(a[1:], b[:-1])
+        assert not np.array_equal(b[1:], a[:-1])
+        # jnp twin stays bit-identical to the numpy twin on the hash path
+        # (transcendentals are ulp-close; compare with loose tolerance)
+        aj = np.asarray(D.signal_noise(seed, t, s)).reshape(-1, s)
+        np.testing.assert_allclose(aj, a, rtol=0, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # VTLN
 # ---------------------------------------------------------------------------
