@@ -41,7 +41,7 @@ def extract(source, config="classic13", backend=None):
         import jax
 
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
-        if chain.pallas_unsupported_reason(cfg):  # ssc / kaldi-lineage knobs
+        if chain.pallas_unsupported_reason(cfg):  # future-knob escape hatch
             backend = "jnp"
     expect_sr = cfg.input_sample_rate or cfg.sample_rate
     if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):

@@ -251,6 +251,10 @@ NAMED_CONFIGS: dict[str, FrontendConfig] = {
     "classic13": FrontendConfig(),
     # BASELINE config #2: batch-64, 13 MFCCs + deltas (39-dim), per-utt CMVN.
     "classic13_deltas": FrontendConfig(deltas=2),
+    # Spectral subband centroids (psf tutorial-family ssc): 26 centroids,
+    # classic conventions; kernel-resident since r4 (second positive matmul
+    # against the freq-weighted mel matrix).
+    "ssc26": FrontendConfig(features="ssc"),
     # BASELINE config #3: 80-bin log-mel for neural ASR front-ends, batch-256.
     # ASR-style conventions: periodic Hann, continuous mel triangles,
     # stabilized log, no DCT/lifter/energy.

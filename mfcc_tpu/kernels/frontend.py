@@ -557,6 +557,18 @@ def _make_epilogue(cfg: FrontendConfig, mp: int, block_frames: int):
     M = cfg.n_mels
     log_kind = cfg.log_kind
 
+    if cfg.features == "ssc":
+        # centroids = freq-weighted projection / mel projection, computed
+        # on the clamped squared lanes (the per-lane zero-bin clamp lives
+        # in the kernel body). Lanes >= M: den is 0 there (no mel weight),
+        # the where discards the resulting non-finite quotient; lane M
+        # (energy column, pspec energy source) divides 0/energy = 0.
+        def epilogue_ssc(num, den):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (block_frames, mp), 1)
+            return jnp.where(lane < M, num / den, 0.0)
+
+        return epilogue_ssc
+
     def epilogue(proj, frame_energy=None):
         lane = jax.lax.broadcasted_iota(jnp.int32, (block_frames, mp), 1)
         clamped = jnp.where(proj <= 0.0, eps, proj)
@@ -616,6 +628,10 @@ def _make_kernel(
         chunk_refs = refs[:n_chunk_refs]
         rest = list(refs[n_chunk_refs:])
         out_ref = rest.pop()
+        if cfg.features == "ssc":  # appended by the caller, popped in order
+            eps_ref = rest.pop()
+            melf_l = rest.pop()
+            melf_h = rest.pop()
         we_ref = rest.pop(0) if cfg.energy_source == "windowed_frame" else None
         hi = jax.lax.Precision.HIGHEST
         frames = _gather_frames(
@@ -649,6 +665,15 @@ def _make_kernel(
         # are duplicated over both blocks, so reim² @ mel == pspec @ mel_fb
         # without ever slicing re/im apart (no relayout).
         pspec2 = reim * reim
+        if cfg.features == "ssc":
+            # per-lane zero-bin clamp (eps/2 per lane: a bin is zero iff
+            # BOTH its re and im lanes are — see kernel_constants), then
+            # the num/den positive-matmul pair; divide in the epilogue
+            sqc = jnp.where(pspec2 <= 0.0, eps_ref[:], pspec2)
+            num = _dot_pos_bf16x3(sqc, melf_h, melf_l)
+            den = _dot_pos_bf16x3(sqc, mel_h, mel_l)
+            out_ref[0] = epilogue(num, den)
+            return
         proj = _dot_pos_bf16x3(pspec2, mel_h, mel_l)
 
         out_ref[0] = epilogue(proj, frame_energy)
@@ -680,7 +705,11 @@ def _make_radix4_kernel(
         chunk_refs = refs[:n_chunk_refs]
         rest = list(refs[n_chunk_refs:])
         we_ref = rest.pop(0) if cfg.energy_source == "windowed_frame" else None
-        win_ref, f0_ref, f1_ref, f2_ref, mel_h, mel_l, out_ref = rest
+        if cfg.features == "ssc":
+            (win_ref, f0_ref, f1_ref, f2_ref, mel_h, mel_l,
+             melf_h, melf_l, eps_ref, out_ref) = rest
+        else:
+            win_ref, f0_ref, f1_ref, f2_ref, mel_h, mel_l, out_ref = rest
         frames = _gather_frames(
             chunk_refs, nc, S, block_frames, slab_mode, gather_preemph,
             lengths_ref, gather_dither,
@@ -703,6 +732,17 @@ def _make_radix4_kernel(
                      preferred_element_type=jnp.float32, precision=hi)
         x2 = jnp.dot(s2, f2_ref[:], preferred_element_type=jnp.float32,
                      precision=hi)
+        if cfg.features == "ssc":
+            # scrambled-lane squared spectrum, per-lane zero-bin clamp
+            # (eps / lanes_per_bin — radix4_constants), then the num/den
+            # positive-matmul pair; the epilogue divides
+            y = jnp.concatenate([x0, x1, x2], axis=-1)  # [FBLK, 4*N2]
+            sqc = y * y
+            sqc = jnp.where(sqc <= 0.0, eps_ref[:], sqc)
+            num = _dot_pos_bf16x3(sqc, melf_h, melf_l)
+            den = _dot_pos_bf16x3(sqc, mel_h, mel_l)
+            out_ref[0] = epilogue(num, den)
+            return
         if _RADIX4_SPLIT_MEL:
             # mel projection per stage-2 output: skips the [FBLK, 4N2] lane
             # concat + full-width square (a lane relayout) at the cost of
@@ -983,6 +1023,16 @@ def _fused_logmel_energy(
         consts = [jnp.asarray(k["dft"]), jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
         kernel = _make_kernel(cfg, nc, S, mp, block_frames, dft_passes, slab_mode)
         mac_per_frame = nc * S * k2 * 6 + k2 * mp * 3
+
+    if cfg.features == "ssc":
+        # freq-weighted mel split + per-lane clamp row, consumed LAST by
+        # the kernels (appended after the shared consts); the second
+        # positive matmul costs another 3 bf16 passes over the same K
+        consts = consts + [
+            jnp.asarray(k["melf_h"]), jnp.asarray(k["melf_l"]),
+            jnp.asarray(k["eps_lane"]),
+        ]
+        mac_per_frame += (4 * n2 if dft_passes == "radix4" else k2) * mp * 3
 
     if cfg.energy_source == "windowed_frame":
         # consumed FIRST by the kernels (popped off the const list head)

@@ -340,12 +340,13 @@ def plp_base(
 
 def pallas_unsupported_reason(cfg: FrontendConfig) -> str | None:
     """None if the fused Pallas kernel implements this config; otherwise a
-    human-readable reason (extract() auto-falls back to the jnp twin)."""
-    if cfg.features == "ssc":
-        return (
-            "features='ssc' needs the raw power spectrum, which the fused "
-            "kernel's epilogue does not materialize"
-        )
+    human-readable reason (extract() auto-falls back to the jnp twin).
+
+    As of r4 every config family is kernel-resident — mfcc/logmel/plp/ssc
+    across all convention lineages (ssc rides a second positive matmul
+    against the freq-weighted mel matrix with a per-lane zero-bin clamp;
+    kernels/frontend.py radix4_constants). The hook stays for future knobs
+    and for the callers that route on it (extract, longform, slab_layout)."""
     return None
 
 
@@ -462,6 +463,10 @@ def features_from_logmel(
             # plp configs make the kernel epilogue SKIP the log: the mel
             # lanes carry raw mel energies, lane M the clamped energy
             base = plp_base(x[..., : cfg.n_mels], x[..., cfg.n_mels], cfg)
+        elif cfg.features == "ssc":
+            # the kernel's ssc epilogue already divided the freq-weighted
+            # projection by the mel projection: lanes [0:M] ARE centroids
+            base = x[..., : cfg.n_mels]
         else:
             if cfg.append_energy:
                 lane = jnp.arange(cfg.n_mels + 1)

@@ -63,17 +63,58 @@ def test_jnp_chain_matches_oracle_fp32():
     assert (feat * (1 - np.asarray(mask))[..., None] == 0).all()
 
 
-def test_pallas_backend_guard_and_auto_jnp():
+@pytest.mark.parametrize("dft_passes", ["radix4", "fp32"])
+def test_pallas_kernel_matches_twin(dft_passes):
+    """SSC through the fused kernel (VERDICT r2 item 5): the per-lane
+    zero-bin clamp + second positive matmul reproduce the twin's per-bin
+    where(pspec <= 0, eps, pspec) centroid pair on both DFT paths.
+    Includes an impulse (every im lane exactly zero — the pathological
+    per-lane-clamp case: spurious eps/2 per lane ~1e-16, invisible in
+    fp32) and a short utterance (pad-frame masking)."""
+    from mfcc_tpu.kernels import frontend as fk
+
+    cfg = FrontendConfig(features="ssc", deltas=2, cmvn="utterance")
+    imp = np.zeros(4000)
+    imp[0] = 1.0
+    xs = [RNG.standard_normal(9000) * 3000, RNG.standard_normal(4001) * 3000, imp]
+    b = pad_batch(xs, cfg)
+    audio, lengths = jnp.asarray(b.audio), jnp.asarray(b.lengths)
+    fj, mj = chain.extract_batch(audio, lengths, cfg, backend="jnp")
+    # extract_batch hardwires radix4 preference; call the stage fn for the
+    # fp32 sweep and finish with the same feature epilogue
+    from mfcc_tpu.kernels import fused_logmel_stages
+
+    stages = fused_logmel_stages(
+        audio, lengths, cfg, interpret=True, dft_passes=dft_passes
+    )
+    fp_ = chain.features_from_logmel(stages, cfg)[:, : stages["num_frames"]]
+    fj, fp_, mj = np.asarray(fj), np.asarray(fp_), np.asarray(mj)
+    for i in range(len(xs)):
+        fv = int(mj[i].sum())
+        # un-normalized centroids are O(kHz): the raw config gates at
+        # ~Hz-level absolute; with cmvn the values are O(1)
+        np.testing.assert_allclose(
+            fp_[i, :fv], fj[i, :fv], rtol=1e-4, atol=5e-3
+        )
+    # pad frames zeroed in both
+    assert (fp_ * (1 - mj)[..., None] == 0).all()
+
+
+def test_pallas_backend_no_guard_and_extract_parity():
+    """extract_batch(backend='pallas') accepts ssc; top-level extract()
+    (auto backend) matches the float64 oracle."""
     cfg = FrontendConfig(features="ssc")
     x = RNG.standard_normal(5000).astype(np.float32) * 100
     b = pad_batch([x], cfg)
-    with pytest.raises(ValueError, match="ssc"):
-        chain.extract_batch(
-            jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg, backend="pallas"
-        )
-    # top-level extract() auto-selects the jnp path for ssc
-    got = extract(x, cfg)
+    fp_, mp_ = chain.extract_batch(
+        jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg, backend="pallas"
+    )
     want = ref.extract(x.astype(np.float64), cfg)
+    fv = int(np.asarray(mp_[0]).sum())
+    np.testing.assert_allclose(
+        np.asarray(fp_)[0, :fv], want, rtol=2e-5, atol=2e-2
+    )
+    got = extract(x, cfg)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-2)
 
 

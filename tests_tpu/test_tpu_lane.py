@@ -261,24 +261,26 @@ def test_resample_kernel_on_tpu(tpu):
 
 
 def test_ssc_on_tpu(tpu, signals):
-    """features='ssc' (jnp backend on the real chip) vs the float64 oracle
-    — completes feature-family coverage on hardware."""
+    """features='ssc' through the FUSED Mosaic kernel on the real chip
+    (VERDICT r2 item 5) vs the jnp twin and the float64 oracle."""
     import jax.numpy as jnp
 
     from mfcc_tpu.ops import reference_numpy as ref
 
     cfg = NAMED_CONFIGS["classic13"].replace(features="ssc", deltas=1)
     audio, lengths = _batch(signals, cfg, names=["speechish", "short"])
-    feat, mask = chain.extract_batch(audio, lengths, cfg, backend="jnp")
+    twin, maskj = chain.extract_batch(audio, lengths, cfg, backend="jnp")
+    feat, mask = chain.extract_batch(audio, lengths, cfg, backend="pallas")
     feat, mask = np.asarray(feat, np.float64), np.asarray(mask)
+    twin = np.asarray(twin, np.float64)
+    np.testing.assert_array_equal(mask, np.asarray(maskj))
     for i, name in enumerate(["speechish", "short"]):
         fv = int(mask[i].sum())
         want = ref.extract(np.asarray(audio[i], np.float64)[: int(lengths[i])], cfg)
         assert fv == want.shape[0]
         # centroids are O(kHz): relative gate at the fp32 floor
-        np.testing.assert_allclose(
-            feat[i, :fv], want, rtol=5e-5, atol=1e-1
-        )
+        np.testing.assert_allclose(feat[i, :fv], twin[i, :fv], rtol=5e-5, atol=1e-1)
+        np.testing.assert_allclose(feat[i, :fv], want, rtol=5e-5, atol=1e-1)
 
 
 def test_plp_conditioning_floor_on_tpu(tpu):
