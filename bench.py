@@ -9,7 +9,10 @@ Timing method (see .claude/skills/verify/SKILL.md): the relay platform's
 block_until_ready does not wait, so steps are chained inside one jit via
 lax.scan with per-iteration input perturbation (prevents hoisting), forced
 by a scalar fetch, and timed as the slope between two iteration counts
-(cancels the ~40 ms fetch latency).
+(cancels the ~40 ms fetch latency). The perturbation is O(1) — one element
+poked into the scan-carried (in-place-aliased) input buffer — so the
+measured step is extraction only, not input rematerialization (r4;
+docs/KERNEL.md §6).
 """
 
 from __future__ import annotations
@@ -63,11 +66,25 @@ def main() -> int:
 
     @partial(jax.jit, static_argnames=("iters",))
     def chained(audio, lengths, iters):
-        def body(_, i):
-            a = audio * (1.0 + 1e-6 * i)
+        # Per-iteration input perturbation defeats hoisting at O(1) cost:
+        # the audio buffer is the scan CARRY (XLA aliases it in place) and
+        # one element is poked per step. The r1-r3 bench multiplied the
+        # whole input instead — an O(B·T) copy per step that charged the
+        # extraction step for input materialization (production overlaps
+        # that with H2D double-buffering) and cost 15-20% at batch 64 and
+        # ~25% at batch 256 (docs/KERNEL.md §6).
+        def body(carry, i):
+            a = jax.lax.dynamic_update_slice(
+                carry,
+                (carry[:1, :1, :1] if carry.ndim == 3 else carry[:1, :1])
+                + 1e-7 * i,
+                (0,) * carry.ndim,
+            )
             feat, _ = chain.extract_batch(a, lengths, cfg, backend=backend)
-            return 0, feat.sum()
-        _, outs = jax.lax.scan(body, 0, jnp.arange(iters, dtype=jnp.float32))
+            return a, feat.sum()
+        _, outs = jax.lax.scan(
+            body, audio, jnp.arange(iters, dtype=jnp.float32)
+        )
         return outs.sum()
 
     # warm both programs (first remote compile can take minutes; retry once)

@@ -386,10 +386,14 @@ def radix4_constants(cfg: FrontendConfig):
 # in HBM, ~3x the audio traffic (measured ~0.4 ms/step at batch-64 x 10 s).
 SLAB_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
-# Batch chunking triggers only for batches STRICTLY larger than this: at
-# B=128 × 10 s (the ~150 MB working-set edge) the single kernel call is
-# faster than chunked (1.955 vs 2.094 ms measured), while at B=256 × 10 s
-# chunking wins by 8.4% (docs/KERNEL.md §6).
+# Batch chunking triggers only for batches STRICTLY larger than this.
+# r4 NOTE: with the honest in-place (scan-carry) perturbation timing,
+# chunking LOSES at every batch size measured (B=256: 2.91 ms unchunked
+# vs 3.40 chunked; B=512: 6.21 vs 7.35 — classic13_deltas, b×10 s), so
+# max_kernel_batch now defaults to None. The r1-r3 "working-set cliff"
+# that motivated chunking was dominated by the old bench's own O(B·T)
+# perturbation copy (docs/KERNEL.md §6). The machinery stays for callers
+# that want to bound per-call HBM footprint explicitly.
 CHUNK_TRIGGER_BATCH = 128
 
 
@@ -1197,7 +1201,7 @@ def fused_logmel_stages(
     block_frames: int | None = None,  # None: auto via _auto_block_frames
     interpret: bool | None = None,
     dft_passes: str = "radix4",
-    max_kernel_batch: int | None = 64,
+    max_kernel_batch: int | None = None,
     chunks: jnp.ndarray | None = None,
     chunks_t: int | None = None,
     chunks_frames: int | None = None,
@@ -1310,17 +1314,13 @@ def fused_logmel_stages(
     B = audio.shape[0]
     c = max_kernel_batch
     if c and B > max(c, CHUNK_TRIGGER_BATCH) and B % c == 0:
-        # Batch chunking (the round-1 "batch-256 anomaly", VERDICT r1
-        # item 3): per-utterance kernel time grows ~20% once the step's
-        # HBM working set passes ~150 MB (B=256 × 10 s: 14.9 → 18.0
-        # µs/utt; B=512 × 2 s at a ~118 MB set shows only +4%, and the
-        # lengths SMEM block was ruled out by scalar prefetch — the
-        # effect tracks bytes touched, not grid size or B). lax.map over
-        # ≤c-row kernel calls claws back ~8% (interleaved A/B medians at
-        # B=256: unchunked 4.60 ms, lax.map c=64 4.21, unrolled static
-        # slices 4.55 — the map's single reused per-chunk buffer beats
-        # both); the residual vs small-batch is the working-set effect
-        # itself, documented in docs/KERNEL.md §5.
+        # Opt-in batch chunking (off by default since r4): the r1-r3
+        # measurements that motivated it timed steps with a fresh O(B·T)
+        # perturbation buffer per iteration; under in-place carry timing
+        # the single kernel call wins at every B measured and large
+        # batches sit within 2-8% of the batch-64 per-utterance rate
+        # (docs/KERNEL.md §6). Kept for callers that must bound per-call
+        # HBM footprint.
         out = jax.lax.map(
             lambda t: _fused_logmel_energy(
                 t[0], t[1], cfg, F, block_frames, interpret, dft_passes
