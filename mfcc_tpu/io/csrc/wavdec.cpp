@@ -275,6 +275,32 @@ int32_t wav_decode_i16(const uint8_t* buf, int64_t len, int32_t downmix,
   return WAV_OK;
 }
 
+// Phase-A header parse from a path: ONE pread of a small prefix + the
+// prefix parser (num_frames computed against the stat size). The feed's
+// bucketing/row assignment needs only (sample_rate, num_frames); doing it
+// here keeps the consumer thread's per-file cost at a ctypes call instead
+// of a Python open + 8 KB read (VERDICT r2 item 8). Exotic chunk layouts
+// (fmt/data beyond 4 KB) return WAV_ERR_NO_FMT/NO_DATA and the caller
+// falls back to its full-read parse.
+int32_t wav_parse_file(const char* path, WavInfo* info) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return WAV_ERR_IO;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return WAV_ERR_IO;
+  }
+  if (st.st_size <= 0) {
+    close(fd);
+    return WAV_ERR_TRUNCATED;
+  }
+  uint8_t hdr[4096];
+  ssize_t hr = pread(fd, hdr, sizeof hdr, 0);
+  close(fd);
+  if (hr < 0) return WAV_ERR_IO;
+  return wav_parse_prefix(hdr, hr, st.st_size, info);
+}
+
 // One-call file decode: open + read + decode, no Python-side bytes object.
 // The file is read into a thread-local buffer reused across calls (grown
 // geometrically), so steady-state cost is one open/read/close plus the
@@ -294,6 +320,44 @@ int32_t wav_decode_file(const char* path, int32_t downmix, int32_t want_i16,
   if (st.st_size <= 0) {
     close(fd);
     return WAV_ERR_TRUNCATED;
+  }
+  // Fast path (the feed's dominant case: PCM16 mono file -> int16 row):
+  // parse a small header pread, then pread the data chunk STRAIGHT into
+  // the caller's row — the page-cache -> row copy is the only copy, the
+  // staging-buffer read below is skipped entirely (measured 61 -> 46
+  // µs per 8-s utterance, scripts/bench_feed.py r4).
+  if (want_i16) {
+    uint8_t hdr[4096];
+    ssize_t hr = pread(fd, hdr, sizeof hdr, 0);
+    WavInfo hi;
+    if (hr >= 12 &&
+        wav_parse_prefix(hdr, hr, st.st_size, &hi) == WAV_OK &&
+        hi.format == 1 && hi.bits_per_sample == 16 && hi.channels == 1) {
+      const int64_t n = hi.num_frames < out_cap ? hi.num_frames : out_cap;
+      int16_t* o = (int16_t*)out;
+      int64_t need = n * 2, got = 0;
+      while (got < need) {
+        ssize_t r = pread(fd, (uint8_t*)o + got, (size_t)(need - got),
+                          hi.data_offset + got);
+        if (r < 0) {
+          close(fd);
+          return WAV_ERR_IO;
+        }
+        if (r == 0) break;  // file shrank since fstat
+        got += r;
+      }
+      close(fd);
+      if (got < need) {
+        std::memset((uint8_t*)o + got, 0, (size_t)(need - got));
+        hi.num_frames = got / 2;  // report what was actually decodable so
+        // the feed worker's changed-file cross-check fires
+      }
+      if (n < out_cap)
+        std::memset(o + n, 0, (size_t)(out_cap - n) * sizeof(int16_t));
+      *info = hi;
+      return WAV_OK;
+    }
+    // header beyond the prefix / other formats: generic staging path
   }
   static thread_local uint8_t* buf = nullptr;
   static thread_local int64_t buf_cap = 0;

@@ -63,6 +63,20 @@ def main() -> int:
             out.write(json.dumps({"id": cmd.get("id"), "dropped": True}) + "\n")
             out.flush()
             continue
+        if op == "parse_headers":
+            # phase-A offload (VERDICT r2 item 8): (sr, n) per path via the
+            # native one-pread parse; errors ship as strings so the parent
+            # keeps its skip/log/stats semantics unchanged
+            heads = []
+            for path in cmd["paths"]:
+                try:
+                    fsr, n = wav.parse_file_header(path)
+                    heads.append([fsr, n])
+                except (OSError, ValueError, wav.WavError) as e:
+                    heads.append([0, -1, str(e)])
+            out.write(json.dumps({"id": cmd.get("id"), "heads": heads}) + "\n")
+            out.flush()
+            continue
         if op != "decode_chunk":
             out.write(json.dumps({"id": cmd.get("id"),
                                   "error": f"unknown op {op!r}"}) + "\n")

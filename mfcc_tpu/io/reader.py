@@ -554,15 +554,16 @@ def stream_batches_direct(
 
 
 class _MpJob:
-    """One dispatched decode chunk: completion event + failure list."""
+    """One dispatched worker request: completion event + response fields."""
 
-    __slots__ = ("event", "fails", "error", "rows")
+    __slots__ = ("event", "fails", "error", "rows", "heads")
 
     def __init__(self):
         self.event = threading.Event()
         self.fails: list = []
         self.error: str | None = None
         self.rows: list = []  # rows this chunk covers (for death cleanup)
+        self.heads: list | None = None  # parse_headers responses
 
 
 class _MpPool:
@@ -626,6 +627,7 @@ class _MpPool:
                 owned.discard(jid)
             if job is not None:
                 job.fails = msg.get("fails", [])
+                job.heads = msg.get("heads")
                 job.error = msg.get("error")
                 job.event.set()
         # EOF: worker died — fail everything THIS generation still owed
@@ -766,6 +768,61 @@ def _release_mp_pool(pool: _MpPool, private: bool) -> None:
 
 def _shm_dir() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+
+def _mp_header_stream(files, pool, expect_sr: int, stats: "DecodeStats",
+                      chunk: int = 64, depth: int = 4):
+    """Yield (path, n_samples) in file order with phase-A header parses
+    offloaded to the worker pool (chunked, `depth` chunks in flight) —
+    the consumer thread's per-file cost drops from a Python open + prefix
+    read to amortized bookkeeping (VERDICT r2 item 8). Skip/log/stats
+    semantics are exactly _parse_header_counted's; a dead worker degrades
+    that chunk to the serial parse instead of dropping files."""
+    import collections
+    import itertools
+
+    it = iter(files)
+    inflight: collections.deque = collections.deque()
+
+    def submit_next() -> bool:
+        paths = list(itertools.islice(it, chunk))
+        if not paths:
+            return False
+        job = pool.submit(
+            {"op": "parse_headers", "paths": [str(p) for p in paths]}
+        )
+        inflight.append((paths, job))
+        return True
+
+    for _ in range(depth):
+        if not submit_next():
+            break
+    while inflight:
+        paths, job = inflight.popleft()
+        job.event.wait()
+        heads = job.heads if job.error is None else None
+        for i, path in enumerate(paths):
+            if heads is None:  # worker died: serial fallback for the chunk
+                n = _parse_header_counted(path, expect_sr, stats)
+                if n is not None:
+                    yield path, n
+                continue
+            h = heads[i]
+            if len(h) > 2:
+                log.warning("skipping %s: %s", path, h[2])
+                stats.errors += 1
+                continue
+            fsr, n = h
+            if fsr != expect_sr:
+                log.warning(
+                    "skipping %s: sample rate %d != expected %d",
+                    path, fsr, expect_sr,
+                )
+                stats.wrong_rate += 1
+                continue
+            yield path, n
+        submit_next()
 
 
 def stream_batches_mp(
@@ -920,10 +977,7 @@ def stream_batches_mp(
         )
 
     try:
-        for path in files:
-            n = _parse_header_counted(path, expect_sr, stats)
-            if n is None:
-                continue
+        for path, n in _mp_header_stream(files, pool, expect_sr, stats):
             if n == 0:
                 log.warning("skipping %s: empty audio", path)
                 stats.errors += 1

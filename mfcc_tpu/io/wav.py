@@ -105,6 +105,8 @@ def _build_library() -> ctypes.CDLL | None:
         ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(_WavInfo),
     ]
+    lib.wav_parse_file.restype = ctypes.c_int32
+    lib.wav_parse_file.argtypes = [ctypes.c_char_p, ctypes.POINTER(_WavInfo)]
     return lib
 
 
@@ -257,6 +259,26 @@ def parse_wav_header(data: bytes, file_size: int | None = None) -> tuple[int, in
             raise WavError(_DECODE_ERRORS.get(rc, f"decode error {rc}"))
         return int(info.sample_rate), int(info.num_frames)
     return _parse_numpy_header(data, fsize)
+
+
+def parse_file_header(path) -> tuple[int, int]:
+    """path → (sample_rate, num_frames) in ONE native call (open + 4 KB
+    pread + prefix parse, no Python bytes object) — the feed's phase A at
+    ctypes-call cost. Falls back to a Python open + full-prefix chain when
+    the native lib is unavailable or the chunk headers lie beyond 4 KB."""
+    lib = _native()
+    if lib is not None:
+        info = _WavInfo()
+        rc = lib.wav_parse_file(str(path).encode(), ctypes.byref(info))
+        if rc == 0:
+            return int(info.sample_rate), int(info.num_frames)
+        if rc not in (-3, -5):  # NO_FMT / NO_DATA: prefix too small only
+            raise WavError(_DECODE_ERRORS.get(rc, f"decode error {rc}"))
+    import os
+
+    with open(path, "rb") as f:
+        data = f.read()
+        return parse_wav_header(data, os.fstat(f.fileno()).st_size)
 
 
 def _parse_numpy_header(data: bytes, file_size: int) -> tuple[int, int]:
