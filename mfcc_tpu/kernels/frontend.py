@@ -112,6 +112,35 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def fused_tail_reason(cfg: FrontendConfig) -> str | None:
+    """None if this config's cepstral epilogue (DCT·lifter·energy-c0 +
+    Δ/ΔΔ + per-utterance CMVN/masking) can run INSIDE the kernel — the r4
+    "fused tail". Requires the whole utterance in ONE frame block (checked
+    at call time), so every delta/CMVN dependency is intra-block."""
+    if cfg.features != "mfcc":
+        return "fused tail exists for the mfcc cepstral epilogue only"
+    if cfg.feat_dim > LANE:
+        return f"feat_dim {cfg.feat_dim} > {LANE} output lanes"
+    if cfg.n_mels + 1 > LANE:
+        return f"n_mels {cfg.n_mels} needs a multi-tile mel prefix"
+    return None
+
+
+@functools.lru_cache(maxsize=32)
+def fused_tail_constants(cfg: FrontendConfig):
+    """dctaug3 [MP, LANE] fp32: ops.constants.dct_augmented replicated at
+    lane offsets 0, C, 2C — one copy per delta order. One HIGHEST-precision
+    matmul of the [FBLK, MP] log-mel/log-energy tile against it yields the
+    base cepstra TRIPLICATED, so the in-kernel delta shifts read their own
+    lane band and the final tile is a pure lane-select (no lane rolls)."""
+    aug = C.chain_constants(cfg)["dct_aug"]  # [n_mels+1, n_ceps] float64
+    c = cfg.n_ceps
+    d = np.zeros((LANE, LANE), dtype=np.float64)
+    for j in range(cfg.deltas + 1):
+        d[: cfg.n_mels + 1, j * c : (j + 1) * c] = aug
+    return {"dctaug3": d.astype(np.float32)}
+
+
 @functools.lru_cache(maxsize=32)
 def kernel_constants(cfg: FrontendConfig):
     """Float64-folded, fp32-cast kernel matrices in the packed 2*n_bins
@@ -608,30 +637,132 @@ def _make_epilogue(cfg: FrontendConfig, mp: int, block_frames: int):
     return epilogue
 
 
+def _make_feature_tail(cfg: FrontendConfig, mp: int, block_frames: int):
+    """In-kernel cepstral epilogue (the r4 fused tail): [FBLK, MP] tile of
+    [log-mel | clamped energy] → FINAL feature rows [FBLK, LANE] (lanes
+    [0:feat_dim) = [ceps | Δ | ΔΔ], rest zero; pad rows zero; utterance
+    CMVN applied when configured). Twin: chain.features_from_logmel's
+    prefix path + chain.delta + chain.cmvn_utterance, all of which are
+    intra-block because the caller guarantees ONE frame block per
+    utterance (fp == block_frames).
+
+    Dynamic pieces come from nv (this utterance's valid frame count, a
+    scalar-prefetch value): the delta tail replication selects row nv-1
+    via a one-hot reduction (no dynamic slicing), and masking/CMVN use
+    row < nv. The dct_aug matmul runs precision=HIGHEST — log-mel is
+    signed, so the positive-contraction bf16x3 shortcut does not apply."""
+    hi = jax.lax.Precision.HIGHEST
+    cc = cfg.n_ceps
+    n = cfg.delta_window
+    denom = 2.0 * sum(i * i for i in range(1, n + 1))
+    f_dim = cfg.feat_dim
+    log_floor = float(np.log(cfg.energy_floor)) if cfg.energy_floor > 0 else None
+
+    def tail(tile, daug_ref, nv):
+        if cfg.append_energy:
+            # lane M holds the clamped (strictly positive) energy; log it
+            # in place. The where keeps log() off the log-mel lanes (they
+            # can be <= 0) — the discarded branch must stay finite.
+            lane_mp = jax.lax.broadcasted_iota(
+                jnp.int32, (block_frames, mp), 1
+            )
+            is_e = lane_mp == cfg.n_mels
+            loge = jnp.log(jnp.where(is_e, tile, 1.0))
+            if log_floor is not None:
+                loge = jnp.maximum(loge, jnp.float32(log_floor))
+            tile = jnp.where(is_e, loge, tile)
+        y = jnp.dot(
+            tile, daug_ref[:], preferred_element_type=jnp.float32,
+            precision=hi,
+        )  # [FBLK, LANE]: base cepstra at lane offsets 0, C, 2C
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_frames, LANE), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (block_frames, LANE), 1)
+
+        def tail_rep(x):
+            # replicate row nv-1 over rows >= nv (chain._tail_replicated)
+            last = jnp.sum(
+                jnp.where(row == nv - 1, x, 0.0), axis=0, keepdims=True
+            )
+            return jnp.where(row < nv, x, last)
+
+        def dshift(x):
+            # chain.delta's static shifts with edge replication at the
+            # ARRAY bounds (the tail beyond nv already holds row nv-1)
+            first = x[0:1]
+            lastr = x[block_frames - 1 : block_frames]
+            out = None
+            for i in range(1, n + 1):
+                k = min(i, block_frames)
+                plus = jnp.where(
+                    row < block_frames - k,
+                    pltpu.roll(x, shift=block_frames - k, axis=0), lastr,
+                )
+                minus = jnp.where(
+                    row >= k, pltpu.roll(x, shift=k, axis=0), first
+                )
+                t = jnp.float32(i) * (plus - minus)
+                out = t if out is None else out + t
+            return out * jnp.float32(1.0 / denom)
+
+        yr = tail_rep(y)
+        feat = jnp.where(lane < cc, yr, 0.0)
+        if cfg.deltas >= 1:
+            d = dshift(yr)
+            feat = jnp.where((lane >= cc) & (lane < 2 * cc), d, feat)
+            if cfg.deltas >= 2:
+                dd = dshift(tail_rep(d))
+                feat = jnp.where((lane >= 2 * cc) & (lane < f_dim), dd, feat)
+        m = (row < nv).astype(jnp.float32)
+        if cfg.cmvn == "utterance":
+            cnt = jnp.maximum(
+                jnp.sum(m[:, :1], axis=0, keepdims=True), 1.0
+            )  # [1, 1]
+            mu = jnp.sum(feat * m, axis=0, keepdims=True) / cnt
+            cent = feat - mu
+            if cfg.cmvn_var_norm:
+                var = jnp.sum(
+                    jnp.square(cent) * m, axis=0, keepdims=True
+                ) / cnt
+                cent = cent / jnp.sqrt(var + jnp.float32(cfg.cmvn_eps))
+            return cent * m
+        return feat * m
+
+    return tail
+
+
 def _make_kernel(
     cfg: FrontendConfig, nc: int, S: int, mp: int, block_frames: int,
-    dft_passes: str, slab_mode: bool,
+    dft_passes: str, slab_mode: bool, fused_tail: bool = False,
 ):
     n_chunk_refs = 1 if slab_mode else nc
     epilogue = _make_epilogue(cfg, mp, block_frames)
     condition = _make_conditioning(cfg)
     gather_preemph = _gather_preemph(cfg)
     gather_dither = _gather_dither(cfg)
+    feature_tail = (
+        _make_feature_tail(cfg, mp, block_frames) if fused_tail else None
+    )
 
     def kernel(*refs):
-        # refs: [lengths (1,) SMEM if slab] + chunk slab [1, PRO+C, S] or
+        # refs: [lengths (B,) SMEM if slab] [+ n_valid (B,) SMEM if fused
+        #       tail] + chunk slab [1, PRO+C, S] or
         #       nc chunk views [1, FBLK, S], then
         #       [win_energy [1, KW] if energy_source == "windowed_frame"],
         #       fp32 path: dft [KW, K2], mel_h, mel_l [K2, MP]
         #       bf16x3 path: dft_h, dft_l [KW, K2], mel_h, mel_l [K2, MP]
+        #       [+ dctaug3 [MP, LANE] if fused tail]
         #       and finally out ref [1, FBLK, MP]
+        nvalid_ref = None
         if slab_mode:
             lengths_ref, refs = refs[0], refs[1:]
+            if fused_tail:
+                nvalid_ref, refs = refs[0], refs[1:]
         else:
             lengths_ref = None
         chunk_refs = refs[:n_chunk_refs]
         rest = list(refs[n_chunk_refs:])
         out_ref = rest.pop()
+        daug_ref = rest.pop() if fused_tail else None
         if cfg.features == "ssc":  # appended by the caller, popped in order
             eps_ref = rest.pop()
             melf_l = rest.pop()
@@ -680,7 +811,10 @@ def _make_kernel(
             return
         proj = _dot_pos_bf16x3(pspec2, mel_h, mel_l)
 
-        out_ref[0] = epilogue(proj, frame_energy)
+        tile = epilogue(proj, frame_energy)
+        if feature_tail is not None:
+            tile = feature_tail(tile, daug_ref, nvalid_ref[pl.program_id(0)])
+        out_ref[0] = tile
 
     return kernel
 
@@ -692,7 +826,7 @@ def _make_kernel(
 
 def _make_radix4_kernel(
     cfg: FrontendConfig, nc: int, S: int, n2: int, mp: int, block_frames: int,
-    slab_mode: bool,
+    slab_mode: bool, fused_tail: bool = False,
 ):
     hi = jax.lax.Precision.HIGHEST
     n_chunk_refs = 1 if slab_mode else nc
@@ -700,16 +834,26 @@ def _make_radix4_kernel(
     condition = _make_conditioning(cfg)
     gather_preemph = _gather_preemph(cfg)
     gather_dither = _gather_dither(cfg)
+    feature_tail = (
+        _make_feature_tail(cfg, mp, block_frames) if fused_tail else None
+    )
 
     def kernel(*refs):
+        nvalid_ref = None
         if slab_mode:
             lengths_ref, refs = refs[0], refs[1:]
+            if fused_tail:
+                nvalid_ref, refs = refs[0], refs[1:]
         else:
             lengths_ref = None
         chunk_refs = refs[:n_chunk_refs]
         rest = list(refs[n_chunk_refs:])
         we_ref = rest.pop(0) if cfg.energy_source == "windowed_frame" else None
-        if cfg.features == "ssc":
+        daug_ref = None
+        if fused_tail:
+            (win_ref, f0_ref, f1_ref, f2_ref, mel_h, mel_l,
+             daug_ref, out_ref) = rest
+        elif cfg.features == "ssc":
             (win_ref, f0_ref, f1_ref, f2_ref, mel_h, mel_l,
              melf_h, melf_l, eps_ref, out_ref) = rest
         else:
@@ -762,7 +906,10 @@ def _make_radix4_kernel(
         else:
             y = jnp.concatenate([x0, x1, x2], axis=-1)  # [FBLK, 4*N2]
             proj = _dot_pos_bf16x3(y * y, mel_h, mel_l)
-        out_ref[0] = epilogue(proj, frame_energy)
+        tile = epilogue(proj, frame_energy)
+        if feature_tail is not None:
+            tile = feature_tail(tile, daug_ref, nvalid_ref[pl.program_id(0)])
+        out_ref[0] = tile
 
     return kernel
 
@@ -913,10 +1060,16 @@ def _fused_logmel_energy(
     audio: jnp.ndarray | None, lengths: jnp.ndarray, cfg: FrontendConfig,
     num_frames: int, block_frames: int, interpret: bool, dft_passes: str,
     chunks: jnp.ndarray | None = None,
+    n_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """audio: RAW fp32 audio [B, T] (zero beyond each length, as pad_batch
     produces) → [B, fp, MP] where lanes [0:M] are log-mel, lane M is the
     clamped (unlogged) frame energy.
+
+    n_valid: per-utterance VALID frame counts [B] — passing it (for an
+    eligible mfcc config, slab mode, single frame block) activates the
+    fused cepstral tail: the output lanes become the FINAL features
+    [ceps | Δ | ΔΔ], masked/CMVN'd, and the XLA epilogue disappears.
 
     Slab mode consumes the raw audio directly — pre-emphasis and
     beyond-length zeroing happen in-kernel on the VMEM-resident window (the
@@ -1012,21 +1165,52 @@ def _fused_logmel_energy(
         memory_space=pltpu.VMEM,
     )
 
+    # Fused cepstral tail (r4): requires the per-utterance n_valid (only
+    # the caller knows the pre-extension lengths), slab mode (SMEM
+    # scalars) and the WHOLE utterance in one frame block
+    fused_tail = (
+        n_valid is not None
+        and slab_mode
+        and fp == block_frames
+        and mp == LANE
+        and fused_tail_reason(cfg) is None
+    )
+    if n_valid is not None and not fused_tail:
+        # the caller (fused_logmel_stages) predicts activation via
+        # fused_tail_active; a disagreement would silently mislabel the
+        # output lanes — fail loudly instead
+        raise AssertionError(
+            "n_valid passed but the fused tail did not activate "
+            f"(slab_mode={slab_mode}, fp={fp}, block={block_frames})"
+        )
+
     if dft_passes == "radix4":
         consts = [jnp.asarray(k[name]) for name in ("win4", "f0", "f1", "f2", "mel_h", "mel_l")]
-        kernel = _make_radix4_kernel(cfg, nc, S, n2, mp, block_frames, slab_mode)
+        kernel = _make_radix4_kernel(
+            cfg, nc, S, n2, mp, block_frames, slab_mode, fused_tail
+        )
         # stage-2 MACs: N2*N2 + 2N2*2N2 + N2*N2 = 6*N2^2, x6 fp32 passes;
         # the mel projection runs 3 bf16 passes (_dot_pos_bf16x3)
         mac_per_frame = 6 * n2 * n2 * 6 + 4 * n2 * mp * 3
     elif dft_passes == "bf16x3":
         consts = [jnp.asarray(k["dft_h"]), jnp.asarray(k["dft_l"]),
                   jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
-        kernel = _make_kernel(cfg, nc, S, mp, block_frames, dft_passes, slab_mode)
+        kernel = _make_kernel(
+            cfg, nc, S, mp, block_frames, dft_passes, slab_mode, fused_tail
+        )
         mac_per_frame = nc * S * k2 * 3 + k2 * mp * 3
     else:
         consts = [jnp.asarray(k["dft"]), jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
-        kernel = _make_kernel(cfg, nc, S, mp, block_frames, dft_passes, slab_mode)
+        kernel = _make_kernel(
+            cfg, nc, S, mp, block_frames, dft_passes, slab_mode, fused_tail
+        )
         mac_per_frame = nc * S * k2 * 6 + k2 * mp * 3
+
+    if fused_tail:
+        # consumed LAST (popped just before out_ref); HIGHEST-precision
+        # matmul of the [FBLK, MP] tile -> 6 passes over MP x LANE
+        consts = consts + [jnp.asarray(fused_tail_constants(cfg)["dctaug3"])]
+        mac_per_frame += mp * LANE * 6
 
     if cfg.features == "ssc":
         # freq-weighted mel split + per-lane clamp row, consumed LAST by
@@ -1058,8 +1242,11 @@ def _fused_logmel_energy(
         # batch-256 anomaly — per-utterance kernel time still grew
         # 14.6→18.0 µs from batch 64→256 after this change; the actual
         # mitigation is batch chunking in fused_logmel_stages.
+        scalars = [lengths]
+        if fused_tail:
+            scalars.append(n_valid.astype(jnp.int32))
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(scalars),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_spec,
@@ -1070,7 +1257,7 @@ def _fused_logmel_energy(
             out_shape=jax.ShapeDtypeStruct((B, fp, mp), jnp.float32),
             cost_estimate=cost,
             interpret=interpret,
-        )(lengths, *inputs)
+        )(*scalars, *inputs)
     else:
         out = pl.pallas_call(
             kernel,
@@ -1193,6 +1380,37 @@ def _auto_block_frames(num_frames: int) -> int:
     )
 
 
+def fused_tail_active(
+    cfg: FrontendConfig, num_frames: int,
+    block_frames: int | None = None, dft_passes: str = "radix4",
+) -> bool:
+    """THE single decision point for the in-kernel cepstral tail: True iff
+    _fused_logmel_energy will activate it for this (config, frame count,
+    block choice). fused_logmel_stages routes n_valid and picks the
+    stage-dict shape on this answer, so the two must never disagree —
+    _fused_logmel_energy asserts it."""
+    if fused_tail_reason(cfg) is not None:
+        return False
+    dft_passes = resolve_dft_passes(cfg, dft_passes)
+    if dft_passes == "radix4":
+        nc, S, _, mp = radix4_constants(cfg)["dims"]
+    else:
+        nc, S, _, mp = kernel_constants(cfg)["dims"]
+    if mp != LANE:
+        return False
+    if block_frames is None:
+        block_frames = _auto_block_frames(num_frames)
+    block_frames = _round_up(block_frames, 8)
+    block_frames = min(block_frames, max(8, _round_up(num_frames, 8)))
+    fp = _round_up(max(num_frames, block_frames), block_frames)
+    if fp != block_frames:
+        return False
+    return (
+        (SLAB_PROLOGUE_ROWS + fp + _slab_tail(nc)) * S * 4
+        <= SLAB_VMEM_BUDGET_BYTES
+    )
+
+
 def fused_logmel_stages(
     audio: jnp.ndarray | None,
     lengths: jnp.ndarray,
@@ -1206,6 +1424,7 @@ def fused_logmel_stages(
     chunks_t: int | None = None,
     chunks_frames: int | None = None,
     chunks_extended: bool = False,
+    feature_tail: bool | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Drop-in fused replacement for ops.chain.logmel_stages.
 
@@ -1215,6 +1434,13 @@ def fused_logmel_stages(
 
     interpret=None auto-enables Pallas interpreter mode off-TPU so the same
     code path runs under the CPU test mesh (SURVEY.md §4.2 item 6).
+
+    feature_tail=True opts into the r4 in-kernel cepstral tail
+    (DCT·lifter·energy + Δ/ΔΔ + CMVN fused into the kernel; the stage
+    dict then carries "features_fused" instead of logmel/energy). It is
+    NON-DEFAULT because it measured slower than the XLA epilogue
+    (docs/KERNEL.md §5); it activates only where fused_tail_active()
+    says the geometry allows (single frame block, slab mode).
 
     chunks: pre-built chunk slab in the slab_geometry layout (audio=None
     then; the producer must have applied input_scale already). The frame
@@ -1261,9 +1487,14 @@ def fused_logmel_stages(
         if chunks_extended and not centered:
             raise ValueError("chunks_extended only applies to center modes")
         F = cfg.num_frames(chunks_t) if chunks_t is not None else chunks_frames
+        tail_on = (
+            feature_tail is True
+            and fused_tail_active(cfg, F, block_frames, dft_passes)
+        )
         if block_frames is None:
             block_frames = _auto_block_frames(F)
         orig_lengths = lengths
+        nv = chain.num_valid_frames(orig_lengths, cfg) if tail_on else None
         if chunks_extended:
             # in-kernel beyond-length zeroing bound on the EXTENDED signal
             # (same formulas as _reflect_extend's new_len)
@@ -1276,30 +1507,37 @@ def fused_logmel_stages(
         B = chunks.shape[0]
         c = max_kernel_batch
         if c and B > max(c, CHUNK_TRIGGER_BATCH) and B % c == 0:
+            nv_m = (jnp.zeros_like(lengths) if nv is None else nv)
             out = jax.lax.map(
                 lambda t: _fused_logmel_energy(
                     None, t[1], cfg, F, block_frames, interpret, dft_passes,
-                    chunks=t[0],
+                    chunks=t[0], n_valid=t[2] if tail_on else None,
                 ),
                 (
                     chunks.reshape(B // c, c, *chunks.shape[1:]),
                     lengths.reshape(B // c, c),
+                    nv_m.reshape(B // c, c),
                 ),
             )
             out = out.reshape(B, *out.shape[2:])
         else:
             out = _fused_logmel_energy(
                 None, lengths, cfg, F, block_frames, interpret, dft_passes,
-                chunks=chunks,
+                chunks=chunks, n_valid=nv,
             )
-        return _stage_dict(out, orig_lengths, cfg, F)
+        return _stage_dict(out, orig_lengths, cfg, F, fused=tail_on)
     F = cfg.num_frames(audio.shape[-1])
+    tail_on = (
+        feature_tail is True
+        and fused_tail_active(cfg, F, block_frames, dft_passes)
+    )
     if block_frames is None:
         block_frames = _auto_block_frames(F)
     audio = audio.astype(jnp.float32)
     if cfg.input_scale != 1.0:
         audio = audio * jnp.float32(cfg.input_scale)
     orig_lengths = lengths
+    nv = chain.num_valid_frames(orig_lengths, cfg) if tail_on else None
     if cfg.frame_tail in ("center", "center_reflect"):
         if cfg.dither > 0.0:
             # noise precedes the reflection (the reflected head/tail carry
@@ -1321,25 +1559,32 @@ def fused_logmel_stages(
         # batches sit within 2-8% of the batch-64 per-utterance rate
         # (docs/KERNEL.md §6). Kept for callers that must bound per-call
         # HBM footprint.
+        nv_m = (
+            jnp.zeros_like(lengths) if nv is None else nv
+        )
         out = jax.lax.map(
             lambda t: _fused_logmel_energy(
-                t[0], t[1], cfg, F, block_frames, interpret, dft_passes
+                t[0], t[1], cfg, F, block_frames, interpret, dft_passes,
+                n_valid=t[2] if tail_on else None,
             ),
             (
                 audio.reshape(B // c, c, audio.shape[-1]),
                 lengths.reshape(B // c, c),
+                nv_m.reshape(B // c, c),
             ),
         )
         out = out.reshape(B, *out.shape[2:])
     else:
         out = _fused_logmel_energy(
-            audio, lengths, cfg, F, block_frames, interpret, dft_passes
+            audio, lengths, cfg, F, block_frames, interpret, dft_passes,
+            n_valid=nv,
         )
-    return _stage_dict(out, orig_lengths, cfg, F)
+    return _stage_dict(out, orig_lengths, cfg, F, fused=tail_on)
 
 
 def _stage_dict(
-    out: jnp.ndarray, orig_lengths: jnp.ndarray, cfg: FrontendConfig, F: int
+    out: jnp.ndarray, orig_lengths: jnp.ndarray, cfg: FrontendConfig, F: int,
+    fused: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Kernel output [B, fp, MP] → the stage dict features_from_logmel
     consumes. The hot path consumes only the contiguous [0:M+1] lane prefix
@@ -1353,6 +1598,16 @@ def _stage_dict(
     frame_mask_fp = (
         jnp.arange(fp)[None, :] < n_valid[:, None]
     ).astype(jnp.float32)
+    if fused:
+        # the r4 fused cepstral tail: output lanes are FINAL features
+        # (ceps | Δ | ΔΔ, masked/CMVN'd) — no logmel/energy views exist
+        return {
+            "features_fused": out[:, :F, : cfg.feat_dim],
+            "n_valid": n_valid,
+            "frame_mask": frame_mask_fp[:, :F],
+            "frame_mask_fp": frame_mask_fp,
+            "num_frames": F,
+        }
     return {
         "logmel": out[:, :F, : cfg.n_mels],
         "energy": out[:, :F, cfg.n_mels],

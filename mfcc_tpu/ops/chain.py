@@ -438,6 +438,11 @@ def features_from_logmel(
     the cepstral epilogue is ONE augmented matmul on that prefix — no
     single-lane energy slice, no c0 concat (each cost ~0.45 ms/step on v5e
     at batch-64 x 10 s); extract_batch trims the block padding at the end."""
+    if "features_fused" in stages:
+        # the kernel's fused cepstral tail already produced the FINISHED
+        # features (DCT·lifter·energy-c0, Δ/ΔΔ, masking and — when
+        # configured — utterance CMVN); nothing to do here
+        return stages["features_fused"]
     k = device_constants(cfg)
     n_valid = stages["n_valid"]
     frame_mask = stages.get("frame_mask_fp", stages["frame_mask"])

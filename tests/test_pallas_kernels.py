@@ -573,3 +573,94 @@ def test_radix4_nonaligned_n2_constants():
     assert n2 == 100 and (k["lanes_per_bin"] > 0).all()
     # odd N2 stays on the direct path
     assert not radix4_applicable(NAMED_CONFIGS["classic13"].replace(n_fft=404))
+
+
+# ---------------------------------------------------------------------------
+# r4 fused cepstral tail (OPT-IN): DCT·lifter·energy + Δ/ΔΔ + CMVN in-kernel
+# ---------------------------------------------------------------------------
+# Measured on v5e (slab path, interleaved medians): tail-on 0.81 ms vs
+# tail-off 0.67 at b64 x 10 s — the in-kernel tail pays MXU K-quantization
+# (a 128-wide 6-pass matmul for a 27-row x 39-col problem), ~30 serialized
+# VPU passes, and a 39-lane output relayout; XLA's epilogue overlaps all of
+# that better. The mode therefore stays OPT-IN (feature_tail=True) with
+# full equivalence gates, as a base for future fusion work (docs/KERNEL.md
+# §5). These tests pin its correctness.
+
+_TAIL_CASES = {
+    "deltas2": dict(name="classic13_deltas"),
+    "deltas2_cmvn": dict(name="classic13_deltas", cmvn="utterance"),
+    "deltas1": dict(name="classic13", deltas=1),
+    "plain13": dict(name="classic13"),
+    "no_energy": dict(name="classic13", append_energy=False),
+    "kaldi": dict(name="kaldi_mfcc"),
+    "kaldi_dither": dict(name="kaldi_mfcc", dither=1.0, dither_seed=5),
+    "kaldi_floor": dict(name="kaldi_mfcc", energy_floor=1e-3),
+    "kaldi_center": dict(name="kaldi_mfcc", frame_tail="center"),
+}
+
+
+def _extract_tail(audio, lengths, cfg):
+    from mfcc_tpu.kernels import fused_logmel_stages
+
+    st = fused_logmel_stages(
+        audio, lengths, cfg, interpret=True, feature_tail=True
+    )
+    assert "features_fused" in st
+    feat = chain.features_from_logmel(st, cfg)[:, : st["num_frames"]]
+    return feat, st["frame_mask"]
+
+
+@pytest.mark.parametrize("case", sorted(_TAIL_CASES))
+def test_fused_tail_matches_twin(case):
+    """The opt-in in-kernel cepstral tail (single frame block) reproduces
+    the twin's features_from_logmel + delta + cmvn chain, including the
+    valid-boundary tail replication on short/padded utterances."""
+    from mfcc_tpu.kernels import frontend as fe
+
+    kw = dict(_TAIL_CASES[case])
+    cfg = NAMED_CONFIGS[kw.pop("name")].replace(**kw)
+    assert fe.fused_tail_reason(cfg) is None
+    sigs = golden_signals()
+    xs = [sigs["speechish"], sigs["short"], np.zeros(700), sigs["noise"]]
+    b = pad_batch(xs, cfg, bucket_len=max(s.shape[0] for s in xs))
+    audio, lengths = jnp.asarray(b.audio), jnp.asarray(b.lengths)
+    F = cfg.num_frames(audio.shape[-1])
+    assert fe.fused_tail_active(cfg, F)
+
+    fj, mj = chain.extract_batch(audio, lengths, cfg, backend="jnp")
+    fp_, mp_ = _extract_tail(audio, lengths, cfg)
+    fj, fp_ = np.asarray(fj), np.asarray(fp_)
+    np.testing.assert_array_equal(np.asarray(mj), np.asarray(mp_))
+    # same gates as the existing cepstra path: fp32 op-order differences
+    # between Mosaic HIGHEST and XLA HIGHEST matmuls + the DFT lineage
+    scale = np.abs(fj).max()
+    np.testing.assert_allclose(fp_, fj, atol=max(2e-4, 2e-5 * scale), rtol=0)
+    # pad frames exactly zero
+    assert (fp_ * (1 - np.asarray(mp_))[..., None] == 0).all()
+
+
+def test_fused_tail_opt_in_and_routing():
+    """Default path never activates the tail (it measured slower than the
+    XLA epilogue); feature_tail=True activates it only where eligible, and
+    fused_tail_active rejects multi-block / non-mfcc configs."""
+    from mfcc_tpu.kernels import frontend as fe, fused_logmel_stages
+
+    cfg = NAMED_CONFIGS["classic13_deltas"]
+    assert fe.fused_tail_active(cfg, 999)
+    assert not fe.fused_tail_active(cfg, 2000)  # > 1024 frames: multi-block
+    for name in ("logmel80", "kaldi_plp", "ssc26"):
+        assert fe.fused_tail_reason(NAMED_CONFIGS[name]) is not None
+
+    g = np.random.default_rng(3)
+    b = pad_batch([g.standard_normal(16000) * 0.3], cfg)
+    audio, lengths = jnp.asarray(b.audio), jnp.asarray(b.lengths)
+    st = fused_logmel_stages(audio, lengths, cfg, interpret=True)
+    assert "features_fused" not in st and "logmel" in st
+    # opt-in on an INELIGIBLE geometry quietly falls back
+    g2 = np.random.default_rng(4)
+    b2 = pad_batch([g2.standard_normal(16000 * 15) * 0.3], cfg)
+    st2 = fused_logmel_stages(
+        jnp.asarray(b2.audio), jnp.asarray(b2.lengths), cfg,
+        interpret=True, feature_tail=True,
+    )
+    assert "features_fused" not in st2

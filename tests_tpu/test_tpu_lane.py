@@ -401,3 +401,30 @@ def test_slab_feed_on_tpu(tpu, signals):
                 np.asarray(f_sl)[i, : nv[i]], np.asarray(f_ref)[i, : nv[i]],
                 atol=1e-3, rtol=2e-3, err_msg=cname,
             )
+
+
+
+def test_fused_tail_on_tpu(tpu, signals):
+    """The OPT-IN r4 fused cepstral tail through Mosaic on the real chip:
+    in-kernel DCT·lifter·energy-c0 + Δ/ΔΔ + CMVN vs the jnp twin and vs
+    the default (XLA-epilogue) pallas route. The mode is non-default — it
+    measured slower than XLA's epilogue (see test_pallas_kernels.py) —
+    but its numerics are gated on hardware."""
+    import jax.numpy as jnp
+
+    from mfcc_tpu.kernels import frontend as fe
+    from mfcc_tpu.kernels import fused_logmel_stages
+
+    for kw in ({}, dict(cmvn="utterance"), dict(dither=1.0, dither_seed=5)):
+        cfg = NAMED_CONFIGS["classic13_deltas"].replace(**kw)
+        assert fe.fused_tail_active(cfg, 999)
+        audio, lengths = _batch(signals, cfg, ["speechish", "short"])
+        st = fused_logmel_stages(audio, lengths, cfg, feature_tail=True)
+        assert "features_fused" in st
+        f_tail = chain.features_from_logmel(st, cfg)[:, : st["num_frames"]]
+        f_jn, m_jn = chain.extract_batch(audio, lengths, cfg, backend="jnp")
+        f_pl, _ = chain.extract_batch(audio, lengths, cfg, backend="pallas")
+        _assert_feat_close(f_tail, f_jn, cfg)
+        np.testing.assert_allclose(
+            np.asarray(f_tail), np.asarray(f_pl), atol=2e-4, rtol=1e-4
+        )
