@@ -32,7 +32,7 @@ from mfcc_tpu.ops import reference_numpy as R
 
 __all__ = [
     "mfcc", "fbank", "logfbank", "ssc", "delta", "lifter",
-    "hz2mel", "mel2hz", "get_filterbanks", "as_config",
+    "hz2mel", "mel2hz", "get_filterbanks", "as_config", "as_kaldi_config",
     "preemphasis", "framesig", "deframesig", "magspec", "powspec",
     "logpowspec",
 ]
@@ -270,3 +270,140 @@ def as_config(samplerate=16000, winlen=0.025, winstep=0.01, numcep=13,
         features=features, n_ceps=int(numcep), lifter=int(ceplifter),
         append_energy=bool(appendEnergy), deltas=int(deltas), cmvn=cmvn,
     )
+
+
+_KALDI_WINDOWS = {
+    "povey": "povey",
+    "hamming": "hamming_sym",
+    "hanning": "hann_sym",
+    "rectangular": "rect",
+    "blackman": "blackman_sym",
+}
+
+
+def as_kaldi_config(
+    feature_type: str = "mfcc",
+    *,
+    sample_frequency: float = 16000.0,
+    frame_length: float = 25.0,   # milliseconds (Kaldi/torchaudio units)
+    frame_shift: float = 10.0,
+    window_type: str = "povey",
+    blackman_coeff: float = 0.42,
+    round_to_power_of_two: bool = True,
+    snip_edges: bool = True,
+    preemphasis_coefficient: float = 0.97,
+    remove_dc_offset: bool = True,
+    dither: float = 1.0,
+    num_mel_bins: int = 23,
+    low_freq: float = 20.0,
+    high_freq: float = 0.0,       # <= 0: nyquist + high_freq (Kaldi)
+    vtln_warp: float = 1.0,
+    vtln_low: float = 100.0,
+    vtln_high: float = -500.0,
+    num_ceps: int = 13,
+    cepstral_lifter: float = 22.0,
+    use_energy: bool = True,
+    raw_energy: bool = True,
+    energy_floor: float = 0.0,
+    subtract_mean: bool = False,
+    htk_compat: bool = False,
+    channel: int = -1,
+    deltas: int = 0,
+) -> FrontendConfig:
+    """Map Kaldi `compute-{mfcc,fbank,plp}-feats` / `torchaudio.compliance
+    .kaldi` flag names onto a :class:`FrontendConfig` (the migration bridge
+    for the Kaldi convention lineage — reference semantics certified in
+    tests/test_kaldi_conventions.py and tests/test_plp.py).
+
+    Defaults are the KALDI BINARY defaults (note `use_energy=True` and
+    `dither=1.0` — torchaudio's wrappers default some of these
+    differently; pass your call site's values explicitly when migrating
+    from torchaudio). `subtract_mean=True` maps to mean-only utterance
+    CMVN. Unsupported-by-design flags raise: `htk_compat` (reorders and
+    rescales the energy coefficient) and non-default `blackman_coeff`
+    (the framework ships the standard 0.42 Blackman only).
+    """
+    if feature_type not in ("mfcc", "fbank", "plp"):
+        raise ValueError(f"feature_type {feature_type!r}")
+    if htk_compat:
+        raise ValueError("htk_compat=True is not supported")
+    if window_type not in _KALDI_WINDOWS:
+        raise ValueError(
+            f"window_type {window_type!r}; known: {sorted(_KALDI_WINDOWS)}"
+        )
+    if window_type == "blackman" and abs(blackman_coeff - 0.42) > 1e-12:
+        raise ValueError("only the standard blackman_coeff=0.42 is supported")
+    if channel not in (-1, 0):
+        raise ValueError(
+            "channel selection happens at decode time (downmix='first'); "
+            "only channel in (-1, 0) maps"
+        )
+    sr = int(sample_frequency)
+    win_len_s = frame_length / 1000.0
+    frame_samples = int(win_len_s * sr + 0.5)
+    if round_to_power_of_two:
+        n_fft = 1
+        while n_fft < frame_samples:
+            n_fft *= 2
+    else:
+        n_fft = frame_samples
+    kw = dict(
+        sample_rate=sr,
+        win_len_s=win_len_s,
+        hop_s=frame_shift / 1000.0,
+        n_fft=n_fft,
+        window=_KALDI_WINDOWS[window_type],
+        frame_tail="drop" if snip_edges else "center",
+        preemph=float(preemphasis_coefficient),
+        preemph_mode="frame",
+        remove_dc_offset=bool(remove_dc_offset),
+        dither=float(dither),
+        n_mels=int(num_mel_bins),
+        mel_variant="tf_continuous",
+        mel_low_hz=float(low_freq),
+        mel_high_hz=(
+            None if high_freq == 0.0
+            else (sr / 2.0 + high_freq if high_freq < 0 else float(high_freq))
+        ),
+        vtln_warp=float(vtln_warp),
+        vtln_low_hz=float(vtln_low),
+        vtln_high_hz=float(vtln_high),
+        power_scale_nfft=False,
+        log_eps=1.1920928955078125e-07,  # FLT_EPSILON (Kaldi's floor)
+        energy_floor=float(energy_floor),
+        deltas=int(deltas),
+        cmvn="utterance" if subtract_mean else "off",
+    )
+    if subtract_mean:
+        kw["cmvn_var_norm"] = False  # Kaldi subtract_mean is mean-only
+    if feature_type == "mfcc":
+        kw.update(
+            features="mfcc",
+            log_kind="ln_floor",
+            n_ceps=int(num_ceps),
+            lifter=int(cepstral_lifter),
+            append_energy=bool(use_energy),
+            energy_source="raw_frame" if raw_energy else "windowed_frame",
+        )
+    elif feature_type == "plp":
+        kw.update(
+            features="plp",
+            n_ceps=int(num_ceps),
+            lifter=int(cepstral_lifter),
+            append_energy=bool(use_energy),
+            energy_source="raw_frame" if raw_energy else "windowed_frame",
+        )
+    else:  # fbank
+        kw.update(
+            features="logmel",
+            log_kind="ln_floor",
+            append_energy=False,
+            lifter=0,
+        )
+        if use_energy:
+            raise ValueError(
+                "fbank use_energy=True (energy column prepended to the "
+                "bins) is not mapped; extract mfcc with use_energy or "
+                "post-process"
+            )
+    return FrontendConfig(**kw)

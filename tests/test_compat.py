@@ -162,3 +162,78 @@ def test_as_config_rect_default_and_reject_unknown():
     # ...but a window outside the enum still rejects cleanly
     with pytest.raises(ValueError, match="winfunc"):
         compat.as_config(winfunc=np.bartlett)
+
+
+# ---------------------------------------------------------------------------
+# Kaldi/torchaudio flag-name migration bridge (r4)
+# ---------------------------------------------------------------------------
+
+
+def test_as_kaldi_config_defaults_match_named_configs():
+    """Kaldi-binary defaults (minus dither, which the named configs turn
+    off for determinism) reproduce the certified kaldi_* named configs
+    exactly — the bridge and the convention work agree field for field."""
+    import dataclasses
+
+    from mfcc_tpu.config import NAMED_CONFIGS
+
+    for ft, name, extra in (
+        ("mfcc", "kaldi_mfcc", {}),
+        ("fbank", "kaldi_fbank", dict(use_energy=False)),
+        ("plp", "kaldi_plp", {}),
+    ):
+        a = compat.as_kaldi_config(ft, dither=0.0, **extra)
+        b = NAMED_CONFIGS[name]
+        diff = {
+            f.name: (getattr(a, f.name), getattr(b, f.name))
+            for f in dataclasses.fields(a)
+            if getattr(a, f.name) != getattr(b, f.name)
+        }
+        assert not diff, (ft, diff)
+
+
+def test_as_kaldi_config_flag_mapping():
+    cfg = compat.as_kaldi_config(
+        "mfcc", sample_frequency=8000.0, frame_length=20.0, frame_shift=5.0,
+        window_type="hamming", snip_edges=False, num_mel_bins=40,
+        low_freq=40.0, high_freq=-400.0, num_ceps=20, cepstral_lifter=0,
+        use_energy=False, raw_energy=False, energy_floor=1e-2,
+        subtract_mean=True, round_to_power_of_two=True, dither=0.5,
+    )
+    assert cfg.sample_rate == 8000 and cfg.n_fft == 256  # 160 -> pow2
+    assert cfg.window == "hamming_sym" and cfg.frame_tail == "center"
+    assert cfg.mel_high_hz == 8000 / 2 - 400.0 and cfg.mel_low_hz == 40.0
+    assert cfg.n_ceps == 20 and cfg.lifter == 0 and not cfg.append_energy
+    assert cfg.energy_source == "windowed_frame"
+    assert cfg.cmvn == "utterance" and not cfg.cmvn_var_norm
+    assert cfg.dither == 0.5 and cfg.energy_floor == 1e-2
+    # no pow2 rounding keeps the odd FFT length (direct-DFT path handles it)
+    cfg2 = compat.as_kaldi_config(
+        "mfcc", frame_length=25.0, round_to_power_of_two=False
+    )
+    assert cfg2.n_fft == 400
+
+    # the mapped config actually extracts (jnp chain, short utterance)
+    import numpy as np
+
+    from mfcc_tpu.ops import chain
+
+    x = (np.random.default_rng(0).standard_normal(8000) * 3000).astype(
+        np.float32
+    )
+    feat = chain.extract_single(x, cfg.replace(dither=0.0), backend="jnp")
+    assert feat.shape[1] == 20 and np.isfinite(feat).all()
+
+
+def test_as_kaldi_config_rejects_unsupported():
+    with pytest.raises(ValueError, match="htk_compat"):
+        compat.as_kaldi_config("mfcc", htk_compat=True)
+    with pytest.raises(ValueError, match="blackman_coeff"):
+        compat.as_kaldi_config("mfcc", window_type="blackman",
+                               blackman_coeff=0.5)
+    with pytest.raises(ValueError, match="window_type"):
+        compat.as_kaldi_config("mfcc", window_type="kaiser")
+    with pytest.raises(ValueError, match="channel"):
+        compat.as_kaldi_config("mfcc", channel=3)
+    with pytest.raises(ValueError, match="use_energy"):
+        compat.as_kaldi_config("fbank", use_energy=True)

@@ -73,22 +73,31 @@ def test_random_config_fp64_exact(draw):
     )
 
 
-@pytest.mark.parametrize("draw", range(8))
+@pytest.mark.parametrize("draw", range(10))
 def test_random_config_pallas_matches_twin(draw):
     """The fused kernel (interpret mode) tracks the jnp twin across random
-    knob combinations too (fp32, loud-bin gates as in the kernel suite)."""
+    knob combinations too (fp32, loud-bin gates as in the kernel suite).
+    Every feature family is kernel-resident as of r4 — ssc included — and
+    a third of draws turn dither on (the in-kernel noise contract)."""
     g = np.random.default_rng((918, draw))
     cfg = _random_config(g).replace(dtype="float32")
-    if cfg.features == "ssc":
-        cfg = cfg.replace(features="mfcc")
+    if g.random() < 0.33:
+        cfg = cfg.replace(dither=float(g.choice([0.1, 1.0])),
+                          dither_seed=int(g.integers(0, 2**31)))
     n = int(cfg.sample_rate * (0.3 + 0.3 * g.random()))
     x = (g.standard_normal(n) * 1000.0).astype(np.float32)
     got = chain.extract_single(x, cfg, backend="pallas")
     want = chain.extract_single(x, cfg, backend="jnp")
     assert got.shape == want.shape, cfg
-    np.testing.assert_allclose(
-        got, want, atol=5e-4, rtol=1e-3, err_msg=f"draw {draw}: {cfg}"
-    )
+    if cfg.features == "ssc" and cfg.cmvn == "off":
+        # centroids are O(kHz): gate relative
+        np.testing.assert_allclose(
+            got, want, rtol=1e-4, atol=5e-2, err_msg=f"draw {draw}: {cfg}"
+        )
+    else:
+        np.testing.assert_allclose(
+            got, want, atol=5e-4, rtol=1e-3, err_msg=f"draw {draw}: {cfg}"
+        )
 
 
 @pytest.mark.parametrize("draw", range(6))
