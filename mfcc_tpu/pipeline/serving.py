@@ -192,14 +192,14 @@ class MultiStreamExtractor:
                 need = self._base_need(slot)
                 if need is None:
                     continue
-                win, valid = need
+                valid, pad = need
                 if wins is None:
                     wins = np.zeros(
                         (self.n_streams, self.span + 1), dtype=np.float32
                     )
                     valids = np.zeros((self.n_streams,), dtype=np.int32)
                 row = len(reqs)
-                wins[row] = win
+                slot.ex._prepare_base(pad=pad, out=wins[row])
                 valids[row] = valid
                 reqs.append((sid, slot, row))
             if reqs:
@@ -299,13 +299,15 @@ class MultiStreamExtractor:
             self.stats["sessions_finished"] += 1
 
     def _base_need(self, slot: _Slot):
-        """(window, valid) if the stream has a base block to compute."""
+        """(valid, pad) if the stream has a base block to compute — the
+        window itself is assembled straight into the pool's batched rows
+        by poll() (ex._prepare_base(out=...), no per-stream staging)."""
         ex = slot.ex
         if not slot.ended:
             if ex._avail_samples() >= ex.span:
-                return ex._prepare_base(), ex.span
+                return ex.span, False
             return None
         if slot.total_frames and ex._t0 < slot.total_frames:
             valid = max(0, min(ex._avail_samples(), ex.span))
-            return ex._prepare_base(pad=True), valid
+            return valid, True
         return None

@@ -147,6 +147,61 @@ def _make_finalize(cfg: FrontendConfig, rows: int):
     return fin
 
 
+class _SampleBuf:
+    """Chunk-deque sample FIFO: O(chunk) append (no rebuild of the whole
+    buffer per push — the r2 implementation concatenated, making a
+    session's push cost grow with its backlog), windowed copy-out, O(1)
+    amortized drop. Float32 1-D semantics identical to the flat ndarray
+    it replaces (tests/test_streaming.py's parity suite is the gate)."""
+
+    __slots__ = ("_chunks", "_head", "_n")
+
+    def __init__(self):
+        import collections
+
+        self._chunks = collections.deque()
+        self._head = 0  # consumed prefix of _chunks[0]
+        self._n = 0
+
+    def __len__(self) -> int:
+        return self._n
+
+    def append(self, a: np.ndarray) -> None:
+        if a.shape[0]:
+            self._chunks.append(a)
+            self._n += a.shape[0]
+
+    def peek_into(self, out: np.ndarray, n: int) -> int:
+        """Copy the first min(n, len) samples into out[:got]; returns got."""
+        got = 0
+        head = self._head
+        for c in self._chunks:
+            if got >= n:
+                break
+            seg = c[head : head + (n - got)]
+            out[got : got + seg.shape[0]] = seg
+            got += seg.shape[0]
+            head = 0
+        return got
+
+    def drop(self, n: int) -> None:
+        """Remove the first min(n, len) samples (the flat-ndarray slice
+        this replaces clamped the same way — pad/flush blocks advance past
+        the buffered tail)."""
+        n = min(n, self._n)
+        self._n -= n
+        while n:
+            c = self._chunks[0]
+            avail = c.shape[0] - self._head
+            if avail <= n:
+                n -= avail
+                self._chunks.popleft()
+                self._head = 0
+            else:
+                self._head += n
+                n = 0
+
+
 class StreamingExtractor:
     """Incremental single-stream extractor; see module docstring.
 
@@ -218,8 +273,8 @@ class StreamingExtractor:
         L, S = cfg.frame_length, cfg.frame_step
         self._L, self._S = L, S
 
-        self._raw = np.zeros(0, dtype=np.float32)  # samples from t=_t0*S - 1
-        self._have_pre = False  # _raw[0] is the pre-context sample?
+        self._raw = _SampleBuf()  # samples from t = _t0*S - 1
+        self._have_pre = False  # _raw's first sample is the pre-context?
         self._t0 = 0  # first frame not yet base-computed
         self._n_samples = 0  # total samples pushed
         self._base = np.zeros((0, self._base_dim()), dtype=np.float32)
@@ -288,7 +343,7 @@ class StreamingExtractor:
 
     def _avail_samples(self) -> int:
         """Samples on hand counting from frame _t0's start."""
-        return self._raw.shape[0] - (1 if self._have_pre else 0)
+        return len(self._raw) - (1 if self._have_pre else 0)
 
     def _ingest(self, samples: np.ndarray) -> None:
         """Buffer a chunk (resampling to cfg.sample_rate when configured);
@@ -296,27 +351,33 @@ class StreamingExtractor:
         samples = np.asarray(samples, dtype=np.float32).reshape(-1)
         if self._resampler is not None:
             samples = self._resampler.push(samples)
-        self._raw = np.concatenate([self._raw, samples])
+        else:
+            samples = samples.copy()  # the buffer keeps a reference; the
+            # caller may mutate/reuse its array after push returns
+        self._raw.append(samples)
         self._n_samples += samples.shape[0]
 
     def _ingest_tail(self) -> None:
         """Drain the resampler's look-ahead tail at end of stream."""
         if self._resampler is not None:
             tail = self._resampler.flush()
-            self._raw = np.concatenate([self._raw, tail])
+            self._raw.append(tail)
             self._n_samples += tail.shape[0]
 
-    def _prepare_base(self, pad: bool = False) -> np.ndarray:
+    def _prepare_base(self, pad: bool = False, out: np.ndarray | None = None
+                      ) -> np.ndarray:
         """Host-only: assemble the (span+1,) sample window for frames
         [_t0, _t0+K); row 0 is the pre-context sample, data past the buffer
-        is zero (only legal for pad/flush blocks)."""
+        is zero (only legal for pad/flush blocks). `out` (zeroed,
+        >= span+1) lets the serving pool assemble straight into its
+        batched rows — no per-stream staging array."""
         need = self.span + 1  # + pre-context row
-        win = np.zeros(need, dtype=np.float32)
-        src = self._raw if self._have_pre else np.concatenate(
-            [np.zeros(1, dtype=np.float32), self._raw]
-        )
-        n = min(src.shape[0], need)
-        win[:n] = src[:n]
+        win = out if out is not None else np.zeros(need, dtype=np.float32)
+        if self._have_pre:
+            n = self._raw.peek_into(win, need)
+        else:
+            n = 1 + self._raw.peek_into(win[1:], need - 1)
+            win[0] = 0.0  # synthetic pre-context x[-1] = 0
         if not pad and n < need:
             raise AssertionError("block underflow")  # guarded by caller
         return win
@@ -326,8 +387,7 @@ class StreamingExtractor:
         self._base = np.concatenate([self._base, base], axis=0)
         # advance: keep raw from sample (t0+K)*S - 1 onward
         adv = self.K * self._S
-        drop = adv if self._have_pre else adv - 1
-        self._raw = self._raw[drop:]
+        self._raw.drop(adv if self._have_pre else adv - 1)
         self._have_pre = True
         self._t0 += self.K
 
