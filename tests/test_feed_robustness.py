@@ -227,3 +227,64 @@ def test_resume_partial_decodes_only_new(corpus, tmp_path, monkeypatch):
     for s in out.glob("h0-*.npz"):
         got.update(read_shard(s))
     assert set(extra) <= set(got)
+
+
+def test_header_stream_worker_death_falls_back(corpus, monkeypatch):
+    """r4: phase-A header parses run in the worker pool; a worker dying
+    mid-header-chunk must degrade that chunk to the serial parse (no file
+    silently dropped, stats identical)."""
+    from mfcc_tpu.config import named_config
+    from mfcc_tpu.io import DecodeStats
+
+    cfg = named_config("classic13_deltas")
+
+    class _DeadJob:
+        def __init__(self):
+            import threading
+
+            self.event = threading.Event()
+            self.event.set()
+            self.error = "feed worker died"
+            self.heads = None
+            self.fails = []
+
+    class _DeadPool:
+        def submit(self, cmd):
+            assert cmd["op"] == "parse_headers"
+            return _DeadJob()
+
+    stats = DecodeStats()
+    out = list(reader._mp_header_stream(
+        corpus, _DeadPool(), cfg.sample_rate, stats, chunk=4, depth=2
+    ))
+    assert [p for p, _ in out] == corpus  # every file survived, in order
+    got = {p: n for p, n in out}
+    for i, p in enumerate(corpus):
+        assert got[p] == 4000 + 160 * i
+    assert stats.errors == 0 and stats.wrong_rate == 0
+
+
+def test_header_stream_error_and_wrong_rate_rows(corpus, tmp_path):
+    """Worker-reported header errors keep the parent's skip/log/stats
+    semantics: corrupt rows count as errors, wrong-rate rows as
+    wrong_rate, and neither reaches the bucketing loop."""
+    from mfcc_tpu.config import named_config
+    from mfcc_tpu.io import DecodeStats, write_wav
+
+    cfg = named_config("classic13_deltas")
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFFxxxxWAVEjunkjunk")
+    wrong = tmp_path / "wrong.wav"
+    write_wav(wrong, 8000, np.zeros(64, np.int16))
+    files = corpus[:3] + [str(bad), str(wrong)] + corpus[3:]
+
+    pool, private = reader._acquire_mp_pool(2)
+    try:
+        stats = DecodeStats()
+        out = list(reader._mp_header_stream(
+            files, pool, cfg.sample_rate, stats, chunk=3, depth=2
+        ))
+        assert [p for p, _ in out] == corpus
+        assert stats.errors == 1 and stats.wrong_rate == 1
+    finally:
+        reader._release_mp_pool(pool, private)
