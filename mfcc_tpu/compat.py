@@ -339,8 +339,15 @@ def as_kaldi_config(
             "only channel in (-1, 0) maps"
         )
     sr = int(sample_frequency)
-    win_len_s = frame_length / 1000.0
-    frame_samples = int(win_len_s * sr + 0.5)
+    # Kaldi TRUNCATES when converting ms to samples (FrameExtractionOptions
+    # ::WindowSize/WindowShift: static_cast<int32>(samp_freq * 0.001 * ms)).
+    # FrontendConfig rounds win_len_s*sr, so derive the second-unit values
+    # FROM the truncated sample counts — at e.g. 11025 Hz / 25 ms Kaldi
+    # uses 275 samples where naive rounding gives 276 (review r4).
+    frame_samples = int(sr * 0.001 * frame_length)
+    hop_samples = int(sr * 0.001 * frame_shift)
+    if frame_samples < 1 or hop_samples < 1:
+        raise ValueError("frame_length/frame_shift too small for this rate")
     if round_to_power_of_two:
         n_fft = 1
         while n_fft < frame_samples:
@@ -349,9 +356,9 @@ def as_kaldi_config(
         n_fft = frame_samples
     kw = dict(
         sample_rate=sr,
-        win_len_s=win_len_s,
-        hop_s=frame_shift / 1000.0,
-        n_fft=n_fft,
+        win_len_s=frame_samples / sr,
+        hop_s=hop_samples / sr,
+        n_fft=int(n_fft),
         window=_KALDI_WINDOWS[window_type],
         frame_tail="drop" if snip_edges else "center",
         preemph=float(preemphasis_coefficient),

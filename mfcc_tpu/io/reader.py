@@ -778,9 +778,22 @@ def _mp_header_stream(files, pool, expect_sr: int, stats: "DecodeStats",
     the consumer thread's per-file cost drops from a Python open + prefix
     read to amortized bookkeeping (VERDICT r2 item 8). Skip/log/stats
     semantics are exactly _parse_header_counted's; a dead worker degrades
-    that chunk to the serial parse instead of dropping files."""
+    that chunk to the serial parse instead of dropping files.
+
+    Chunked collection blocks until `chunk` paths are available, so a
+    LAZY producer (a generator that discovers files over time) would
+    stall the feed waiting to fill a chunk — those callers keep the
+    serial per-path parse (review r4); concrete sequences (the CLI's
+    globbed lists) take the pooled path."""
     import collections
     import itertools
+
+    if not isinstance(files, (list, tuple)):
+        for path in files:
+            n = _parse_header_counted(path, expect_sr, stats)
+            if n is not None:
+                yield path, n
+        return
 
     it = iter(files)
     inflight: collections.deque = collections.deque()

@@ -276,9 +276,18 @@ def parse_file_header(path) -> tuple[int, int]:
             raise WavError(_DECODE_ERRORS.get(rc, f"decode error {rc}"))
     import os
 
+    # prefix-first like the consumer-thread parse it replaces: a full
+    # f.read() here would pull entire (possibly huge) files through
+    # memory just for (sr, n) whenever the native lib is absent
     with open(path, "rb") as f:
-        data = f.read()
-        return parse_wav_header(data, os.fstat(f.fileno()).st_size)
+        prefix = f.read(8192)
+        size = os.fstat(f.fileno()).st_size
+        if len(prefix) == 8192:
+            try:
+                return parse_wav_header(prefix, file_size=size)
+            except ValueError:
+                return parse_wav_header(prefix + f.read())
+        return parse_wav_header(prefix)
 
 
 def _parse_numpy_header(data: bytes, file_size: int) -> tuple[int, int]:

@@ -498,9 +498,9 @@ def features_from_logmel(
     elif cfg.features == "plp":
         base = plp_base(stages["melspec"], stages["energy"], cfg)
     elif cfg.features == "ssc":
-        # spectral subband centroids need the raw power spectrum, which
-        # only the jnp twin materializes (the fused kernel's epilogue
-        # folds pspec into log-mel lanes) — extract_batch guards this
+        # jnp-twin ssc path (the fused kernel computes centroids in its
+        # own epilogue and returns via the prefix branch above): clamp the
+        # power spectrum, then the paired freq-weighted/plain mel matmuls
         pspec = stages["pspec"]
         eps = jnp.asarray(cfg.log_eps, pspec.dtype)
         p = jnp.where(pspec <= 0, eps, pspec)

@@ -161,8 +161,10 @@ def main() -> int:
     # measurements instead of absorbing it asymmetrically. The lockstep
     # cross-process reduce amplifies any straggler, so isolation matters
     # more than per-process core count here.
+    # clamp to real cores: on a 1-core host both processes share core 0
+    # (the measurement degrades but the harness still runs)
     lo = str(max(0, ncores - 2))
-    hi = str(max(1, ncores - 1))
+    hi = str(max(0, ncores - 1))
 
     # The dev VM's background load still adds ms-scale noise to single
     # runs: alternate baseline/scaled rounds and take medians.

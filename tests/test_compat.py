@@ -237,3 +237,15 @@ def test_as_kaldi_config_rejects_unsupported():
         compat.as_kaldi_config("mfcc", channel=3)
     with pytest.raises(ValueError, match="use_energy"):
         compat.as_kaldi_config("fbank", use_energy=True)
+
+
+def test_as_kaldi_config_truncates_ms_like_kaldi():
+    """Kaldi truncates ms->samples (FrameExtractionOptions::WindowSize);
+    at 11025 Hz / 25 ms that is 275 samples, not round(275.625)=276
+    (review r4). The derived win_len_s/hop_s must reproduce the truncated
+    counts through FrontendConfig's own rounding."""
+    cfg = compat.as_kaldi_config("mfcc", sample_frequency=11025.0)
+    assert cfg.frame_length == 275 and cfg.frame_step == 110
+    assert cfg.n_fft == 512
+    cfg = compat.as_kaldi_config("mfcc", sample_frequency=22050.0)
+    assert cfg.frame_length == 551 and cfg.frame_step == 220
