@@ -288,3 +288,31 @@ def test_header_stream_error_and_wrong_rate_rows(corpus, tmp_path):
         assert stats.errors == 1 and stats.wrong_rate == 1
     finally:
         reader._release_mp_pool(pool, private)
+
+
+def test_mp_feed_accepts_lazy_file_iterable(corpus):
+    """A generator `files` producer keeps working (serial header fallback,
+    review r4) and yields byte-identical batches to the list path."""
+    from mfcc_tpu.config import named_config
+    from mfcc_tpu.io import DecodeStats
+
+    cfg = named_config("classic13_deltas")
+
+    def collect(files):
+        stats = DecodeStats()
+        out = []
+        for b in reader.stream_batches_mp(
+            files, cfg, batch_size=4, stats=stats
+        ):
+            out.append((np.array(b.audio, copy=True),
+                        np.array(b.lengths), list(b.ids)))
+            b.release()
+        return out
+
+    a = collect(list(corpus))
+    g = collect(iter(corpus))  # generator-ish lazy producer
+    assert len(a) == len(g) > 0
+    for (a1, l1, i1), (a2, l2, i2) in zip(a, g):
+        assert i1 == i2
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_array_equal(a1, a2)
