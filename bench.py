@@ -38,8 +38,23 @@ def main() -> int:
                    help="any named config (e.g. logmel80 for BASELINE #3)")
     p.add_argument("--batch", type=int, default=B)
     p.add_argument("--seconds", type=int, default=SECONDS)
+    p.add_argument("--all", action="store_true",
+                   help="sweep every fused-path named config (one JSON line "
+                        "each; the flagship prints LAST so line-parsers that "
+                        "read the final line still get the headline metric)")
     args = p.parse_args()
 
+    if args.all:
+        rc = 0
+        for name in ("logmel80", "ssc26", "kaldi_mfcc", "kaldi_fbank",
+                     "kaldi_plp", "whisper80", "mfcc39_48k", "classic13",
+                     "classic13_deltas"):
+            rc |= bench_one(name, args.batch, args.seconds)
+        return rc
+    return bench_one(args.config, args.batch, args.seconds)
+
+
+def bench_one(config_name: str, batch: int, seconds: int) -> int:
     import jax
     import jax.numpy as jnp
 
@@ -47,8 +62,8 @@ def main() -> int:
     from mfcc_tpu.ops import chain
     from mfcc_tpu.pipeline import device_layout, pad_batch
 
-    cfg = named_config(args.config)
-    B_, SECONDS_ = args.batch, args.seconds
+    cfg = named_config(config_name)
+    B_, SECONDS_ = batch, seconds
     g = np.random.default_rng(0)
     sr = cfg.input_sample_rate or cfg.sample_rate
     backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
@@ -120,7 +135,7 @@ def main() -> int:
                 "vs_baseline": round(value / CPU_BASELINE_AUDIO_S_PER_S, 2),
                 "platform": jax.default_backend(),
                 "backend": backend,
-                "config": args.config,
+                "config": config_name,
                 "ms_per_step": round(best * 1e3, 4),
                 "batch": B_,
                 "utterance_s": SECONDS_,
