@@ -1366,7 +1366,10 @@ def _gather_dither(cfg: FrontendConfig) -> tuple[float, int] | None:
     return (cfg.dither, cfg.dither_seed)
 
 
-_BLOCK_CANDIDATES = (256, 512, 1024)
+# 2048 added r4: at 20-s utterances (1999 frames) one 2048 block beats
+# 2x1024 (0.876 vs 0.896 ms at b32, v5e); padding-minimization still
+# picks 1024 for <=1024-frame utterances.
+_BLOCK_CANDIDATES = (256, 512, 1024, 2048)
 
 
 def _auto_block_frames(num_frames: int) -> int:

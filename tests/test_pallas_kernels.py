@@ -647,7 +647,7 @@ def test_fused_tail_opt_in_and_routing():
 
     cfg = NAMED_CONFIGS["classic13_deltas"]
     assert fe.fused_tail_active(cfg, 999)
-    assert not fe.fused_tail_active(cfg, 2000)  # > 1024 frames: multi-block
+    assert not fe.fused_tail_active(cfg, 4000)  # beyond the largest block candidate: multi-block
     for name in ("logmel80", "kaldi_plp", "ssc26"):
         assert fe.fused_tail_reason(NAMED_CONFIGS[name]) is not None
 
