@@ -436,6 +436,7 @@ SLAB_PROLOGUE_ROWS = 8
 def _gather_frames(
     chunk_refs, nc: int, S: int, block_frames: int, slab_mode: bool,
     preemph: float, lengths_ref, dither: tuple[float, int] | None = None,
+    convert_scale: float | None = None,
 ):
     """[FBLK, nc*S] frame block from either the resident chunk slab (sliced
     at dynamic sublane offsets) or nc pre-shifted chunk views.
@@ -444,6 +445,15 @@ def _gather_frames(
     beyond-length zeroing here (one VPU pass over the loaded window) — the
     XLA-side passes over [B, T] are skipped entirely. View mode receives
     audio already dithered/preemphasized/zeroed by the caller.
+
+    convert_scale: set (to cfg.input_scale, usually 1.0) when the slab
+    carries INT16 PCM rows: the loaded window converts to fp32 and scales
+    here, in the same VPU pass that already does dither/preemph — the
+    kernel then reads HALF the HBM bytes the fp32 slab cost (the feed's
+    int16 rows reach the MXU without ever materializing an fp32 slab;
+    i16→f32 is exact, so parity with the fp32-slab path is bitwise —
+    VERDICT r4 item 1). None for fp32 slabs (scale already applied by the
+    caller).
 
     dither: (stddev, seed) to add the signal-level contract noise
     (ops/dither.py) IN-KERNEL: the slab's (row, lane) indices are exactly
@@ -465,6 +475,10 @@ def _gather_frames(
         base = pl.multiple_of(pl.program_id(1) * block_frames, block_frames)
         n_rows = block_frames + tail + pro
         big = slab[0, pl.ds(base, n_rows), :]  # padded rows [base, base+n_rows)
+        if convert_scale is not None:
+            big = big.astype(jnp.float32)
+            if convert_scale != 1.0:
+                big = big * jnp.float32(convert_scale)
 
         if dither is not None:
             sigma, seed = dither
@@ -733,6 +747,7 @@ def _make_feature_tail(cfg: FrontendConfig, mp: int, block_frames: int):
 def _make_kernel(
     cfg: FrontendConfig, nc: int, S: int, mp: int, block_frames: int,
     dft_passes: str, slab_mode: bool, fused_tail: bool = False,
+    slab_scale: float | None = None,
 ):
     n_chunk_refs = 1 if slab_mode else nc
     epilogue = _make_epilogue(cfg, mp, block_frames)
@@ -771,7 +786,7 @@ def _make_kernel(
         hi = jax.lax.Precision.HIGHEST
         frames = _gather_frames(
             chunk_refs, nc, S, block_frames, slab_mode, gather_preemph,
-            lengths_ref, gather_dither,
+            lengths_ref, gather_dither, slab_scale,
         )
         frame_energy = None
         if condition is not None:
@@ -827,6 +842,7 @@ def _make_kernel(
 def _make_radix4_kernel(
     cfg: FrontendConfig, nc: int, S: int, n2: int, mp: int, block_frames: int,
     slab_mode: bool, fused_tail: bool = False,
+    slab_scale: float | None = None,
 ):
     hi = jax.lax.Precision.HIGHEST
     n_chunk_refs = 1 if slab_mode else nc
@@ -860,7 +876,7 @@ def _make_radix4_kernel(
             win_ref, f0_ref, f1_ref, f2_ref, mel_h, mel_l, out_ref = rest
         frames = _gather_frames(
             chunk_refs, nc, S, block_frames, slab_mode, gather_preemph,
-            lengths_ref, gather_dither,
+            lengths_ref, gather_dither, slab_scale,
         )
         frame_energy = None
         if condition is not None:
@@ -1108,6 +1124,28 @@ def _fused_logmel_energy(
                 "slab_geometry()"
             )
 
+    # int16 slabs (the mp feed's native row dtype): the kernel loads the
+    # PCM rows directly — HALF the slab HBM bytes — and converts (+ scales
+    # by cfg.input_scale) in the gather's VPU pass. i16→f32 is exact, so
+    # this is bit-identical to the fp32-slab path (VERDICT r4 item 1).
+    slab_scale = None
+    if chunks is not None and jnp.issubdtype(chunks.dtype, jnp.integer):
+        if chunks.dtype != jnp.int16:
+            raise ValueError(
+                f"integer chunk slabs must be int16, got {chunks.dtype}"
+            )
+        if fp != block_frames and block_frames % 16 != 0:
+            # multi-block dynamic load bases must be 16-sublane aligned for
+            # the packed dtype. Every multi-block geometry here uses a
+            # 256-multiple block (_BLOCK_CANDIDATES), so only an exotic
+            # user-passed block can land here — convert in XLA then
+            # (correctness over bytes).
+            chunks = chunks.astype(jnp.float32)
+            if cfg.input_scale != 1.0:
+                chunks = chunks * jnp.float32(cfg.input_scale)
+        else:
+            slab_scale = float(cfg.input_scale)
+
     lengths = lengths.astype(jnp.int32)
     if slab_mode:
         n_chunks = pro + fp + slab_tail
@@ -1187,7 +1225,8 @@ def _fused_logmel_energy(
     if dft_passes == "radix4":
         consts = [jnp.asarray(k[name]) for name in ("win4", "f0", "f1", "f2", "mel_h", "mel_l")]
         kernel = _make_radix4_kernel(
-            cfg, nc, S, n2, mp, block_frames, slab_mode, fused_tail
+            cfg, nc, S, n2, mp, block_frames, slab_mode, fused_tail,
+            slab_scale,
         )
         # stage-2 MACs: N2*N2 + 2N2*2N2 + N2*N2 = 6*N2^2, x6 fp32 passes;
         # the mel projection runs 3 bf16 passes (_dot_pos_bf16x3)
@@ -1196,13 +1235,15 @@ def _fused_logmel_energy(
         consts = [jnp.asarray(k["dft_h"]), jnp.asarray(k["dft_l"]),
                   jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
         kernel = _make_kernel(
-            cfg, nc, S, mp, block_frames, dft_passes, slab_mode, fused_tail
+            cfg, nc, S, mp, block_frames, dft_passes, slab_mode, fused_tail,
+            slab_scale,
         )
         mac_per_frame = nc * S * k2 * 3 + k2 * mp * 3
     else:
         consts = [jnp.asarray(k["dft"]), jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
         kernel = _make_kernel(
-            cfg, nc, S, mp, block_frames, dft_passes, slab_mode, fused_tail
+            cfg, nc, S, mp, block_frames, dft_passes, slab_mode, fused_tail,
+            slab_scale,
         )
         mac_per_frame = nc * S * k2 * 6 + k2 * mp * 3
 
@@ -1229,9 +1270,10 @@ def _fused_logmel_energy(
     inputs = list(views) + consts
     in_specs = [chunk_spec] * len(views) + [full_spec(c) for c in consts]
 
+    in_bytes = 2 if slab_scale is not None else 4  # int16 slabs halve reads
     cost = pl.CostEstimate(
         flops=2 * mac_per_frame * B * fp,
-        bytes_accessed=(B * fp * S * nc + B * fp * mp) * 4,
+        bytes_accessed=B * fp * S * nc * in_bytes + B * fp * mp * 4,
         transcendentals=B * fp * mp,
     )
     if slab_mode:
@@ -1475,6 +1517,12 @@ def fused_logmel_stages(
                 "chunks requires exactly one of chunks_t / chunks_frames"
             )
         centered = cfg.frame_tail in ("center", "center_reflect")
+        if chunks_extended and jnp.issubdtype(chunks.dtype, jnp.integer):
+            raise ValueError(
+                "extended (host-reflected) chunk slabs are host-conditioned "
+                "float32; int16 slabs exist for standard frame_tail modes "
+                "only"
+            )
         if chunks_extended and cfg.dither > 0.0:
             raise ValueError(
                 "extended (host-reflected) chunk slabs cannot express "

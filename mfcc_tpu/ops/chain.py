@@ -566,15 +566,28 @@ def extract_batch(
     its output lands directly in the fused kernel's chunk-slab layout.
     `lengths` stays in INPUT samples either way.
     """
-    if jnp.issubdtype(audio.dtype, jnp.integer):
-        # int16 host feed (half the H2D bytes): convert on device, once
-        audio = audio.astype(compute_dtype(cfg))
     chunks = chunks_t = None
     chunks_frames = None
     chunks_extended = False
     resampling = bool(
         cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate
     )
+    if jnp.issubdtype(audio.dtype, jnp.integer):
+        # int16 host feed (half the H2D bytes). Chunk slabs for the fused
+        # kernel stay int16 END TO END — the kernel loads the PCM rows and
+        # converts in its VPU gather pass, halving the slab HBM reads too
+        # (kernels/frontend._gather_frames convert_scale; exact, so bit-
+        # parity with the fp32-slab path). Everything else converts here,
+        # once.
+        keep_i16 = (
+            audio.ndim == 3
+            and audio.dtype == jnp.int16
+            and backend == "pallas"
+            and not resampling
+            and cfg.frame_tail not in ("center", "center_reflect")
+        )
+        if not keep_i16:
+            audio = audio.astype(compute_dtype(cfg))
     if audio.ndim == 3 and not resampling:
         # host-built chunk slab (pipeline.device_layout / pad_batch):
         # already in the fused kernel's layout — capacity frame semantics,
@@ -594,9 +607,14 @@ def extract_batch(
         chunks = audio
         chunks_frames = audio.shape[1] - pro - tail
         chunks_extended = cfg.frame_tail in ("center", "center_reflect")
-        if cfg.input_scale != 1.0 and not chunks_extended:
-            # standard-mode slabs carry RAW samples (int16 rows stay
-            # exact); centered slabs are host-conditioned (scale applied)
+        if (
+            cfg.input_scale != 1.0
+            and not chunks_extended
+            and not jnp.issubdtype(chunks.dtype, jnp.integer)
+        ):
+            # standard-mode fp32 slabs carry RAW samples; centered slabs
+            # are host-conditioned (scale applied). int16 slabs scale
+            # IN-KERNEL during the i16→f32 convert (frontend slab_scale).
             chunks = chunks * jnp.asarray(cfg.input_scale, chunks.dtype)
     if resampling:
         from mfcc_tpu.ops import resample

@@ -404,6 +404,40 @@ def test_slab_feed_on_tpu(tpu, signals):
 
 
 
+def test_slab_i16_bitwise_on_tpu(tpu, signals):
+    """int16 chunk slabs through the Mosaic kernel (r5: the kernel loads
+    the PCM rows and converts in its VPU gather pass — half the slab HBM
+    bytes) must be BIT-identical to the fp32-slab path, including the
+    multi-block dynamic load base on the packed dtype."""
+    import jax.numpy as jnp
+
+    from mfcc_tpu.pipeline import device_layout
+
+    cfg = NAMED_CONFIGS["classic13_deltas"]
+    g = np.random.default_rng(47)
+    cases = [
+        # (utterances, bucket) — second case forces two 2048-frame blocks
+        ([(g.standard_normal(16000) * 3000).astype(np.int16),
+          (g.standard_normal(6007) * 3000).astype(np.int16)], 16000),
+        ([(g.standard_normal(330000) * 3000).astype(np.int16)], 330000),
+    ]
+    for pcms, blen in cases:
+        lay = device_layout(cfg, blen)
+        assert lay is not None and hasattr(lay, "chunk") and not lay.extended
+        slab_f32 = pad_batch([p.astype(np.float32) for p in pcms], cfg,
+                             bucket_len=blen, layout=lay)
+        slab_i16 = np.asarray(slab_f32.audio).astype(np.int16)
+        f_f32, _ = chain.extract_batch(
+            jnp.asarray(slab_f32.audio), jnp.asarray(slab_f32.lengths), cfg,
+            backend="pallas",
+        )
+        f_i16, _ = chain.extract_batch(
+            jnp.asarray(slab_i16), jnp.asarray(slab_f32.lengths), cfg,
+            backend="pallas",
+        )
+        np.testing.assert_array_equal(np.asarray(f_i16), np.asarray(f_f32))
+
+
 def test_fused_tail_on_tpu(tpu, signals):
     """The OPT-IN r4 fused cepstral tail through Mosaic on the real chip:
     in-kernel DCT·lifter·energy-c0 + Δ/ΔΔ + CMVN vs the jnp twin and vs
