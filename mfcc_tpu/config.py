@@ -274,6 +274,10 @@ NAMED_CONFIGS: dict[str, FrontendConfig] = {
     "classic13_deltas_gcmvn": FrontendConfig(deltas=2, cmvn="global"),
     # BASELINE config #5: 48 kHz input resampled to 16 kHz, 39-dim MFCC+Δ+ΔΔ.
     "mfcc39_48k": FrontendConfig(deltas=2, input_sample_rate=48000),
+    # 44.1 kHz input (the second-most-common real rate): reduces to
+    # up=160/down=441 — exactly one polyphase cycle per frame hop, so it
+    # rides the same in-kernel fused resample as 48 kHz (r5)
+    "mfcc39_44k": FrontendConfig(deltas=2, input_sample_rate=44100),
     # Kaldi compute-mfcc-feats defaults (src/feat semantics re-derived; no
     # Kaldi on disk — certified by construction + property tests): povey
     # window, snip_edges framing, per-frame processing (DC removal, frame

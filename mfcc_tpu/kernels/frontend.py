@@ -437,6 +437,7 @@ def _gather_frames(
     chunk_refs, nc: int, S: int, block_frames: int, slab_mode: bool,
     preemph: float, lengths_ref, dither: tuple[float, int] | None = None,
     convert_scale: float | None = None,
+    resample_refs: tuple | None = None,
 ):
     """[FBLK, nc*S] frame block from either the resident chunk slab (sliced
     at dynamic sublane offsets) or nc pre-shifted chunk views.
@@ -469,16 +470,54 @@ def _gather_frames(
         # One ALIGNED load (Mosaic requires sublane-aligned dynamic bases:
         # base is a block multiple, +i would not be), then static roll
         # shifts produce the nc chunk streams.
-        slab = chunk_refs[0]  # [1, PRO + C, S]
+        slab = chunk_refs[0]  # [1, PRO + C, S] (or [1, R, step] resampling)
         pro = SLAB_PROLOGUE_ROWS
         tail = _slab_tail(nc)  # MUST match the caller's slab allocation
         base = pl.multiple_of(pl.program_id(1) * block_frames, block_frames)
         n_rows = block_frames + tail + pro
-        big = slab[0, pl.ds(base, n_rows), :]  # padded rows [base, base+n_rows)
-        if convert_scale is not None:
-            big = big.astype(jnp.float32)
-            if convert_scale != 1.0:
-                big = big * jnp.float32(convert_scale)
+        if resample_refs is not None:
+            # In-kernel fused resample (r5): the slab carries BLOCKED sr_in
+            # PCM ([1, R, step] with input row pro+b = the window of output
+            # chunk b); the resampled chunk rows are computed HERE, on the
+            # MXU, from the VMEM-resident input — the sr_out signal never
+            # exists in HBM. Polyphase block length J == S (one output
+            # block per chunk row; ops.resample.slab_design), so the rest
+            # of the gather — dither, preemph, zeroing, roll shifts — runs
+            # on `big` unchanged. input_scale rides the tap matrices;
+            # convert_scale (int16 slabs) is a pure dtype convert here.
+            m1_ref, m2_ref, E = resample_refs
+            xin = slab[0, pl.ds(base, n_rows + 1), :]  # [n_rows+1, step]
+            if convert_scale is not None:
+                xin = xin.astype(jnp.float32)
+            hi = _RS_PRECISION
+            big = jnp.dot(
+                xin[:n_rows], m1_ref[:],
+                preferred_element_type=jnp.float32, precision=hi,
+            )
+            # Next-row halo: dot ALL rows against m2 first, then shift the
+            # small [n_rows+1, S] OUTPUT down one row. The naive
+            # xin[1:, :E] slices the 2 MB matmul OPERAND at a misaligned
+            # sublane base — a whole-window Mosaic relayout measured at
+            # 0.12 ms/step (b64 x 10 s); the same misalignment on the
+            # 3x-smaller output of an add is ~free (docs/KERNEL.md §7c).
+            yh = jnp.dot(
+                xin[:, :E], m2_ref[:],
+                preferred_element_type=jnp.float32, precision=hi,
+            )
+            big = big + yh[1:]
+            # The FIR is non-causal, so the dots give the prologue rows
+            # (output samples t < 0) their nonzero backward extension —
+            # they read the first real samples through the m2 halo. The
+            # contract (and preemph's x[-1] = 0) needs them EXACTLY zero,
+            # like the host-written prologue of the 16 kHz slab.
+            grow = jax.lax.broadcasted_iota(jnp.int32, (n_rows, S), 0)
+            big = jnp.where(base + grow >= pro, big, 0.0)
+        else:
+            big = slab[0, pl.ds(base, n_rows), :]  # rows [base, base+n_rows)
+            if convert_scale is not None:
+                big = big.astype(jnp.float32)
+                if convert_scale != 1.0:
+                    big = big * jnp.float32(convert_scale)
 
         if dither is not None:
             sigma, seed = dither
@@ -519,6 +558,12 @@ def _gather_frames(
     # One wide matmul beats nc narrow ones: K=nc*S=480 uses 94% of the
     # MXU's K-tiling vs 62% for three K=160 passes (measured 1.3x).
     return jnp.concatenate(parts, axis=-1)
+
+
+# In-kernel resample dot precision (perf-attribution knob; HIGHEST is the
+# accuracy-gated default — bf16 variants were rejected at 8.5e-4 feature
+# error, docs/KERNEL.md §7)
+_RS_PRECISION = jax.lax.Precision.HIGHEST
 
 
 # Experimental radix-4 variant: project each stage-2 output through its own
@@ -747,7 +792,7 @@ def _make_feature_tail(cfg: FrontendConfig, mp: int, block_frames: int):
 def _make_kernel(
     cfg: FrontendConfig, nc: int, S: int, mp: int, block_frames: int,
     dft_passes: str, slab_mode: bool, fused_tail: bool = False,
-    slab_scale: float | None = None,
+    slab_scale: float | None = None, rs_e: int | None = None,
 ):
     n_chunk_refs = 1 if slab_mode else nc
     epilogue = _make_epilogue(cfg, mp, block_frames)
@@ -782,11 +827,14 @@ def _make_kernel(
             eps_ref = rest.pop()
             melf_l = rest.pop()
             melf_h = rest.pop()
+        rs_refs = None
+        if rs_e is not None:  # in-kernel resample taps, consumed first
+            rs_refs = (rest.pop(0), rest.pop(0), rs_e)
         we_ref = rest.pop(0) if cfg.energy_source == "windowed_frame" else None
         hi = jax.lax.Precision.HIGHEST
         frames = _gather_frames(
             chunk_refs, nc, S, block_frames, slab_mode, gather_preemph,
-            lengths_ref, gather_dither, slab_scale,
+            lengths_ref, gather_dither, slab_scale, rs_refs,
         )
         frame_energy = None
         if condition is not None:
@@ -842,7 +890,7 @@ def _make_kernel(
 def _make_radix4_kernel(
     cfg: FrontendConfig, nc: int, S: int, n2: int, mp: int, block_frames: int,
     slab_mode: bool, fused_tail: bool = False,
-    slab_scale: float | None = None,
+    slab_scale: float | None = None, rs_e: int | None = None,
 ):
     hi = jax.lax.Precision.HIGHEST
     n_chunk_refs = 1 if slab_mode else nc
@@ -864,6 +912,9 @@ def _make_radix4_kernel(
             lengths_ref = None
         chunk_refs = refs[:n_chunk_refs]
         rest = list(refs[n_chunk_refs:])
+        rs_refs = None
+        if rs_e is not None:  # in-kernel resample taps, consumed first
+            rs_refs = (rest.pop(0), rest.pop(0), rs_e)
         we_ref = rest.pop(0) if cfg.energy_source == "windowed_frame" else None
         daug_ref = None
         if fused_tail:
@@ -876,7 +927,7 @@ def _make_radix4_kernel(
             win_ref, f0_ref, f1_ref, f2_ref, mel_h, mel_l, out_ref = rest
         frames = _gather_frames(
             chunk_refs, nc, S, block_frames, slab_mode, gather_preemph,
-            lengths_ref, gather_dither, slab_scale,
+            lengths_ref, gather_dither, slab_scale, rs_refs,
         )
         frame_energy = None
         if condition is not None:
@@ -1040,6 +1091,12 @@ class SlabLayout:
     def buffer_shape(self) -> tuple[int, int]:
         return (self.n_rows, self.chunk)
 
+    @property
+    def flat_offset(self) -> int:
+        """Flat position of input sample 0 in the [n_rows * chunk] stream
+        (the host writes samples starting here; zeros elsewhere)."""
+        return self.pro * self.chunk
+
     def host_rows(self, cfg: FrontendConfig, u: "np.ndarray") -> "np.ndarray":
         """The flat sample stream to write at offset pro*chunk for one
         utterance (identity for standard modes; the scaled/pre-emphasized
@@ -1072,15 +1129,124 @@ class SlabLayout:
         return x[ridx][:cap] if x.shape[0] else np.zeros(0, np.float32)
 
 
+def resample_slab_geometry(
+    cfg: FrontendConfig, n_in: int,
+    block_frames: int | None = None, dft_passes: str = "radix4",
+) -> dict | None:
+    """Geometry for the IN-KERNEL fused resample (r5, VERDICT r4 item 2):
+    the host feeds blocked sr_in PCM [B, r_rows, step] (input sample t at
+    row pro + (pad_lo + t) // step, lane (pad_lo + t) % step; zeros
+    elsewhere) and ONE kernel resamples in VMEM, frames, and produces
+    log-mel — the sr_out signal never exists in HBM. Requires the
+    polyphase design to block at J = frame hop (ops.resample.slab_design);
+    returns None when it can't, when the config doesn't resample, or when
+    the input slab exceeds the VMEM budget (callers fall back to the
+    BlockedLayout + XLA-dots seam, which handles everything).
+
+    num_frames/fp are in OUTPUT (sr_out) frames; r_rows carries one extra
+    input row for the last block's polyphase halo."""
+    from mfcc_tpu.ops import resample
+
+    if not cfg.input_sample_rate or cfg.input_sample_rate == cfg.sample_rate:
+        return None
+    dft_passes = resolve_dft_passes(cfg, dft_passes)
+    if dft_passes == "radix4":
+        nc, S, _, _ = radix4_constants(cfg)["dims"]
+    else:
+        nc, S, _, _ = kernel_constants(cfg)["dims"]
+    d = resample.slab_design(
+        cfg.input_sample_rate, cfg.sample_rate, S, cfg.input_scale
+    )
+    if d is None:
+        return None
+    n_out = resample.output_length(
+        n_in, cfg.input_sample_rate, cfg.sample_rate
+    )
+    F = cfg.num_frames(n_out)
+    if block_frames is None:
+        block_frames = _auto_block_frames(F)
+    block_frames = _round_up(block_frames, 8)
+    block_frames = min(block_frames, max(8, _round_up(F, 8)))
+    fp = _round_up(max(F, block_frames), block_frames)
+    tail = _slab_tail(nc)
+    pro = SLAB_PROLOGUE_ROWS
+    r_rows = pro + fp + tail + 1
+    if r_rows * d["step"] * 4 > SLAB_VMEM_BUDGET_BYTES:
+        return None
+    return {
+        "design": d, "block_frames": block_frames, "fp": fp, "pro": pro,
+        "tail": tail, "r_rows": r_rows, "step": d["step"],
+        "pad_lo": d["pad_lo"], "num_frames": F, "n_out": n_out,
+        "dft_passes": dft_passes,
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class ResampleSlabLayout:
+    """Host-feed contract for the in-kernel fused resample (the resampling
+    twin of SlabLayout): [B, n_rows, chunk] rows of RAW sr_in samples,
+    sample t at flat position flat_offset + t. extract_batch dispatches on
+    the lane width (== the polyphase step, != the frame hop) and the
+    fused kernel resamples in VMEM. int16 rows supported (the kernel
+    converts; input_scale rides the tap matrices)."""
+
+    n_rows: int      # input slab rows (pro + fp + tail + 1)
+    chunk: int       # lane width = polyphase step (sr_in samples per hop)
+    pro: int         # zero prologue rows
+    pad_lo: int      # design zeros before input sample 0 (inside row pro)
+    fp: int          # OUTPUT frame capacity (block-rounded)
+    num_frames: int  # true frame count of a bucket_len input
+    bucket_len: int  # max raw INPUT samples per utterance
+    extended: bool = False  # API compat with SlabLayout; never extended
+
+    @property
+    def buffer_shape(self) -> tuple[int, int]:
+        return (self.n_rows, self.chunk)
+
+    @property
+    def flat_offset(self) -> int:
+        return self.pro * self.chunk + self.pad_lo
+
+
+def resample_slab_layout(
+    cfg: FrontendConfig, bucket_len: int
+) -> ResampleSlabLayout | None:
+    """ResampleSlabLayout for this config's bucket, or None when the fused
+    kernel can't own it (non-fp32, centered framing, unsupported knobs, no
+    J = hop design, input slab over the VMEM budget)."""
+    if cfg.dtype != "float32":
+        return None
+    if cfg.frame_tail in ("center", "center_reflect"):
+        return None
+    if chain.pallas_unsupported_reason(cfg) is not None:
+        return None
+    geo = resample_slab_geometry(cfg, bucket_len)
+    if geo is None:
+        return None
+    return ResampleSlabLayout(
+        n_rows=geo["r_rows"], chunk=geo["step"], pro=geo["pro"],
+        pad_lo=geo["pad_lo"], fp=geo["fp"], num_frames=geo["num_frames"],
+        bucket_len=bucket_len,
+    )
+
+
 def _fused_logmel_energy(
     audio: jnp.ndarray | None, lengths: jnp.ndarray, cfg: FrontendConfig,
     num_frames: int, block_frames: int, interpret: bool, dft_passes: str,
     chunks: jnp.ndarray | None = None,
     n_valid: jnp.ndarray | None = None,
+    rs: dict | None = None,
 ) -> jnp.ndarray:
     """audio: RAW fp32 audio [B, T] (zero beyond each length, as pad_batch
     produces) → [B, fp, MP] where lanes [0:M] are log-mel, lane M is the
     clamped (unlogged) frame energy.
+
+    rs: an ops.resample.slab_design dict — chunks is then a BLOCKED sr_in
+    input slab [B, R, step] (R = pro + fp + slab_tail + 1 rows; input
+    sample t at row pro + (pad_lo+t)//step, lane (pad_lo+t)%step) and the
+    kernel resamples IN-VMEM before framing (the fused resample seam, r5).
+    `lengths` and num_frames are in OUTPUT (sr_out) samples/frames as
+    usual. input_scale must already ride the rs tap matrices.
 
     n_valid: per-utterance VALID frame counts [B] — passing it (for an
     eligible mfcc config, slab mode, single frame block) activates the
@@ -1114,20 +1280,38 @@ def _fused_logmel_energy(
     # block starts), so it needs extra pad chunks; see _gather_frames
     slab_tail = _slab_tail(nc)
     pro = SLAB_PROLOGUE_ROWS
-    slab_mode = (pro + fp + slab_tail) * S * 4 <= SLAB_VMEM_BUDGET_BYTES
-    if chunks is not None:
-        want = (B, pro + fp + slab_tail, S)
+    if rs is not None:
+        # in-kernel resample mode: VMEM holds the blocked INPUT slab (the
+        # sr_out signal never materializes); one extra row supplies the
+        # last block's polyphase halo
+        r_rows = pro + fp + slab_tail + 1
+        slab_mode = r_rows * rs["step"] * 4 <= SLAB_VMEM_BUDGET_BYTES
+        if chunks is None or audio is not None:
+            raise ValueError("rs mode requires a blocked input slab")
+        want = (B, r_rows, rs["step"])
         if not slab_mode or chunks.shape != want:
             raise ValueError(
-                f"chunk slab {chunks.shape} does not match the slab-mode "
-                f"geometry {want} (slab_mode={slab_mode}); build it with "
-                "slab_geometry()"
+                f"blocked input slab {chunks.shape} does not match the "
+                f"resample-slab geometry {want} (slab_mode={slab_mode}); "
+                "build it with resample_slab_geometry()"
             )
+    else:
+        slab_mode = (pro + fp + slab_tail) * S * 4 <= SLAB_VMEM_BUDGET_BYTES
+        if chunks is not None:
+            want = (B, pro + fp + slab_tail, S)
+            if not slab_mode or chunks.shape != want:
+                raise ValueError(
+                    f"chunk slab {chunks.shape} does not match the slab-mode "
+                    f"geometry {want} (slab_mode={slab_mode}); build it with "
+                    "slab_geometry()"
+                )
 
     # int16 slabs (the mp feed's native row dtype): the kernel loads the
     # PCM rows directly — HALF the slab HBM bytes — and converts (+ scales
     # by cfg.input_scale) in the gather's VPU pass. i16→f32 is exact, so
     # this is bit-identical to the fp32-slab path (VERDICT r4 item 1).
+    # In rs mode input_scale rides the tap matrices, so the convert is
+    # pure (scale 1.0).
     slab_scale = None
     if chunks is not None and jnp.issubdtype(chunks.dtype, jnp.integer):
         if chunks.dtype != jnp.int16:
@@ -1141,13 +1325,19 @@ def _fused_logmel_energy(
             # user-passed block can land here — convert in XLA then
             # (correctness over bytes).
             chunks = chunks.astype(jnp.float32)
-            if cfg.input_scale != 1.0:
+            if rs is None and cfg.input_scale != 1.0:
                 chunks = chunks * jnp.float32(cfg.input_scale)
         else:
-            slab_scale = float(cfg.input_scale)
+            slab_scale = 1.0 if rs is not None else float(cfg.input_scale)
 
     lengths = lengths.astype(jnp.int32)
-    if slab_mode:
+    if rs is not None:
+        views = [chunks]
+        chunk_spec = pl.BlockSpec(
+            (1, r_rows, rs["step"]), lambda b, f, *_: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    elif slab_mode:
         n_chunks = pro + fp + slab_tail
         if chunks is None:
             # raw audio with a zero prologue (x[-1] = 0 for the first
@@ -1226,7 +1416,7 @@ def _fused_logmel_energy(
         consts = [jnp.asarray(k[name]) for name in ("win4", "f0", "f1", "f2", "mel_h", "mel_l")]
         kernel = _make_radix4_kernel(
             cfg, nc, S, n2, mp, block_frames, slab_mode, fused_tail,
-            slab_scale,
+            slab_scale, rs["E"] if rs else None,
         )
         # stage-2 MACs: N2*N2 + 2N2*2N2 + N2*N2 = 6*N2^2, x6 fp32 passes;
         # the mel projection runs 3 bf16 passes (_dot_pos_bf16x3)
@@ -1236,14 +1426,14 @@ def _fused_logmel_energy(
                   jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
         kernel = _make_kernel(
             cfg, nc, S, mp, block_frames, dft_passes, slab_mode, fused_tail,
-            slab_scale,
+            slab_scale, rs["E"] if rs else None,
         )
         mac_per_frame = nc * S * k2 * 3 + k2 * mp * 3
     else:
         consts = [jnp.asarray(k["dft"]), jnp.asarray(k["mel_h"]), jnp.asarray(k["mel_l"])]
         kernel = _make_kernel(
             cfg, nc, S, mp, block_frames, dft_passes, slab_mode, fused_tail,
-            slab_scale,
+            slab_scale, rs["E"] if rs else None,
         )
         mac_per_frame = nc * S * k2 * 6 + k2 * mp * 3
 
@@ -1266,6 +1456,12 @@ def _fused_logmel_energy(
     if cfg.energy_source == "windowed_frame":
         # consumed FIRST by the kernels (popped off the const list head)
         consts = [jnp.asarray(k["win_energy"])] + consts
+
+    if rs is not None:
+        # in-kernel resample taps, consumed FIRST (before win_energy's pop
+        # they sit ahead of it in the const list head)
+        consts = [jnp.asarray(rs["m1"]), jnp.asarray(rs["m2"])] + consts
+        mac_per_frame += (rs["step"] + rs["E"]) * S * 6
 
     inputs = list(views) + consts
     in_specs = [chunk_spec] * len(views) + [full_spec(c) for c in consts]
@@ -1470,6 +1666,7 @@ def fused_logmel_stages(
     chunks_frames: int | None = None,
     chunks_extended: bool = False,
     feature_tail: bool | None = None,
+    resample_slab: dict | None = None,
 ) -> dict[str, jnp.ndarray]:
     """Drop-in fused replacement for ops.chain.logmel_stages.
 
@@ -1497,6 +1694,11 @@ def fused_logmel_stages(
     into the slab (pipeline.pad_batch(layout=SlabLayout) — the host twin
     of _reflect_extend), and `lengths` stays in original samples; the
     extended in-kernel bound is derived here.
+
+    resample_slab: an ops.resample.slab_design dict — chunks is then the
+    BLOCKED sr_in input slab of resample_slab_geometry (the in-kernel
+    fused resample, r5). lengths/chunks_frames are in OUTPUT samples/
+    frames; int16 rows allowed (raw PCM; input_scale rides the taps).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1540,6 +1742,7 @@ def fused_logmel_stages(
         F = cfg.num_frames(chunks_t) if chunks_t is not None else chunks_frames
         tail_on = (
             feature_tail is True
+            and resample_slab is None
             and fused_tail_active(cfg, F, block_frames, dft_passes)
         )
         if block_frames is None:
@@ -1563,6 +1766,7 @@ def fused_logmel_stages(
                 lambda t: _fused_logmel_energy(
                     None, t[1], cfg, F, block_frames, interpret, dft_passes,
                     chunks=t[0], n_valid=t[2] if tail_on else None,
+                    rs=resample_slab,
                 ),
                 (
                     chunks.reshape(B // c, c, *chunks.shape[1:]),
@@ -1574,7 +1778,7 @@ def fused_logmel_stages(
         else:
             out = _fused_logmel_energy(
                 None, lengths, cfg, F, block_frames, interpret, dft_passes,
-                chunks=chunks, n_valid=nv,
+                chunks=chunks, n_valid=nv, rs=resample_slab,
             )
         return _stage_dict(out, orig_lengths, cfg, F, fused=tail_on)
     F = cfg.num_frames(audio.shape[-1])

@@ -569,9 +569,35 @@ def extract_batch(
     chunks = chunks_t = None
     chunks_frames = None
     chunks_extended = False
+    rs_design = None
     resampling = bool(
         cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate
     )
+    if (
+        resampling
+        and audio.ndim == 3
+        and backend == "pallas"
+        and cfg.dtype == "float32"
+        and cfg.frame_tail not in ("center", "center_reflect")
+        and pallas_unsupported_reason(cfg) is None
+    ):
+        # in-kernel fused resample (r5): a ResampleSlabLayout feed — lane
+        # width is the polyphase step (ops.resample.slab_design), distinct
+        # from the BlockedLayout's 128-based step, so the shape dispatches
+        from mfcc_tpu.kernels import frontend as _fk
+        from mfcc_tpu.ops import resample as _rsm
+
+        _S, _pro, _tail = _fk.slab_dims(cfg)
+        _d = _rsm.slab_design(
+            cfg.input_sample_rate, cfg.sample_rate, _S, cfg.input_scale
+        )
+        if (
+            _d is not None
+            and audio.shape[2] == _d["step"]
+            and audio.shape[1] > _pro + _tail + 1
+        ):
+            rs_design = _d
+            chunks_frames = audio.shape[1] - _pro - _tail - 1
     if jnp.issubdtype(audio.dtype, jnp.integer):
         # int16 host feed (half the H2D bytes). Chunk slabs for the fused
         # kernel stay int16 END TO END — the kernel loads the PCM rows and
@@ -583,7 +609,7 @@ def extract_batch(
             audio.ndim == 3
             and audio.dtype == jnp.int16
             and backend == "pallas"
-            and not resampling
+            and (not resampling or rs_design is not None)
             and cfg.frame_tail not in ("center", "center_reflect")
         )
         if not keep_i16:
@@ -619,10 +645,15 @@ def extract_batch(
     if resampling:
         from mfcc_tpu.ops import resample
 
-        audio = audio.astype(compute_dtype(cfg))
+        if rs_design is None:
+            audio = audio.astype(compute_dtype(cfg))
         sr_in, sr_out = cfg.input_sample_rate, cfg.sample_rate
         lengths = resample.output_lengths(lengths, sr_in, sr_out)
-        if audio.ndim == 3:
+        if rs_design is not None:
+            # the kernel consumes the blocked sr_in slab directly (fused
+            # in-kernel resample); lengths are now in output samples
+            chunks = audio
+        elif audio.ndim == 3:
             lay = resample.layout_for_shape(
                 sr_in, sr_out, audio.shape[1], audio.shape[2]
             )
@@ -677,6 +708,7 @@ def extract_batch(
             stages = fused_logmel_stages(
                 None, lengths, cfg, chunks=chunks, chunks_t=chunks_t,
                 chunks_frames=chunks_frames, chunks_extended=chunks_extended,
+                resample_slab=rs_design,
             )
         else:
             stages = fused_logmel_stages(audio, lengths, cfg)

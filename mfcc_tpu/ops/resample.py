@@ -338,6 +338,52 @@ def resample_blocked(
     return ym + yh[:, 1 : lay.n_blk + 1]
 
 
+@functools.lru_cache(maxsize=16)
+def slab_design(
+    sr_in: int, sr_out: int, chunk: int, scale: float = 1.0
+) -> dict | None:
+    """Host design for the IN-KERNEL fused resample (r5): the polyphase
+    block length J is set to the frontend's chunk width (the frame hop S),
+    so each output block IS one chunk-slab row — the fused kernel computes
+
+        y_rows = IN[:n] @ m1  +  IN[1:n+1, :E] @ m2
+
+    on the MXU directly from the blocked sr_in input resident in VMEM and
+    feeds its framing gather with the result: the resampled signal never
+    exists in HBM (VERDICT r4 item 2 — the ~0.12 ms pad/relayout glue and
+    the y round trip disappear; measured decomposition docs/KERNEL.md §7c).
+
+    Returns dict(m1 [step, chunk] fp32, m2 [E, chunk] fp32, step, E,
+    pad_lo, up, down) or None when the design can't block at J=chunk
+    (chunk % up != 0, positive origin, or halo wider than a block).
+    input_scale folds into the tap matrices for free (exact for the
+    int16-slab path: the kernel converts raw PCM, the taps carry the gain).
+    """
+    if sr_in == sr_out:
+        return None
+    d = _design(sr_out, sr_in)
+    up, down = d["up"], d["down"]
+    if chunk % up != 0:
+        return None
+    M, origin, W, step = _stream_design(up, down, chunk)
+    pad_lo = max(0, -origin)
+    if origin + pad_lo != 0:
+        return None
+    E = W - step
+    if not (0 < E <= step):
+        return None
+    Ms = M.T * scale if scale != 1.0 else M.T
+    return {
+        "m1": np.asarray(Ms[:step], dtype=np.float32),
+        "m2": np.asarray(Ms[step:W], dtype=np.float32),
+        "step": step,
+        "E": E,
+        "pad_lo": pad_lo,
+        "up": up,
+        "down": down,
+    }
+
+
 def resample_numpy(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     """Float64 oracle — delegates to scipy (the ground truth)."""
     import scipy.signal

@@ -108,11 +108,17 @@ def device_layout(cfg: FrontendConfig, bucket_len: int) -> "object | None":
 
     Layout batches require backend='pallas' in extract_batch except for
     BlockedLayout, which both backends accept."""
-    lay = resample_layout(cfg, bucket_len)
-    if lay is not None:
-        return lay
     from mfcc_tpu.kernels import frontend
 
+    if cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate:
+        # r5: prefer the in-kernel fused resample slab (ONE kernel from
+        # blocked sr_in PCM to log-mel, int16 rows supported); fall back
+        # to the BlockedLayout + XLA-dots seam when the design can't block
+        # at J = hop or the input slab exceeds the VMEM budget
+        rlay = frontend.resample_slab_layout(cfg, bucket_len)
+        if rlay is not None:
+            return rlay
+        return resample_layout(cfg, bucket_len)
     return frontend.slab_layout(cfg, bucket_len)
 
 
@@ -125,13 +131,13 @@ def feed_geometry(cfg: FrontendConfig, blen: int, layout) -> tuple:
     them (pad_batch-based feeds handle every kind)."""
     if layout is None:
         return 0, required_samples(blen, cfg), None
-    if hasattr(layout, "chunk"):  # SlabLayout
+    if hasattr(layout, "chunk"):  # SlabLayout / ResampleSlabLayout
         if layout.extended:
             raise ValueError(
                 "extended slab layouts need pad_batch's host transform"
             )
         return (
-            layout.pro * layout.chunk,
+            layout.flat_offset,
             layout.n_rows * layout.chunk,
             layout.buffer_shape,
         )
@@ -184,7 +190,7 @@ def pad_batch(
             raise ValueError(
                 f"bucket {blen} exceeds slab layout bucket {layout.bucket_len}"
             )
-        off = layout.pro * layout.chunk
+        off = layout.flat_offset
         T = layout.n_rows * layout.chunk
         if layout.extended:
             xform = lambda u: layout.host_rows(cfg, u)  # noqa: E731

@@ -476,3 +476,148 @@ def test_blocked_feed_stream_batches():
             np.testing.assert_allclose(
                 np.asarray(feat)[row, :nv], ref, atol=2e-4, rtol=1e-4
             )
+
+
+# -- In-kernel fused resample slab (r5: ResampleSlabLayout) ------------------
+
+def test_resample_slab_layout_geometry():
+    """Invariants of the in-kernel fused resample layout: lane width is one
+    polyphase step per frame hop, one halo row, capacity covers the input,
+    and None where the design can't block at J = hop or the config is
+    centered/non-fp32."""
+    from mfcc_tpu.kernels.frontend import resample_slab_layout
+
+    for name, n in [("mfcc39_48k", 480000), ("mfcc39_48k", 48123),
+                    ("mfcc39_44k", 441000), ("mfcc39_44k", 100001)]:
+        cfg = NAMED_CONFIGS[name]
+        lay = resample_slab_layout(cfg, n)
+        assert lay is not None, (name, n)
+        d = resample.slab_design(
+            cfg.input_sample_rate, cfg.sample_rate, cfg.frame_step,
+            cfg.input_scale,
+        )
+        assert lay.chunk == d["step"]
+        assert lay.flat_offset == lay.pro * lay.chunk + d["pad_lo"]
+        # capacity: the flat stream holds pad_lo + n input samples
+        assert lay.n_rows * lay.chunk - lay.flat_offset >= n
+        assert lay.num_frames == NAMED_CONFIGS[name].num_frames(
+            resample.output_length(n, cfg.input_sample_rate, cfg.sample_rate)
+        )
+    # no resampling -> no layout
+    assert resample_slab_layout(NAMED_CONFIGS["classic13"], 16000) is None
+    # centered framing is host-conditioned flat; no rs slab
+    c = NAMED_CONFIGS["whisper80"].replace(input_sample_rate=48000)
+    assert resample_slab_layout(c, 48000) is None
+
+
+@pytest.mark.parametrize("name,n", [("mfcc39_48k", 480000),
+                                    ("mfcc39_44k", 441000)])
+def test_resample_slab_extract_parity(name, n):
+    """Fused in-kernel resample (blocked sr_in PCM -> log-mel in ONE
+    kernel) == the flat jnp twin on valid frames, for both rate families
+    and a short second utterance."""
+    from mfcc_tpu.pipeline import device_layout
+
+    cfg = NAMED_CONFIGS[name]
+    g = np.random.default_rng(67)
+    sigs = [(g.standard_normal(n) * 3000).astype(np.int16).astype(np.float32),
+            (g.standard_normal(n // 4 + 13) * 3000).astype(np.int16)
+            .astype(np.float32)]
+    lay = device_layout(cfg, n)
+    assert type(lay).__name__ == "ResampleSlabLayout", lay
+    slab = pad_batch(sigs, cfg, bucket_len=n, layout=lay)
+    f_rs, m_rs = chain.extract_batch(
+        jnp.asarray(slab.audio), jnp.asarray(slab.lengths), cfg,
+        backend="pallas",
+    )
+    flat = pad_batch(sigs, cfg, bucket_len=n)
+    f_jn, m_jn = chain.extract_batch(
+        jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg,
+        backend="jnp",
+    )
+    nv = np.asarray(m_jn).sum(axis=1).astype(int)
+    np.testing.assert_array_equal(nv, np.asarray(m_rs).sum(axis=1).astype(int))
+    for i in range(len(sigs)):
+        np.testing.assert_allclose(
+            np.asarray(f_rs)[i, : nv[i]], np.asarray(f_jn)[i, : nv[i]],
+            atol=1e-3, rtol=2e-3, err_msg=f"{name} utt{i}",
+        )
+
+
+def test_resample_slab_i16_bitwise():
+    """int16 rs slabs (raw PCM; input_scale rides the taps) are bit-
+    identical to fp32 rs slabs of the same values."""
+    from mfcc_tpu.pipeline import device_layout
+
+    cfg = NAMED_CONFIGS["mfcc39_48k"]
+    g = np.random.default_rng(71)
+    sigs = [(g.standard_normal(96000) * 3000).astype(np.int16)]
+    lay = device_layout(cfg, 96000)
+    slab = pad_batch([s.astype(np.float32) for s in sigs], cfg,
+                     bucket_len=96000, layout=lay)
+    f_f32, _ = chain.extract_batch(
+        jnp.asarray(slab.audio), jnp.asarray(slab.lengths), cfg,
+        backend="pallas",
+    )
+    f_i16, _ = chain.extract_batch(
+        jnp.asarray(np.asarray(slab.audio).astype(np.int16)),
+        jnp.asarray(slab.lengths), cfg, backend="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(f_i16), np.asarray(f_f32))
+
+
+def test_resample_slab_bucket_sweep():
+    """Producer (resample_slab_layout) and consumer (extract_batch, which
+    recovers the frame capacity from the slab's row count) must agree on
+    the geometry for any bucket length."""
+    from mfcc_tpu.pipeline import device_layout
+
+    cfg = NAMED_CONFIGS["mfcc39_48k"]
+    g = np.random.default_rng(73)
+    for blen in (1201, 4800, 48000, 48123, 123457):
+        sigs = [(g.standard_normal(blen) * 3000).astype(np.float32)]
+        lay = device_layout(cfg, blen)
+        assert lay is not None and hasattr(lay, "chunk"), blen
+        slab = pad_batch(sigs, cfg, bucket_len=blen, layout=lay)
+        f_rs, m_rs = chain.extract_batch(
+            jnp.asarray(slab.audio), jnp.asarray(slab.lengths), cfg,
+            backend="pallas",
+        )
+        flat = pad_batch(sigs, cfg, bucket_len=blen)
+        f_jn, m_jn = chain.extract_batch(
+            jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg,
+            backend="jnp",
+        )
+        nv = int(np.asarray(m_jn)[0].sum())
+        assert int(np.asarray(m_rs)[0].sum()) == nv, blen
+        np.testing.assert_allclose(
+            np.asarray(f_rs)[0, :nv], np.asarray(f_jn)[0, :nv],
+            atol=1e-3, rtol=2e-3, err_msg=str(blen),
+        )
+
+
+def test_resample_slab_dither_contract():
+    """Dither through the fused rs kernel follows the signal-level contract
+    on the OUTPUT-domain slab (same field the 16 kHz slab path draws), so
+    the jnp twin replaying the same seed agrees to fp32 tolerance."""
+    from mfcc_tpu.pipeline import device_layout
+
+    cfg = NAMED_CONFIGS["mfcc39_48k"].replace(dither=1.0, dither_seed=5)
+    g = np.random.default_rng(79)
+    sigs = [(g.standard_normal(48000) * 3000).astype(np.float32)]
+    lay = device_layout(cfg, 48000)
+    slab = pad_batch(sigs, cfg, bucket_len=48000, layout=lay)
+    f_rs, m_rs = chain.extract_batch(
+        jnp.asarray(slab.audio), jnp.asarray(slab.lengths), cfg,
+        backend="pallas",
+    )
+    flat = pad_batch(sigs, cfg, bucket_len=48000)
+    f_jn, m_jn = chain.extract_batch(
+        jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg,
+        backend="jnp",
+    )
+    nv = int(np.asarray(m_jn)[0].sum())
+    np.testing.assert_allclose(
+        np.asarray(f_rs)[0, :nv], np.asarray(f_jn)[0, :nv],
+        atol=2e-3, rtol=2e-3,
+    )

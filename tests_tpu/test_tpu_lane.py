@@ -438,6 +438,51 @@ def test_slab_i16_bitwise_on_tpu(tpu, signals):
         np.testing.assert_array_equal(np.asarray(f_i16), np.asarray(f_f32))
 
 
+def test_resample_slab_on_tpu(tpu, signals):
+    """The r5 in-kernel fused resample through Mosaic: blocked sr_in PCM
+    (48 kHz and 44.1 kHz) -> log-mel in ONE kernel, vs the flat jnp twin
+    at the cross-rounding tolerance; int16 rs slabs bit-identical to f32."""
+    import jax.numpy as jnp
+
+    from mfcc_tpu.pipeline import device_layout
+
+    g = np.random.default_rng(83)
+    for name, n in (("mfcc39_48k", 480000), ("mfcc39_44k", 441000)):
+        cfg = NAMED_CONFIGS[name]
+        sigs = [(g.standard_normal(n) * 3000).astype(np.int16)
+                .astype(np.float32),
+                (g.standard_normal(n // 3 + 7) * 3000).astype(np.int16)
+                .astype(np.float32)]
+        lay = device_layout(cfg, n)
+        assert type(lay).__name__ == "ResampleSlabLayout", (name, lay)
+        slab = pad_batch(sigs, cfg, bucket_len=n, layout=lay)
+        f_rs, m_rs = chain.extract_batch(
+            jnp.asarray(slab.audio), jnp.asarray(slab.lengths), cfg,
+            backend="pallas",
+        )
+        flat = pad_batch(sigs, cfg, bucket_len=n)
+        f_jn, m_jn = chain.extract_batch(
+            jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg,
+            backend="jnp",
+        )
+        nv = np.asarray(m_jn).sum(axis=1).astype(int)
+        np.testing.assert_array_equal(
+            nv, np.asarray(m_rs).sum(axis=1).astype(int)
+        )
+        for i in range(len(sigs)):
+            np.testing.assert_allclose(
+                np.asarray(f_rs)[i, : nv[i]], np.asarray(f_jn)[i, : nv[i]],
+                atol=4e-3, rtol=4e-3, err_msg=f"{name} utt{i}",
+            )
+        f_i16, _ = chain.extract_batch(
+            jnp.asarray(np.asarray(slab.audio).astype(np.int16)),
+            jnp.asarray(slab.lengths), cfg, backend="pallas",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f_i16), np.asarray(f_rs), err_msg=name
+        )
+
+
 def test_fused_tail_on_tpu(tpu, signals):
     """The OPT-IN r4 fused cepstral tail through Mosaic on the real chip:
     in-kernel DCT·lifter·energy-c0 + Δ/ΔΔ + CMVN vs the jnp twin and vs
