@@ -13,6 +13,7 @@ skipped — one bad file never kills a corpus run (SURVEY.md §5 failure row).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import logging
 import os
@@ -36,9 +37,16 @@ _SENTINEL = object()
 # full read.
 _HEADER_PREFIX = 8192
 
-# Decode jobs per pool submission in the direct path: amortizes the
-# per-future Python overhead (queue hop, Future object) over 8 files.
+# Decode jobs per pool submission in the direct (threaded) path:
+# amortizes the per-future Python overhead over 8 files; larger chunks
+# hurt its SYNCHRONOUS flush's tail latency (r4 sweep).
 _DECODE_CHUNK = 8
+
+# The mp path finishes batches asynchronously (r5 deferred finishing), so
+# chunk tail latency hides behind the next batch's accumulation and the
+# binding cost is IPC round trips: 32 jobs/request measured 188k vs 161k
+# (chunk 8) vs 180k (16) feed-only audio-s/s at 0% steal (FEED_r05.json).
+_DECODE_CHUNK_MP = 32
 
 
 def _parse_header_counted(path, expect_sr: int, stats: "DecodeStats"):
@@ -870,7 +878,10 @@ def stream_batches_mp(
     (known duplication): the 'same batches, same order' contract between
     the two feeds is enforced by byte-equality tests (tests/test_io.py),
     so edits to bucketing/long-mode/skip logic must land in BOTH loops —
-    grep for `ob.jobs.append`.
+    grep for `ob.jobs.append`. One deliberate r5 divergence: this loop
+    FINISHES batches asynchronously (begin_finish/materialize below) —
+    same batches, same order, but decode waits overlap the next batch's
+    accumulation instead of serializing the generator.
     """
     stats = stats if stats is not None else DecodeStats()
     expect_sr = cfg.input_sample_rate or cfg.sample_rate
@@ -951,12 +962,29 @@ def stream_batches_mp(
         ob.mp_jobs.append(job)
         ob.jobs = []
 
-    def flush(blen: int, pad_rows: bool) -> Batch | None:
+    # Deferred finishing (r5): a filled batch's decode chunks keep running
+    # while the generator accumulates the NEXT batch — the flush wait that
+    # serialized the r4 loop (~70% of consumer wall in the quiet-window
+    # profile) overlaps with header streaming and later submissions. Order
+    # and contents are IDENTICAL to the synchronous loop (FIFO; the
+    # byte-equality contract with stream_batches_direct holds); only the
+    # yield timing moves. In-flight finished-but-unyielded batches are
+    # bounded (slab memory) by force-materializing the oldest.
+    finishing: "collections.deque[_Open]" = collections.deque()
+    _MAX_FINISHING = 3
+
+    def begin_finish(blen: int) -> None:
         ob = pending.pop(blen, None)
         if ob is None or not ob.ids:
-            return None
+            return
         submit(ob)
         stats.queue_depth = pool.depth()
+        finishing.append(ob)
+
+    def ready(ob: "_Open") -> bool:
+        return all(j.event.is_set() for j in ob.mp_jobs)
+
+    def materialize(ob: "_Open", pad_rows: bool) -> Batch:
         for job in ob.mp_jobs:
             job.event.wait()
             if job.error is not None:
@@ -1015,16 +1043,22 @@ def stream_batches_mp(
                 ob.jobs.append((row, path))
             # else: row content is never read (the caller resume-skips the
             # whole batch) — composition/lengths stay identical either way
-            if len(ob.jobs) >= _DECODE_CHUNK:
+            if len(ob.jobs) >= _DECODE_CHUNK_MP:
                 submit(ob)
             if len(ob.ids) >= batch_size:
-                b = flush(blen, False)
-                if b is not None:
-                    yield b
+                begin_finish(blen)
+            # yield finished batches in FIFO order as their decodes land;
+            # block only to bound in-flight slabs
+            while finishing and (
+                ready(finishing[0]) or len(finishing) >= _MAX_FINISHING
+            ):
+                yield materialize(finishing.popleft(), False)
+        while finishing:
+            yield materialize(finishing.popleft(), False)
         for blen in buckets:
-            b = flush(blen, pad_batch_rows)
-            if b is not None:
-                yield b
+            begin_finish(blen)
+        while finishing:
+            yield materialize(finishing.popleft(), pad_batch_rows)
     finally:
         # pool is process-cached (workers stay warm for the next stream);
         # slab files are per-stream: unlink AND tell workers to drop their

@@ -97,6 +97,21 @@ def test_long_48k_resample():
     np.testing.assert_allclose(got, want, atol=FEATURE_ATOL_FP32, rtol=FEATURE_RTOL)
 
 
+def test_long_44k_resample():
+    """The r5 mfcc39_44k config (fractional 160/441 ratio) through the
+    longform resample-first split matches the float64 oracle on the
+    scipy-resampled signal."""
+    import scipy.signal
+
+    g = np.random.default_rng(10)
+    x44 = (g.standard_normal(44100 * 23) * 3000).astype(np.float64)
+    cfg = NAMED_CONFIGS["mfcc39_44k"]
+    got = extract_long(x44, cfg, backend="jnp", seg_len_s=10.0)
+    want = ref.extract(scipy.signal.resample_poly(x44, 160, 441), cfg)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=FEATURE_ATOL_FP32, rtol=FEATURE_RTOL)
+
+
 def test_short_input_takes_normal_path(long_signal):
     """Utterances that fit one segment must go through extract_single
     byte-for-byte (no segmentation overhead or drift)."""
