@@ -94,9 +94,22 @@ class ArkWriter:
         head = key.encode("utf-8") + b" "
         self._ark.write(head)
         offset = self._pos + len(head)
-        body = _matrix_bytes(feat)
-        self._ark.write(body)
-        self._pos = offset + len(body)
+        # write the matrix header then the row data STRAIGHT from the
+        # array buffer — _matrix_bytes' tobytes() copied every matrix a
+        # second time, which showed up as the writer binding the
+        # integrated e2e pipeline under the kaldi format (E2E_r05)
+        feat = np.ascontiguousarray(np.asarray(feat, dtype="<f4"))
+        if feat.ndim != 2:
+            raise ValueError(f"expected [F, D] features, got {feat.shape}")
+        rows, cols = feat.shape
+        mhead = (
+            _BINARY + _FLOAT_MATRIX
+            + b"\x04" + struct.pack("<i", rows)
+            + b"\x04" + struct.pack("<i", cols)
+        )
+        self._ark.write(mhead)
+        self._ark.write(feat.data)
+        self._pos = offset + len(mhead) + feat.nbytes
         # the scp references the FINAL ark path, absolute (Kaldi feats.scp
         # convention; valid after close())
         self._scp.write(f"{key} {self.ark_path.resolve()}:{offset}\n")
