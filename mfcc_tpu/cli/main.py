@@ -757,7 +757,10 @@ def cmd_serve(args) -> int:
 
     Responses (one JSON object per line on stdout):
       {"event":"frames","sid":N,"n":k,"dim":D,"data":"<b64 f32 row-major>"}
-      (with --emit list: "frames":[[...]] instead of "data")
+      (with --emit list: "frames":[[...]] instead of "data";
+       with --emit b64-batched: ONE event per poll round instead —
+       {"event":"frames_batch","streams":[{"sid","n","dim"},...],
+        "data":"<their tiles concatenated, b64>"})
       {"event":"done","sid":N}             stream finished, slot freed
       {"event":"error","msg":...}          recoverable; the loop continues
 
@@ -829,7 +832,30 @@ def cmd_serve(args) -> int:
 
     def drain() -> None:
         nonlocal audio_s
-        for sid, feat in pool.poll().items():
+        polled = pool.poll()
+        if args.emit == "b64-batched":
+            # ONE frames_batch event per poll round: per-stream json.dumps
+            # + stdout flush amortize across the round (the wire layer's
+            # next ceiling after the burst-drain fix — SERVING_r05.json).
+            # Payload: the streams' [n_i, dim] f32 tiles concatenated
+            # row-major in listed order.
+            parts, metas = [], []
+            for sid, feat in polled.items():
+                if feat.shape[0]:
+                    parts.append(
+                        np.ascontiguousarray(feat, dtype="<f4").tobytes()
+                    )
+                    metas.append({"sid": sid, "n": int(feat.shape[0]),
+                                  "dim": int(feat.shape[1])})
+            if metas:
+                emit({"event": "frames_batch", "streams": metas,
+                      "data": base64.b64encode(b"".join(parts))
+                      .decode("ascii")})
+            for sid in polled:
+                if pool.done(sid):
+                    emit({"event": "done", "sid": sid})
+            return
+        for sid, feat in polled.items():
             if feat.shape[0]:
                 if args.emit == "list":
                     emit({"event": "frames", "sid": sid, "n": feat.shape[0],
@@ -1123,9 +1149,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--speaker", default=None,
                    help="with speaker-CMVN stats: the pool to normalize "
                         "this server's sessions with")
-    s.add_argument("--emit", choices=["b64", "list"], default="b64",
-                   help="frame payload encoding: b64 float32 (compact) or "
-                        "JSON lists (debuggable)")
+    s.add_argument("--emit", choices=["b64", "list", "b64-batched"],
+                   default="b64",
+                   help="frame payload encoding: b64 float32 (compact), "
+                        "JSON lists (debuggable), or b64-batched (ONE "
+                        "frames_batch event per poll round — amortizes "
+                        "json+flush across streams; the high-stream-count "
+                        "wire mode, SERVING_r05.json)")
     s.add_argument("--metrics", default=None, help="JSON-lines metrics file")
     s.set_defaults(fn=cmd_serve)
 

@@ -122,7 +122,8 @@ def render_requests(n_streams: int, rounds: int, chunk_samples: int) -> list:
     return lines
 
 
-def measure_wire(n_streams: int, rounds: int, cfg_name: str) -> dict:
+def measure_wire(n_streams: int, rounds: int, cfg_name: str,
+                 emit: str = "b64") -> dict:
     import importlib
 
     import mfcc_tpu.pipeline as pipeline_mod
@@ -147,8 +148,8 @@ def measure_wire(n_streams: int, rounds: int, cfg_name: str) -> dict:
             speaker = None
             streams = n_streams
             frames_per_block = K
-            emit = "b64"
             metrics = None
+        A.emit = emit
 
         t0 = time.perf_counter()
         rc = cli_main.cmd_serve(A())
@@ -195,6 +196,10 @@ def main() -> int:
     rows = []
     for n in [int(x) for x in args.streams.split(",")]:
         w = measure_wire(n, args.rounds, args.config)
+        wb = measure_wire(n, args.rounds, args.config, emit="b64-batched")
+        w["wire_us_per_stream_block_batched_emit"] = (
+            wb["wire_us_per_stream_block"]
+        )
         ep = measure_empty_poll(n, args.config)
         w["empty_poll_us"] = round(ep, 1)
         # one push line per stream-block; under the historical

@@ -295,6 +295,15 @@ def _gather_frames(events, sid):
                 rows.append(a.reshape(ev["n"], ev["dim"]))
             else:
                 rows.append(np.asarray(ev["frames"], dtype=np.float32))
+        elif ev.get("event") == "frames_batch":
+            # --emit b64-batched: tiles concatenated in streams order
+            a = np.frombuffer(base64.b64decode(ev["data"]), dtype="<f4")
+            off = 0
+            for m in ev["streams"]:
+                k = m["n"] * m["dim"]
+                if m["sid"] == sid:
+                    rows.append(a[off : off + k].reshape(m["n"], m["dim"]))
+                off += k
     if not rows:
         return np.zeros((0, 0), np.float32)
     return np.concatenate(rows, axis=0)
@@ -357,6 +366,74 @@ def test_serve_parity_two_sessions(monkeypatch, capsys):
     # SERVING_r05.json). A pre-filled stdin is one burst: few polls.
     assert final["base_dispatches"] >= 1 and final["poll_rounds"] >= 1
     assert final["poll_rounds"] < len(lines)  # the per-line policy is gone
+
+
+def test_serve_batched_emit_parity(monkeypatch, capsys):
+    """--emit b64-batched: one frames_batch event per poll round carries
+    every ready stream's tile; reassembled features match the offline
+    chain exactly like per-stream events do."""
+    import base64
+
+    from mfcc_tpu.ops import chain
+
+    g = np.random.default_rng(91)
+    x0 = (g.standard_normal(8000) * 3000).astype(np.int16)
+    x1 = (g.standard_normal(5000) * 2000).astype(np.int16)
+    lines = [
+        json.dumps({"op": "open"}),
+        json.dumps({"op": "open"}),
+        json.dumps({"op": "push", "sid": 0,
+                    "pcm16": base64.b64encode(x0.tobytes()).decode()}),
+        json.dumps({"op": "push", "sid": 1,
+                    "pcm16": base64.b64encode(x1.tobytes()).decode()}),
+        json.dumps({"op": "end", "sid": 0}),
+        json.dumps({"op": "end", "sid": 1}),
+    ]
+    rc, events = _run_serve(
+        monkeypatch, capsys, lines,
+        "--config", "classic13_deltas", "--streams", "4",
+        "--frames-per-block", "8", "--emit", "b64-batched",
+    )
+    assert rc == 0
+    batch_evs = [e for e in events if e.get("event") == "frames_batch"]
+    assert batch_evs, "no frames_batch events"
+    assert not any(e.get("event") == "frames" for e in events)
+    cfg = NAMED_CONFIGS["classic13_deltas"]
+    for sid, x in ((0, x0), (1, x1)):
+        want = chain.extract_single(x.astype(np.float32), cfg, backend="jnp")
+        got = _gather_frames(events, sid)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-5)
+    assert {e["sid"] for e in events if e.get("event") == "done"} == {0, 1}
+
+
+def test_serve_explicit_poll_forces_drain(monkeypatch, capsys):
+    """An explicit {"op":"poll"} drains mid-burst: with enough pushed
+    audio, the frames precede the later requests' effects (observable as
+    poll_rounds > the single burst-boundary drain)."""
+    import base64
+
+    g = np.random.default_rng(93)
+    x = (g.standard_normal(6400) * 3000).astype(np.int16)
+    lines = [
+        json.dumps({"op": "open"}),
+        json.dumps({"op": "push", "sid": 0,
+                    "pcm16": base64.b64encode(x.tobytes()).decode()}),
+        json.dumps({"op": "poll"}),
+        json.dumps({"op": "poll"}),
+        json.dumps({"op": "end", "sid": 0}),
+        json.dumps({"op": "stats"}),
+    ]
+    rc, events = _run_serve(
+        monkeypatch, capsys, lines,
+        "--config", "classic13", "--streams", "2",
+        "--frames-per-block", "8",
+    )
+    assert rc == 0
+    stats = [e for e in events if e.get("event") == "stats"][-1]
+    # two explicit polls + the EOF flush drains: strictly more rounds
+    # than a poll-free burst of the same shape would produce
+    assert stats["poll_rounds"] >= 3
 
 
 def test_serve_eof_flush_and_errors(monkeypatch, capsys):
