@@ -722,6 +722,58 @@ def extract_batch(
 
 
 # ---------------------------------------------------------------------------
+# Differentiable fused extraction (r5): pallas forward, twin-VJP backward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def extract_batch_diff(
+    audio: jnp.ndarray, lengths: jnp.ndarray, cfg: FrontendConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`extract_batch(backend="pallas")` that works under `jax.grad`.
+
+    The fused Pallas kernel has no VJP rule, so the gradient is the jnp
+    TWIN's VJP, linearized at the same inputs (rematerialized in the
+    backward pass — the trainable-front-end use case tolerates one extra
+    jnp forward per step). The two paths agree to ~1e-4 on features
+    (tests/test_pallas_kernels.py), so this is the exact gradient of a
+    function uniformly close to the primal — the standard contract for
+    surrogate-backward kernels. Flat float audio [B, T] only (gradients
+    w.r.t. int16 PCM or pre-built slabs are not meaningful); the mask
+    output depends only on `lengths` and carries no gradient.
+    """
+    if jnp.issubdtype(audio.dtype, jnp.integer) or audio.ndim != 2:
+        raise ValueError(
+            "extract_batch_diff takes flat float audio [B, T]; decode/"
+            "convert first (gradients of int PCM or slab layouts are "
+            "not meaningful)"
+        )
+    return extract_batch(audio, lengths, cfg, backend="pallas")
+
+
+def _ebd_fwd(audio, lengths, cfg):
+    out = extract_batch(audio, lengths, cfg, backend="pallas")
+    return out, (audio, lengths)
+
+
+def _ebd_bwd(cfg, res, ct):
+    audio, lengths = res
+    d_feat, _d_mask = ct  # the mask is audio-independent
+
+    def f(a):
+        feat, _ = extract_batch(a, lengths, cfg, backend="jnp")
+        return feat
+
+    _, vjp = jax.vjp(f, audio)
+    (d_audio,) = vjp(d_feat)
+    d_lengths = np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+    return d_audio, d_lengths
+
+
+extract_batch_diff.defvjp(_ebd_fwd, _ebd_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Single-utterance convenience (golden tests, CLI one-shot path)
 # ---------------------------------------------------------------------------
 

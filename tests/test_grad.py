@@ -76,3 +76,51 @@ def test_grad_respects_batch_and_length_boundaries():
     assert np.abs(g[0, :3000]).max() > 0
     # pad samples beyond the utterance cannot influence its features
     assert np.abs(g[0, 3000:]).max() == 0.0
+
+
+def test_pallas_diff_matches_jnp_grad():
+    """extract_batch_diff: fused-kernel forward values, jnp-twin VJP
+    backward — gradients match the pure-jnp path to fp32 tolerance and
+    the forward is bit-identical to backend='pallas'."""
+    from mfcc_tpu.config import named_config
+
+    cfg = named_config("classic13_deltas")
+    xs = [RNG.standard_normal(4000) * 1000 + 50 for _ in range(2)]
+    b = pad_batch(xs, cfg)
+    audio, lengths = jnp.asarray(b.audio), jnp.asarray(b.lengths)
+
+    def loss_p(a):
+        feat, _ = chain.extract_batch_diff(a, lengths, cfg)
+        return (feat**2).sum()
+
+    def loss_j(a):
+        feat, _ = chain.extract_batch(a, lengths, cfg, backend="jnp")
+        return (feat**2).sum()
+
+    gp = np.asarray(jax.grad(loss_p)(audio))
+    gj = np.asarray(jax.grad(loss_j)(audio))
+    assert np.isfinite(gp).all() and np.abs(gp).max() > 0
+    rel = np.abs(gp - gj).max() / np.abs(gj).max()
+    assert rel < 1e-3, rel
+    fp, _ = chain.extract_batch_diff(audio, lengths, cfg)
+    fp2, _ = chain.extract_batch(audio, lengths, cfg, backend="pallas")
+    np.testing.assert_array_equal(np.asarray(fp), np.asarray(fp2))
+
+
+def test_pallas_diff_rejects_non_flat_input():
+    from mfcc_tpu.config import named_config
+    from mfcc_tpu.pipeline import device_layout
+
+    cfg = named_config("classic13")
+    b = pad_batch([RNG.standard_normal(16000).astype(np.float32)], cfg,
+                  bucket_len=16000, layout=device_layout(cfg, 16000))
+    with pytest.raises(ValueError, match="flat float audio"):
+        chain.extract_batch_diff(
+            jnp.asarray(b.audio), jnp.asarray(b.lengths), cfg
+        )
+    flat = pad_batch([RNG.standard_normal(16000).astype(np.float32)], cfg)
+    with pytest.raises(ValueError, match="flat float audio"):
+        chain.extract_batch_diff(
+            jnp.asarray(np.asarray(flat.audio, np.int16)),
+            jnp.asarray(flat.lengths), cfg,
+        )
