@@ -47,8 +47,8 @@ def main() -> int:
     if args.all:
         rc = 0
         for name in ("logmel80", "ssc26", "kaldi_mfcc", "kaldi_fbank",
-                     "kaldi_plp", "whisper80", "mfcc39_48k", "classic13",
-                     "classic13_deltas"):
+                     "kaldi_plp", "kaldi_spectrogram", "whisper80", "mfcc39_48k", "mfcc39_44k",
+                     "classic13", "classic13_deltas"):
             rc |= bench_one(name, args.batch, args.seconds)
         return rc
     return bench_one(args.config, args.batch, args.seconds)

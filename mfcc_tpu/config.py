@@ -33,7 +33,7 @@ LOGMEL_NORMS = ("none", "whisper")  # whisper: max-8 clamp then (x+4)/4
 DCT_NORMS = ("ortho", "htk")
 FRAME_TAILS = ("pad", "drop", "center", "center_reflect")
 CMVN_MODES = ("off", "utterance", "global", "speaker")
-FEATURES = ("mfcc", "logmel", "ssc", "plp")
+FEATURES = ("mfcc", "logmel", "ssc", "plp", "spectrogram")
 PREEMPH_MODES = ("signal", "frame")
 ENERGY_SOURCES = ("pspec", "raw_frame", "windowed_frame")
 
@@ -119,6 +119,11 @@ class FrontendConfig:
     # IDFT to autocorrelation → order-lpc_order Levinson-Durbin →
     # LPC-cepstra; c0 = residual log energy (or ln E with append_energy);
     # lifter applies; log/DCT knobs are unused
+    # "spectrogram": log power spectrum per FFT bin (Kaldi
+    # compute-spectrogram-feats lineage): the filterbank is the identity
+    # (requires n_mels == n_bins), log applies per bin, and with
+    # append_energy feature[0] is replaced by the log frame energy
+    # exactly like Kaldi; mel/DCT/lifter knobs are unused
     lpc_order: int = 12  # PLP linear-prediction order
     compress_factor: float = 1.0 / 3.0  # PLP intensity-loudness power law
     n_ceps: int = 13
@@ -171,6 +176,12 @@ class FrontendConfig:
                 )
             if self.lpc_order < 1:
                 raise ValueError("lpc_order must be >= 1")
+        if self.features == "spectrogram" and self.n_mels != self.n_bins:
+            raise ValueError(
+                "features='spectrogram' outputs one lane per FFT bin: set "
+                f"n_mels == n_bins ({self.n_bins} for n_fft={self.n_fft}), "
+                f"got n_mels={self.n_mels}"
+            )
         if self.dither < 0:
             raise ValueError("dither must be >= 0")
         if self.vtln_warp != 1.0 and self.mel_variant != "tf_continuous":
@@ -297,6 +308,21 @@ NAMED_CONFIGS: dict[str, FrontendConfig] = {
         power_scale_nfft=False,
         log_kind="ln_floor",
         log_eps=1.1920928955078125e-07,  # float32 machine epsilon (Kaldi)
+    ),
+    # Kaldi compute-spectrogram-feats defaults (same FrameExtractionOptions
+    # as kaldi_mfcc): 257 log power-spectrum lanes, feature[0] <- log raw
+    # energy. Dither ships off like the other Kaldi configs.
+    "kaldi_spectrogram": FrontendConfig(
+        features="spectrogram",
+        window="povey",
+        frame_tail="drop",
+        preemph_mode="frame",
+        remove_dc_offset=True,
+        energy_source="raw_frame",
+        n_mels=257,  # == n_bins: one lane per FFT bin
+        power_scale_nfft=False,
+        log_kind="ln_floor",
+        log_eps=1.1920928955078125e-07,
     ),
     # Kaldi compute-fbank-feats defaults: 23 log-mel bins, same framing.
     "kaldi_fbank": FrontendConfig(

@@ -472,6 +472,23 @@ def features_from_logmel(
             # the kernel's ssc epilogue already divided the freq-weighted
             # projection by the mel projection: lanes [0:M] ARE centroids
             base = x[..., : cfg.n_mels]
+        elif cfg.features == "spectrogram":
+            # lanes [0:M] are the log power spectrum (mel == identity);
+            # Kaldi replaces feature[0] with the log frame energy (lane M
+            # carries the clamped raw energy)
+            base = x[..., : cfg.n_mels]
+            if cfg.append_energy:
+                eps = jnp.asarray(cfg.log_eps, x.dtype)
+                log_e = jnp.log(
+                    jnp.where(x[..., cfg.n_mels :] <= 0, eps,
+                              x[..., cfg.n_mels :])
+                )
+                if cfg.energy_floor > 0.0:
+                    log_e = jnp.maximum(
+                        log_e, jnp.asarray(np.log(cfg.energy_floor), x.dtype)
+                    )
+                lane = jnp.arange(cfg.n_mels)
+                base = jnp.where(lane == 0, log_e, base)
         else:
             if cfg.append_energy:
                 lane = jnp.arange(cfg.n_mels + 1)
@@ -495,6 +512,17 @@ def features_from_logmel(
             )
     elif cfg.features == "logmel":
         base = _logmel_norm(stages["logmel"])
+    elif cfg.features == "spectrogram":
+        # jnp-twin path: logmel IS the log pspec (mel == identity)
+        base = stages["logmel"]
+        if cfg.append_energy:
+            log_e = jnp.log(stages["energy"])
+            if cfg.energy_floor > 0.0:
+                log_e = jnp.maximum(
+                    log_e, jnp.asarray(np.log(cfg.energy_floor), log_e.dtype)
+                )
+            lane = jnp.arange(cfg.n_mels)
+            base = jnp.where(lane == 0, log_e[..., None], base)
     elif cfg.features == "plp":
         base = plp_base(stages["melspec"], stages["energy"], cfg)
     elif cfg.features == "ssc":

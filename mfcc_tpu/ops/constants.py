@@ -238,6 +238,12 @@ def mel_filterbank_hz(
 
 
 def mel_filterbank(cfg: FrontendConfig) -> np.ndarray:
+    if cfg.features == "spectrogram":
+        # one output lane per FFT bin (Kaldi compute-spectrogram-feats):
+        # the "filterbank" is the identity, so the whole kernel/twin
+        # machinery (duplicated/scrambled-bin projection, energy column,
+        # log epilogue) applies unchanged with melspec == pspec
+        return np.eye(cfg.n_bins, dtype=np.float64)
     if cfg.mel_variant == "psf_quantized":
         return mel_filterbank_psf(
             cfg.n_mels, cfg.n_fft, cfg.sample_rate, cfg.mel_low_hz, cfg.mel_high,

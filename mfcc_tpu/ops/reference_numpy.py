@@ -314,6 +314,15 @@ def extract_stages(
         base = (p * k["freqs"][None, :]) @ k["mel"] / (p @ k["mel"])
     elif cfg.features == "plp":
         base = plp_base(stages["melspec"], stages["energy"], cfg, k)
+    elif cfg.features == "spectrogram":
+        # log power spectrum per bin (mel == identity, so logmel IS the
+        # log pspec); Kaldi replaces feature[0] with the log frame energy
+        base = stages["logmel"].copy()
+        if cfg.append_energy:
+            log_e = np.log(stages["energy"])
+            if cfg.energy_floor > 0.0:
+                log_e = np.maximum(log_e, math.log(cfg.energy_floor))
+            base[:, 0] = log_e
     else:
         ceps = stages["logmel"] @ k["dct"]  # (8) DCT-II slice to n_ceps
         ceps = ceps * k["lifter"][None, :]  # (9) lifter...

@@ -98,6 +98,18 @@ def _make_base_block(cfg: FrontendConfig, K: int):
         logmel = chain.apply_log(melspec, cfg)
         if cfg.features == "logmel":
             return logmel
+        if cfg.features == "spectrogram":
+            # log power spectrum per bin (mel == identity); feature[0]
+            # <- log frame energy, like the offline chain
+            if cfg.append_energy:
+                log_e = jnp.log(energy)
+                if cfg.energy_floor > 0.0:
+                    log_e = jnp.maximum(
+                        log_e, jnp.asarray(np.log(cfg.energy_floor), dtype)
+                    )
+                lane = jnp.arange(cfg.n_mels)
+                logmel = jnp.where(lane == 0, log_e[:, None], logmel)
+            return logmel
         if cfg.features == "ssc":
             # spectral subband centroids: same clamp + matmul pair as the
             # offline chain (ops/chain.py features_from_logmel)

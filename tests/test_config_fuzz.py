@@ -54,6 +54,10 @@ def _random_config(g) -> FrontendConfig:
         kw["n_ceps"] = int(g.choice([12, 13, min(20, n_mels)]))
     else:
         kw["n_ceps"] = min(13, n_mels)
+    if features == "spectrogram":
+        # one lane per FFT bin (the identity filterbank); mel knobs unused
+        kw["n_mels"] = n_fft // 2 + 1
+        kw["n_ceps"] = 13
     return FrontendConfig(**kw)
 
 

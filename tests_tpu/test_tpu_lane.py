@@ -483,6 +483,48 @@ def test_resample_slab_on_tpu(tpu, signals):
         )
 
 
+def test_spectrogram_on_tpu(tpu, signals):
+    """kaldi_spectrogram through Mosaic: the kernel's multi-tile output
+    path (mp = 384 lanes for 257 bins + energy) ≡ the jnp twin; int16
+    slab bitwise vs fp32."""
+    import jax.numpy as jnp
+
+    from mfcc_tpu.pipeline import device_layout
+
+    cfg = NAMED_CONFIGS["kaldi_spectrogram"]
+    g = np.random.default_rng(101)
+    pcms = [(g.standard_normal(16000) * 3000).astype(np.int16),
+            (g.standard_normal(6007) * 3000).astype(np.int16)]
+    flat = pad_batch([p.astype(np.float32) for p in pcms], cfg,
+                     bucket_len=16000)
+    f_pl, m = chain.extract_batch(
+        jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg,
+        backend="pallas",
+    )
+    f_jn, _ = chain.extract_batch(
+        jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg,
+        backend="jnp",
+    )
+    nv = np.asarray(m).sum(axis=1).astype(int)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(f_pl)[i, : nv[i]], np.asarray(f_jn)[i, : nv[i]],
+            atol=2e-3, rtol=2e-3, err_msg=f"utt{i}",
+        )
+    lay = device_layout(cfg, 16000)
+    slab = pad_batch([p.astype(np.float32) for p in pcms], cfg,
+                     bucket_len=16000, layout=lay)
+    fs32, _ = chain.extract_batch(
+        jnp.asarray(slab.audio), jnp.asarray(slab.lengths), cfg,
+        backend="pallas",
+    )
+    fs16, _ = chain.extract_batch(
+        jnp.asarray(np.asarray(slab.audio).astype(np.int16)),
+        jnp.asarray(slab.lengths), cfg, backend="pallas",
+    )
+    np.testing.assert_array_equal(np.asarray(fs16), np.asarray(fs32))
+
+
 def test_pallas_diff_grad_on_tpu(tpu):
     """extract_batch_diff on hardware: Mosaic-compiled forward + jnp-twin
     VJP backward, all inside one jitted grad — finite, nonzero, and
