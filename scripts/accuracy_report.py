@@ -118,14 +118,20 @@ def main() -> int:
             k = C.chain_constants(cfg) if cfg.features == "mfcc" else None
             for i, (sname, g) in enumerate(goldens.items()):
                 Fi = g["features"].shape[0]
+                if Fi == 0:  # e.g. sub-frame signals under frame_tail="drop"
+                    continue
                 worst["features"] = max(
                     worst["features"],
                     float(np.abs(feat_b[i, :Fi] - g["features"]).max()),
                 )
-                worst["logmel"] = max(
-                    worst["logmel"],
-                    float(np.abs(logmel_b[i, :Fi] - g["logmel"]).max()),
-                )
+                if cfg.features != "ssc" or backend == "jnp":
+                    # the fused ssc kernel's stage lanes are CENTROIDS,
+                    # not log-mel — comparing them to the log-mel golden
+                    # would be meaningless
+                    worst["logmel"] = max(
+                        worst["logmel"],
+                        float(np.abs(logmel_b[i, :Fi] - g["logmel"]).max()),
+                    )
                 if k is not None:
                     # fp32 upstream + float64 epilogue
                     ceps = logmel_b[i, :Fi] @ k["dct"]
