@@ -92,6 +92,7 @@ def bench_one(config_name: str, batch: int, seconds: int) -> int:
         # bit-parity asserted in tests/test_pallas_kernels.py)
         host_audio = host_audio.astype(np.int16)
     audio, lengths = jnp.asarray(host_audio), jnp.asarray(bb.lengths)
+    in_layout = bb.layout_kind
 
     @partial(jax.jit, static_argnames=("iters",))
     def chained(audio, lengths, iters):
@@ -109,7 +110,9 @@ def bench_one(config_name: str, batch: int, seconds: int) -> int:
             else:
                 pert = slc + 1e-7 * i
             a = jax.lax.dynamic_update_slice(carry, pert, (0,) * carry.ndim)
-            feat, _ = chain.extract_batch(a, lengths, cfg, backend=backend)
+            feat, _ = chain.extract_batch(
+                a, lengths, cfg, backend=backend, input_layout=in_layout
+            )
             return a, feat.sum()
         _, outs = jax.lax.scan(
             body, audio, jnp.arange(iters, dtype=jnp.float32)

@@ -374,6 +374,7 @@ def cmd_extract(args) -> int:
                     backend=backend,
                     with_moments="per_utterance" if speaker_mode
                     else want_moments,
+                    input_layout=batch.layout_kind,
                 )
                 # host-side dispatch wall (device_put H2D + async launch);
                 # decode_queue_depth: jobs in flight when this batch flushed
@@ -940,7 +941,19 @@ def cmd_serve(args) -> int:
                         x = np.asarray(
                             req["samples"], dtype=np.float32
                         ).reshape(-1)
-                    pool.push(req["sid"], x)
+                    try:
+                        pool.push(req["sid"], x)
+                    except RuntimeError:
+                        # per-session buffer backpressure: under the burst
+                        # drain policy a long pipelined push run can exceed
+                        # max_buffer_s before the 256-line bound fires —
+                        # drain (frees buffered blocks) and retry ONCE so
+                        # the chunk's audio isn't silently dropped; a
+                        # genuinely over-budget push re-raises to the
+                        # error event below
+                        drain()
+                        lines_since_drain = 0
+                        pool.push(req["sid"], x)
                     audio_s += x.size / sr_in
                 elif op == "end":
                     pool.end(req["sid"])

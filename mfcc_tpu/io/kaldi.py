@@ -54,17 +54,21 @@ def ark_key(utt_id) -> str:
     return f"{key or 'utt'}-{hashlib.sha256(sid.encode()).hexdigest()[:8]}"
 
 
-def _matrix_bytes(feat: np.ndarray) -> bytes:
-    feat = np.ascontiguousarray(np.asarray(feat, dtype="<f4"))
-    if feat.ndim != 2:
-        raise ValueError(f"expected [F, D] features, got shape {feat.shape}")
-    rows, cols = feat.shape
+def _matrix_header(rows: int, cols: int) -> bytes:
+    """Kaldi binary float-matrix header: the ONE definition of the wire
+    layout (ArkWriter.add streams the row data after it zero-copy)."""
     return (
         _BINARY + _FLOAT_MATRIX
         + b"\x04" + struct.pack("<i", rows)
         + b"\x04" + struct.pack("<i", cols)
-        + feat.tobytes()
     )
+
+
+def _matrix_bytes(feat: np.ndarray) -> bytes:
+    feat = np.ascontiguousarray(np.asarray(feat, dtype="<f4"))
+    if feat.ndim != 2:
+        raise ValueError(f"expected [F, D] features, got shape {feat.shape}")
+    return _matrix_header(*feat.shape) + feat.tobytes()
 
 
 class ArkWriter:
@@ -101,12 +105,7 @@ class ArkWriter:
         feat = np.ascontiguousarray(np.asarray(feat, dtype="<f4"))
         if feat.ndim != 2:
             raise ValueError(f"expected [F, D] features, got {feat.shape}")
-        rows, cols = feat.shape
-        mhead = (
-            _BINARY + _FLOAT_MATRIX
-            + b"\x04" + struct.pack("<i", rows)
-            + b"\x04" + struct.pack("<i", cols)
-        )
+        mhead = _matrix_header(*feat.shape)
         self._ark.write(mhead)
         self._ark.write(feat.data)
         self._pos = offset + len(mhead) + feat.nbytes

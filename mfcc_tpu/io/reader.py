@@ -408,12 +408,13 @@ def stream_batches_direct(
     def parse_header(path):
         return _parse_header_counted(path, expect_sr, stats)
 
-    from mfcc_tpu.pipeline.batch import feed_geometry
+    from mfcc_tpu.pipeline.batch import feed_geometry, layout_kind
 
+    _bucket_layouts = {b: _feed_layout(cfg, b, layouts) for b in buckets}
     bucket_geom = {
-        b: feed_geometry(cfg, b, _feed_layout(cfg, b, layouts))
-        for b in buckets
+        b: feed_geometry(cfg, b, _bucket_layouts[b]) for b in buckets
     }
+    bucket_kind = {b: layout_kind(_bucket_layouts[b]) for b in buckets}
 
     # slab recycling: consumers that call Batch.release() hand the audio
     # buffer back here, saving the page-fault pass of a fresh allocation
@@ -510,6 +511,7 @@ def stream_batches_direct(
             lengths=ob.lengths[:out_rows],
             ids=ids,
             on_release=recycle,
+            layout_kind=bucket_kind[ob.blen],
         )
 
     try:
@@ -894,12 +896,13 @@ def stream_batches_mp(
         raise ValueError(f"dtype={dtype!r} must be 'f32' or 'i16'")
     row_dtype = np.int16 if dtype == "i16" else np.float32
 
-    from mfcc_tpu.pipeline.batch import feed_geometry
+    from mfcc_tpu.pipeline.batch import feed_geometry, layout_kind
 
+    _bucket_layouts = {b: _feed_layout(cfg, b, layouts) for b in buckets}
     bucket_geom = {
-        b: feed_geometry(cfg, b, _feed_layout(cfg, b, layouts))
-        for b in buckets
+        b: feed_geometry(cfg, b, _bucket_layouts[b]) for b in buckets
     }
+    bucket_kind = {b: layout_kind(_bucket_layouts[b]) for b in buckets}
 
     pool, pool_private = _acquire_mp_pool(max(1, num_threads))
     slab_lock = threading.Lock()
@@ -1015,6 +1018,7 @@ def stream_batches_mp(
             lengths=ob.lengths[:out_rows],
             ids=ids,
             on_release=recycle,
+            layout_kind=bucket_kind[ob.blen],
         )
 
     try:

@@ -1181,6 +1181,59 @@ def resample_slab_geometry(
     }
 
 
+def resample_geometry_for_shape(
+    cfg: FrontendConfig, n_rows: int, width: int,
+    dft_passes: str = "radix4",
+) -> dict | None:
+    """Consumer-side EXACT validation of a [B, n_rows, width] feed against
+    the in-kernel resample-slab contract: the design must block at
+    J = hop, width must equal the polyphase step, n_rows must decompose as
+    pro + fp + tail + 1 with a block-consistent fp, and the slab must fit
+    the VMEM budget. Returns the geometry dict (capacity frame semantics:
+    num_frames = fp) or None.
+
+    This is the trace-time inverse of resample_slab_geometry — extract_batch
+    dispatches on it rather than on a loose lane-width test, because for
+    44.1 kHz the BlockedLayout's step coincides with the rs step
+    (_block_J(160) == the 160-sample hop → both lay 441-wide rows) and a
+    loose test misrouted blocked feeds (r5 review finding). A blocked feed
+    whose row count coincides with a valid rs geometry remains ambiguous
+    by shape alone — callers that KNOW their layout pass
+    extract_batch(input_layout=...) to bypass this heuristic."""
+    from mfcc_tpu.ops import resample
+
+    if not cfg.input_sample_rate or cfg.input_sample_rate == cfg.sample_rate:
+        return None
+    dft_passes = resolve_dft_passes(cfg, dft_passes)
+    if dft_passes == "radix4":
+        nc, S, _, _ = radix4_constants(cfg)["dims"]
+    else:
+        nc, S, _, _ = kernel_constants(cfg)["dims"]
+    d = resample.slab_design(
+        cfg.input_sample_rate, cfg.sample_rate, S, cfg.input_scale
+    )
+    if d is None or width != d["step"]:
+        return None
+    tail = _slab_tail(nc)
+    pro = SLAB_PROLOGUE_ROWS
+    fp = n_rows - pro - tail - 1
+    if fp < 8:
+        return None
+    # fp must round-trip the consumer's block recomputation exactly
+    block = _auto_block_frames(fp)
+    block = _round_up(block, 8)
+    block = min(block, max(8, _round_up(fp, 8)))
+    if _round_up(max(fp, block), block) != fp:
+        return None
+    if n_rows * d["step"] * 4 > SLAB_VMEM_BUDGET_BYTES:
+        return None
+    return {
+        "design": d, "block_frames": block, "fp": fp, "pro": pro,
+        "tail": tail, "r_rows": n_rows, "step": d["step"],
+        "pad_lo": d["pad_lo"], "num_frames": fp, "dft_passes": dft_passes,
+    }
+
+
 @dataclasses.dataclass(frozen=True)
 class ResampleSlabLayout:
     """Host-feed contract for the in-kernel fused resample (the resampling

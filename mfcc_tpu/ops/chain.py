@@ -569,12 +569,15 @@ def features_from_logmel(
     return feat
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "backend", "input_layout")
+)
 def extract_batch(
     audio: jnp.ndarray,
     lengths: jnp.ndarray,
     cfg: FrontendConfig,
     backend: str = "jnp",
+    input_layout: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full batched chain: padded audio [B, T] + lengths [B] →
     (features [B, F, feat_dim], frame_mask [B, F]).
@@ -588,11 +591,16 @@ def extract_batch(
 
     Resampling configs (input_sample_rate != sample_rate) additionally
     accept BLOCKED audio [B, n_sup, step] in the ops.resample.BlockedLayout
-    host-feed contract (pad_batch(layout=...) builds it for free during its
-    pad copy). That is the fast path: the polyphase resample becomes two
-    MXU dots on the natively-tiled input — no device-side relayout — and
-    its output lands directly in the fused kernel's chunk-slab layout.
-    `lengths` stays in INPUT samples either way.
+    host-feed contract, or the r5 ResampleSlabLayout (the in-kernel fused
+    resample; pipeline.device_layout picks it). `lengths` stays in INPUT
+    samples either way.
+
+    input_layout ("auto" | "blocked" | "resample_slab"): how to interpret
+    a 3-D resampling-config feed. "auto" validates the exact rs-slab
+    geometry and falls back to the blocked interpretation — unambiguous
+    except for 44.1 kHz-style rate pairs where a BlockedLayout row count
+    can coincide with a valid rs geometry; callers that built the layout
+    pass the explicit kind (pipeline.layout_kind(layout)).
     """
     chunks = chunks_t = None
     chunks_frames = None
@@ -601,31 +609,42 @@ def extract_batch(
     resampling = bool(
         cfg.input_sample_rate and cfg.input_sample_rate != cfg.sample_rate
     )
+    if input_layout not in ("auto", "blocked", "resample_slab"):
+        raise ValueError(
+            f"input_layout={input_layout!r} not in "
+            "('auto', 'blocked', 'resample_slab')"
+        )
     if (
         resampling
         and audio.ndim == 3
+        and input_layout != "blocked"
         and backend == "pallas"
         and cfg.dtype == "float32"
         and cfg.frame_tail not in ("center", "center_reflect")
         and pallas_unsupported_reason(cfg) is None
     ):
-        # in-kernel fused resample (r5): a ResampleSlabLayout feed — lane
-        # width is the polyphase step (ops.resample.slab_design), distinct
-        # from the BlockedLayout's 128-based step, so the shape dispatches
+        # In-kernel fused resample (r5): a ResampleSlabLayout feed. The
+        # dispatch validates the EXACT rs geometry (row decomposition,
+        # block consistency, VMEM budget) — for 44.1 kHz the BlockedLayout
+        # coincidentally lays rows of the same width, so a loose
+        # lane-width test misrouted blocked feeds (r5 review). A blocked
+        # feed whose row count ALSO matches a valid rs geometry is
+        # ambiguous by shape — layout-aware callers disambiguate with
+        # input_layout="blocked"/"resample_slab" (pipeline.layout_kind).
         from mfcc_tpu.kernels import frontend as _fk
-        from mfcc_tpu.ops import resample as _rsm
 
-        _S, _pro, _tail = _fk.slab_dims(cfg)
-        _d = _rsm.slab_design(
-            cfg.input_sample_rate, cfg.sample_rate, _S, cfg.input_scale
+        _geo = _fk.resample_geometry_for_shape(
+            cfg, audio.shape[1], audio.shape[2]
         )
-        if (
-            _d is not None
-            and audio.shape[2] == _d["step"]
-            and audio.shape[1] > _pro + _tail + 1
-        ):
-            rs_design = _d
-            chunks_frames = audio.shape[1] - _pro - _tail - 1
+        if _geo is not None:
+            rs_design = _geo["design"]
+            chunks_frames = _geo["num_frames"]
+        elif input_layout == "resample_slab":
+            raise ValueError(
+                f"input_layout='resample_slab' but {audio.shape[1:]} does "
+                "not match any resample-slab geometry for this config; "
+                "build the feed with pipeline.device_layout"
+            )
     if jnp.issubdtype(audio.dtype, jnp.integer):
         # int16 host feed (half the H2D bytes). Chunk slabs for the fused
         # kernel stay int16 END TO END — the kernel loads the PCM rows and

@@ -26,11 +26,16 @@ from mfcc_tpu.parallel.mesh import DATA_AXIS
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "backend", "mesh", "with_moments")
+    jax.jit,
+    static_argnames=("cfg", "backend", "mesh", "with_moments",
+                     "input_layout"),
 )
-def _sharded_extract(audio, lengths, cfg, backend, mesh, with_moments):
+def _sharded_extract(audio, lengths, cfg, backend, mesh, with_moments,
+                     input_layout):
     def local_step(a, l):
-        feat, mask = chain.extract_batch(a, l, cfg, backend=backend)
+        feat, mask = chain.extract_batch(
+            a, l, cfg, backend=backend, input_layout=input_layout
+        )
         if with_moments == "per_utterance":
             # speaker CMVN: [B, D] triples shard with the batch; the host
             # groups rows by speaker — no collective needed
@@ -72,6 +77,7 @@ def sharded_extract_batch(
     mesh: Mesh,
     backend: str = "jnp",
     with_moments: bool | str = False,
+    input_layout: str = "auto",
 ):
     """Extract features with the batch sharded over mesh axis "data".
 
@@ -80,6 +86,9 @@ def sharded_extract_batch(
     moments-or-None); with_moments=True gives the replicated global
     (Σx[D], Σx²[D], n) triple, "per_utterance" the batch-sharded
     (Σx[B, D], Σx²[B, D], n[B]) triples (speaker CMVN).
+    input_layout: passed through to chain.extract_batch (layout-aware
+    callers resolve the 44.1 kHz blocked-vs-rs-slab shape ambiguity with
+    pipeline.layout_kind).
     """
     d = mesh.shape[DATA_AXIS]
     if audio.shape[0] % d != 0:
@@ -90,7 +99,9 @@ def sharded_extract_batch(
     shard = NamedSharding(mesh, P(DATA_AXIS))
     audio = jax.device_put(audio, shard)
     lengths = jax.device_put(lengths, shard)
-    return _sharded_extract(audio, lengths, cfg, backend, mesh, with_moments)
+    return _sharded_extract(
+        audio, lengths, cfg, backend, mesh, with_moments, input_layout
+    )
 
 
 @functools.partial(

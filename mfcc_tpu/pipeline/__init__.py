@@ -2,6 +2,7 @@ from mfcc_tpu.pipeline.batch import (  # noqa: F401
     Batch,
     bucket_for,
     device_layout,
+    layout_kind,
     make_buckets,
     pad_batch,
     required_samples,

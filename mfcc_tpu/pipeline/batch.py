@@ -64,6 +64,10 @@ class Batch:
     lengths: np.ndarray  # [B] int32 valid sample counts
     ids: list  # opaque per-utterance keys (paths, indices)
     on_release: object = None  # producer callback: audio buffer reusable
+    # the extract_batch input_layout kind of this batch's audio layout
+    # ("auto" | "blocked" | "resample_slab") — layout-aware consumers pass
+    # it through so the 44.1 kHz blocked-vs-rs shape ambiguity never bites
+    layout_kind: str = "auto"
 
     @property
     def pad_occupancy(self) -> float:
@@ -120,6 +124,22 @@ def device_layout(cfg: FrontendConfig, bucket_len: int) -> "object | None":
             return rlay
         return resample_layout(cfg, bucket_len)
     return frontend.slab_layout(cfg, bucket_len)
+
+
+def layout_kind(layout) -> str:
+    """The extract_batch input_layout kind for a device_layout result:
+    "auto" (flat / chunk-slab feeds — unambiguous by shape), "blocked"
+    (resample BlockedLayout) or "resample_slab" (the r5 in-kernel fused
+    resample). Callers that built the layout should pass this through so
+    the 44.1 kHz blocked-vs-rs shape ambiguity never bites (see
+    chain.extract_batch input_layout)."""
+    if layout is None:
+        return "auto"
+    if hasattr(layout, "pad_lo") and hasattr(layout, "pro"):
+        return "resample_slab"  # frontend.ResampleSlabLayout
+    if hasattr(layout, "n_sup"):
+        return "blocked"  # ops.resample.BlockedLayout
+    return "auto"  # SlabLayout (chunk slab): dispatches by lane width == hop
 
 
 def feed_geometry(cfg: FrontendConfig, blen: int, layout) -> tuple:
@@ -238,4 +258,5 @@ def pad_batch(
     out_ids += [None] * (rows - B)
     if layout is not None:
         audio = audio.reshape(rows, *layout.buffer_shape)
-    return Batch(audio=audio, lengths=out_lengths, ids=out_ids)
+    return Batch(audio=audio, lengths=out_lengths, ids=out_ids,
+                 layout_kind=layout_kind(layout))

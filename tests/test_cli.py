@@ -407,6 +407,44 @@ def test_serve_batched_emit_parity(monkeypatch, capsys):
     assert {e["sid"] for e in events if e.get("event") == "done"} == {0, 1}
 
 
+def test_serve_push_backpressure_drains_and_retries(monkeypatch, capsys):
+    """r5 review regression: under the burst drain policy, a pipelined
+    push run can hit the pool's max_buffer_s backpressure before any
+    drain fires. cmd_serve must drain + retry the push instead of
+    dropping the chunk's audio into an error event."""
+    import base64
+    import functools
+
+    import mfcc_tpu.pipeline as pipeline_mod
+    from mfcc_tpu.ops import chain
+    from mfcc_tpu.pipeline.serving import MultiStreamExtractor
+
+    # shrink the per-session buffer so the burst trips backpressure fast
+    small = functools.partial(MultiStreamExtractor, max_buffer_s=0.5)
+    monkeypatch.setattr(pipeline_mod, "MultiStreamExtractor", small)
+
+    g = np.random.default_rng(95)
+    x = (g.standard_normal(16000) * 3000).astype(np.int16)  # 1 s total
+    chunks = np.array_split(x, 8)  # 8 × 0.125 s pushes > 0.5 s buffer
+    lines = [json.dumps({"op": "open"})] + [
+        json.dumps({"op": "push", "sid": 0,
+                    "pcm16": base64.b64encode(c.tobytes()).decode()})
+        for c in chunks
+    ] + [json.dumps({"op": "end", "sid": 0})]
+    rc, events = _run_serve(
+        monkeypatch, capsys, lines,
+        "--config", "classic13", "--streams", "2",
+        "--frames-per-block", "8",
+    )
+    assert rc == 0
+    assert not any(e.get("event") == "error" for e in events), events
+    cfg = NAMED_CONFIGS["classic13"]
+    want = chain.extract_single(x.astype(np.float32), cfg, backend="jnp")
+    got = _gather_frames(events, 0)
+    assert got.shape == want.shape  # no frames silently dropped
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-5)
+
+
 def test_serve_explicit_poll_forces_drain(monkeypatch, capsys):
     """An explicit {"op":"poll"} drains mid-burst: with enough pushed
     audio, the frames precede the later requests' effects (observable as

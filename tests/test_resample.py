@@ -621,3 +621,93 @@ def test_resample_slab_dither_contract():
         np.asarray(f_rs)[0, :nv], np.asarray(f_jn)[0, :nv],
         atol=2e-3, rtol=2e-3,
     )
+
+
+def test_blocked_44k_feed_not_misrouted():
+    """r5 review regression: for 44.1 kHz the BlockedLayout's lane width
+    coincides with the rs-slab step (441), so the fused-resample dispatch
+    must validate the EXACT rs geometry — a blocked feed (e.g. from
+    stream_batches layouts="resample", or the over-VMEM-budget fallback)
+    must route through the blocked + XLA-dots seam under backend='pallas',
+    not raise or silently misread."""
+    from mfcc_tpu.pipeline import resample_layout
+
+    cfg = NAMED_CONFIGS["mfcc39_44k"]
+    g = np.random.default_rng(103)
+    for n in (44100, 100001):
+        sigs = [(g.standard_normal(n) * 3000).astype(np.float32)]
+        blay = resample_layout(cfg, n)
+        assert blay is not None and hasattr(blay, "n_sup")
+        bb = pad_batch(sigs, cfg, bucket_len=n, layout=blay)
+        assert bb.layout_kind == "blocked"
+        f_bl, m_bl = chain.extract_batch(
+            jnp.asarray(bb.audio), jnp.asarray(bb.lengths), cfg,
+            backend="pallas",
+        )
+        flat = pad_batch(sigs, cfg, bucket_len=n)
+        f_jn, m_jn = chain.extract_batch(
+            jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg,
+            backend="jnp",
+        )
+        nv = int(np.asarray(m_jn)[0].sum())
+        assert int(np.asarray(m_bl)[0].sum()) == nv
+        np.testing.assert_allclose(
+            np.asarray(f_bl)[0, :nv], np.asarray(f_jn)[0, :nv],
+            atol=1e-3, rtol=2e-3, err_msg=str(n),
+        )
+        # explicit disambiguation must also work
+        f_ex, _ = chain.extract_batch(
+            jnp.asarray(bb.audio), jnp.asarray(bb.lengths), cfg,
+            backend="pallas", input_layout="blocked",
+        )
+        np.testing.assert_array_equal(np.asarray(f_ex), np.asarray(f_bl))
+
+
+def test_input_layout_explicit_kinds():
+    """input_layout='resample_slab' validates loudly; batches carry their
+    layout_kind; the rs path honors the explicit kind."""
+    from mfcc_tpu.pipeline import device_layout, resample_layout
+
+    cfg = NAMED_CONFIGS["mfcc39_48k"]
+    g = np.random.default_rng(107)
+    sigs = [(g.standard_normal(48000) * 3000).astype(np.float32)]
+    rlay = device_layout(cfg, 48000)
+    rb = pad_batch(sigs, cfg, bucket_len=48000, layout=rlay)
+    assert rb.layout_kind == "resample_slab"
+    f_rs, _ = chain.extract_batch(
+        jnp.asarray(rb.audio), jnp.asarray(rb.lengths), cfg,
+        backend="pallas", input_layout=rb.layout_kind,
+    )
+    assert np.isfinite(np.asarray(f_rs)).all()
+    # a blocked 48 kHz shape claimed as resample_slab must fail loudly
+    blay = resample_layout(cfg, 48000)
+    bb = pad_batch(sigs, cfg, bucket_len=48000, layout=blay)
+    with pytest.raises(ValueError, match="resample-slab geometry"):
+        chain.extract_batch(
+            jnp.asarray(bb.audio), jnp.asarray(bb.lengths), cfg,
+            backend="pallas", input_layout="resample_slab",
+        )
+
+
+def test_over_budget_44k_falls_back_to_blocked():
+    """A bucket whose rs slab would exceed the VMEM budget makes
+    device_layout fall back to BlockedLayout, and extract_batch must run
+    it (the confirmed r5 repro raised here before the exact-geometry
+    dispatch)."""
+    from mfcc_tpu.pipeline import device_layout
+
+    cfg = NAMED_CONFIGS["mfcc39_44k"]
+    n = 44100 * 60  # 60 s: rs slab over the 8 MiB budget
+    lay = device_layout(cfg, n)
+    assert lay is not None and hasattr(lay, "n_sup"), lay  # blocked fallback
+    g = np.random.default_rng(109)
+    sigs = [(g.standard_normal(n) * 3000).astype(np.float32)]
+    bb = pad_batch(sigs, cfg, bucket_len=n, layout=lay)
+    f, m = chain.extract_batch(
+        jnp.asarray(bb.audio), jnp.asarray(bb.lengths), cfg,
+        backend="pallas", input_layout=bb.layout_kind,
+    )
+    assert np.isfinite(np.asarray(f)).all()
+    assert int(np.asarray(m)[0].sum()) == cfg.num_frames(
+        resample.output_length(n, 44100, 16000)
+    )

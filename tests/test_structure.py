@@ -36,7 +36,9 @@ def _compiled_text(cfg, mesh, with_moments):
     shard = NamedSharding(mesh, P("data"))
     audio = jax.device_put(jnp.asarray(b.audio), shard)
     lengths = jax.device_put(jnp.asarray(b.lengths), shard)
-    lowered = _sharded_extract.lower(audio, lengths, cfg, "jnp", mesh, with_moments)
+    lowered = _sharded_extract.lower(
+        audio, lengths, cfg, "jnp", mesh, with_moments, "auto"
+    )
     return lowered.compile().as_text()
 
 
