@@ -147,6 +147,21 @@ def test_resample_config_streams(n):
     np.testing.assert_allclose(got, want, rtol=0, atol=ATOL_48K)
 
 
+@pytest.mark.parametrize("n", [44100 + 977, 441])
+def test_resample_44k_config_streams(n):
+    """mfcc39_44k (fractional 160/441 ratio, r5) through the streaming
+    polyphase stage: chunked online == offline."""
+    cfg = named_config("mfcc39_44k")
+    x = RNG.standard_normal(n).astype(np.float32)
+    want = offline(x, cfg)
+    got = run_stream(
+        x, cfg, [997] * (n // 997) + ([n % 997] if n % 997 else []),
+        frames_per_block=16,
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=ATOL_48K)
+
+
 def test_global_cmvn_moments_applied():
     cfg = named_config("classic13_deltas_gcmvn")
     n = 16000
