@@ -943,14 +943,17 @@ def cmd_serve(args) -> int:
                         ).reshape(-1)
                     try:
                         pool.push(req["sid"], x)
-                    except RuntimeError:
-                        # per-session buffer backpressure: under the burst
-                        # drain policy a long pipelined push run can exceed
-                        # max_buffer_s before the 256-line bound fires —
-                        # drain (frees buffered blocks) and retry ONCE so
-                        # the chunk's audio isn't silently dropped; a
-                        # genuinely over-budget push re-raises to the
-                        # error event below
+                    except RuntimeError as e:
+                        # per-session buffer backpressure ONLY: under the
+                        # burst drain policy a long pipelined push run can
+                        # exceed max_buffer_s before the 256-line bound
+                        # fires — drain (frees buffered blocks) and retry
+                        # ONCE so the chunk's audio isn't silently
+                        # dropped. Other RuntimeErrors (ended stream etc.)
+                        # go straight to the error event — draining first
+                        # would reorder the event stream for nothing.
+                        if "buffered ahead of poll" not in str(e):
+                            raise
                         drain()
                         lines_since_drain = 0
                         pool.push(req["sid"], x)

@@ -107,6 +107,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _block_and_fp(num_frames: int, block_frames: int | None = None):
+    '''THE block clamp + frame-capacity computation - the single
+    definition every producer (slab_geometry, resample_slab_geometry),
+    consumer (_fused_logmel_energy, resample_geometry_for_shape) and
+    predictor (fused_tail_active) must share: hand-synced copies are how
+    a producer/consumer geometry desync (and silent misrouting) would
+    start. Returns (block_frames, fp).'''
+    if block_frames is None:
+        block_frames = _auto_block_frames(num_frames)
+    block_frames = _round_up(block_frames, 8)
+    block_frames = min(block_frames, max(8, _round_up(num_frames, 8)))
+    fp = _round_up(max(num_frames, block_frames), block_frames)
+    return block_frames, fp
+
+
 # ---------------------------------------------------------------------------
 # Host-side constant folding
 # ---------------------------------------------------------------------------
@@ -1019,11 +1034,7 @@ def slab_geometry(
     else:
         nc, S, _, _ = kernel_constants(cfg)["dims"]
     F = cfg.num_frames(t_samples)
-    if block_frames is None:
-        block_frames = _auto_block_frames(F)
-    block_frames = _round_up(block_frames, 8)
-    block_frames = min(block_frames, max(8, _round_up(F, 8)))
-    fp = _round_up(max(F, block_frames), block_frames)
+    block_frames, fp = _block_and_fp(F, block_frames)
     tail = _slab_tail(nc)
     pro = SLAB_PROLOGUE_ROWS
     n_rows = pro + fp + tail
@@ -1163,11 +1174,7 @@ def resample_slab_geometry(
         n_in, cfg.input_sample_rate, cfg.sample_rate
     )
     F = cfg.num_frames(n_out)
-    if block_frames is None:
-        block_frames = _auto_block_frames(F)
-    block_frames = _round_up(block_frames, 8)
-    block_frames = min(block_frames, max(8, _round_up(F, 8)))
-    fp = _round_up(max(F, block_frames), block_frames)
+    block_frames, fp = _block_and_fp(F, block_frames)
     tail = _slab_tail(nc)
     pro = SLAB_PROLOGUE_ROWS
     r_rows = pro + fp + tail + 1
@@ -1220,17 +1227,19 @@ def resample_geometry_for_shape(
     if fp < 8:
         return None
     # fp must round-trip the consumer's block recomputation exactly
-    block = _auto_block_frames(fp)
-    block = _round_up(block, 8)
-    block = min(block, max(8, _round_up(fp, 8)))
-    if _round_up(max(fp, block), block) != fp:
+    block, fp2 = _block_and_fp(fp)
+    if fp2 != fp:
         return None
     if n_rows * d["step"] * 4 > SLAB_VMEM_BUDGET_BYTES:
         return None
     return {
         "design": d, "block_frames": block, "fp": fp, "pro": pro,
         "tail": tail, "r_rows": n_rows, "step": d["step"],
-        "pad_lo": d["pad_lo"], "num_frames": fp, "dft_passes": dft_passes,
+        "pad_lo": d["pad_lo"], "dft_passes": dft_passes,
+        # NOTE deliberately NO "num_frames" key: this consumer-side dict
+        # only knows the CAPACITY fp; the producer dict's num_frames is
+        # the true frame count - same key with two meanings invited
+        # trailing-garbage bugs (r5 review)
     }
 
 
@@ -1325,9 +1334,7 @@ def _fused_logmel_energy(
     # a 256-frame block of padding (sublane granularity is 8). User-passed
     # values round UP to a sublane multiple: slab mode's dynamic load base
     # (a block multiple) must be 8-aligned for Mosaic.
-    block_frames = _round_up(block_frames, 8)
-    block_frames = min(block_frames, max(8, _round_up(num_frames, 8)))
-    fp = _round_up(max(num_frames, block_frames), block_frames)
+    block_frames, fp = _block_and_fp(num_frames, block_frames)
     # slab mode loads PRO+FBLK+slab_tail rows per block (aligned base +
     # static roll shifts; the prologue supplies preemph's x[t-1] across
     # block starts), so it needs extra pad chunks; see _gather_frames
@@ -1692,11 +1699,7 @@ def fused_tail_active(
         nc, S, _, mp = kernel_constants(cfg)["dims"]
     if mp != LANE:
         return False
-    if block_frames is None:
-        block_frames = _auto_block_frames(num_frames)
-    block_frames = _round_up(block_frames, 8)
-    block_frames = min(block_frames, max(8, _round_up(num_frames, 8)))
-    fp = _round_up(max(num_frames, block_frames), block_frames)
+    block_frames, fp = _block_and_fp(num_frames, block_frames)
     if fp != block_frames:
         return False
     return (

@@ -632,19 +632,44 @@ def extract_batch(
         # ambiguous by shape — layout-aware callers disambiguate with
         # input_layout="blocked"/"resample_slab" (pipeline.layout_kind).
         from mfcc_tpu.kernels import frontend as _fk
+        from mfcc_tpu.ops import resample as _rsm
 
         _geo = _fk.resample_geometry_for_shape(
             cfg, audio.shape[1], audio.shape[2]
         )
+        if _geo is not None and input_layout == "auto":
+            # "auto" REFUSES genuinely ambiguous shapes instead of
+            # guessing: for 44.1 kHz-style rate pairs the BlockedLayout
+            # lays rows of the same width, so a blocked feed whose row
+            # count also decomposes as a valid rs geometry would be
+            # silently misread (r5 review, second pass — confirmed at
+            # ~1-in-8 bucket lengths). Loud beats wrong.
+            try:
+                _rsm.layout_for_shape(
+                    cfg.input_sample_rate, cfg.sample_rate,
+                    audio.shape[1], audio.shape[2],
+                )
+                raise ValueError(
+                    f"3-D feed {tuple(audio.shape[1:])} matches BOTH the "
+                    "BlockedLayout and the resample-slab geometry for "
+                    f"{cfg.input_sample_rate}->{cfg.sample_rate} Hz; pass "
+                    "input_layout='blocked' or 'resample_slab' "
+                    "(pipeline.layout_kind(layout) / Batch.layout_kind)"
+                )
+            except ValueError as e:
+                if "matches BOTH" in str(e):
+                    raise
+                pass  # not a valid blocked shape: rs is unambiguous
         if _geo is not None:
             rs_design = _geo["design"]
-            chunks_frames = _geo["num_frames"]
-        elif input_layout == "resample_slab":
-            raise ValueError(
-                f"input_layout='resample_slab' but {audio.shape[1:]} does "
-                "not match any resample-slab geometry for this config; "
-                "build the feed with pipeline.device_layout"
-            )
+            chunks_frames = _geo["fp"]  # capacity semantics
+    if input_layout == "resample_slab" and rs_design is None:
+        raise ValueError(
+            "input_layout='resample_slab' requires backend='pallas', a "
+            "float32 non-centered resampling config, and a feed matching "
+            "the resample-slab geometry (pipeline.device_layout); got "
+            f"backend={backend!r}, audio shape {tuple(audio.shape)}"
+        )
     if jnp.issubdtype(audio.dtype, jnp.integer):
         # int16 host feed (half the H2D bytes). Chunk slabs for the fused
         # kernel stay int16 END TO END — the kernel loads the PCM rows and

@@ -526,9 +526,11 @@ def test_resample_slab_extract_parity(name, n):
     lay = device_layout(cfg, n)
     assert type(lay).__name__ == "ResampleSlabLayout", lay
     slab = pad_batch(sigs, cfg, bucket_len=n, layout=lay)
+    # 44.1 kHz rs shapes also parse as BlockedLayout -> "auto" refuses;
+    # layout-aware callers pass the batch's kind (the production pattern)
     f_rs, m_rs = chain.extract_batch(
         jnp.asarray(slab.audio), jnp.asarray(slab.lengths), cfg,
-        backend="pallas",
+        backend="pallas", input_layout=slab.layout_kind,
     )
     flat = pad_batch(sigs, cfg, bucket_len=n)
     f_jn, m_jn = chain.extract_batch(
@@ -662,6 +664,34 @@ def test_blocked_44k_feed_not_misrouted():
         )
         np.testing.assert_array_equal(np.asarray(f_ex), np.asarray(f_bl))
 
+    # a COLLISION-window bucket (blocked n_sup also decomposes as a valid
+    # rs geometry): "auto" must refuse loudly rather than guess (the
+    # second review pass confirmed silent misrouting here), and the
+    # explicit kind must run the blocked seam correctly
+    n = 52920  # blocked [121, 441]; 121 - 17 = 104 = valid rs capacity
+    sigs = [(g.standard_normal(n) * 3000).astype(np.float32)]
+    blay = resample_layout(cfg, n)
+    bb = pad_batch(sigs, cfg, bucket_len=n, layout=blay)
+    with pytest.raises(ValueError, match="matches BOTH"):
+        chain.extract_batch(
+            jnp.asarray(bb.audio), jnp.asarray(bb.lengths), cfg,
+            backend="pallas",
+        )
+    f_bl, m_bl = chain.extract_batch(
+        jnp.asarray(bb.audio), jnp.asarray(bb.lengths), cfg,
+        backend="pallas", input_layout="blocked",
+    )
+    flat = pad_batch(sigs, cfg, bucket_len=n)
+    f_jn, m_jn = chain.extract_batch(
+        jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg,
+        backend="jnp",
+    )
+    nv = int(np.asarray(m_jn)[0].sum())
+    np.testing.assert_allclose(
+        np.asarray(f_bl)[0, :nv], np.asarray(f_jn)[0, :nv],
+        atol=1e-3, rtol=2e-3,
+    )
+
 
 def test_input_layout_explicit_kinds():
     """input_layout='resample_slab' validates loudly; batches carry their
@@ -679,6 +709,14 @@ def test_input_layout_explicit_kinds():
         backend="pallas", input_layout=rb.layout_kind,
     )
     assert np.isfinite(np.asarray(f_rs)).all()
+    # an rs-slab feed claimed as resample_slab under the JNP backend must
+    # fail loudly, not be silently misread as a BlockedLayout (r5 review,
+    # second pass)
+    with pytest.raises(ValueError, match="requires backend='pallas'"):
+        chain.extract_batch(
+            jnp.asarray(rb.audio), jnp.asarray(rb.lengths), cfg,
+            backend="jnp", input_layout="resample_slab",
+        )
     # a blocked 48 kHz shape claimed as resample_slab must fail loudly
     blay = resample_layout(cfg, 48000)
     bb = pad_batch(sigs, cfg, bucket_len=48000, layout=blay)

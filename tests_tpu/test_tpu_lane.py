@@ -458,7 +458,7 @@ def test_resample_slab_on_tpu(tpu, signals):
         slab = pad_batch(sigs, cfg, bucket_len=n, layout=lay)
         f_rs, m_rs = chain.extract_batch(
             jnp.asarray(slab.audio), jnp.asarray(slab.lengths), cfg,
-            backend="pallas",
+            backend="pallas", input_layout=slab.layout_kind,
         )
         flat = pad_batch(sigs, cfg, bucket_len=n)
         f_jn, m_jn = chain.extract_batch(
@@ -477,6 +477,7 @@ def test_resample_slab_on_tpu(tpu, signals):
         f_i16, _ = chain.extract_batch(
             jnp.asarray(np.asarray(slab.audio).astype(np.int16)),
             jnp.asarray(slab.lengths), cfg, backend="pallas",
+            input_layout=slab.layout_kind,
         )
         np.testing.assert_array_equal(
             np.asarray(f_i16), np.asarray(f_rs), err_msg=name
