@@ -769,7 +769,15 @@ def cmd_serve(args) -> int:
     and a final stats event is emitted. The reference family has no online
     mode at all (SURVEY.md §1.1); per-stream output is bit-identical to a
     single-stream StreamingExtractor run and matches the offline chain to
-    fp32 op-order tolerance (tests/test_serving.py, tests/test_cli.py)."""
+    fp32 op-order tolerance (tests/test_serving.py, tests/test_cli.py).
+
+    --wire binary replaces the line transport with length-prefixed
+    framing (u32 header_len | JSON header | u32 payload_len | payload,
+    little-endian) both directions: push audio rides the payload as raw
+    <i2 PCM, frames events carry raw <f4 row-major features (header
+    {"event":"frames","sid","n","dim"}, or frames_batch with --emit
+    b64-batched). Same ops, same semantics; a framing error flushes like
+    EOF (a desynced byte stream has no resync point)."""
     import base64
 
     from mfcc_tpu.parallel import CmvnAccumulator
@@ -812,6 +820,7 @@ def cmd_serve(args) -> int:
         return 2
 
     fin, fout = sys.stdin, sys.stdout
+    wire = getattr(args, "wire", "jsonl")
     metrics = MetricsLogger(args.metrics, context={"config": args.config})
     t0 = time.perf_counter()
     audio_s = 0.0
@@ -819,17 +828,44 @@ def cmd_serve(args) -> int:
 
     client_gone = False
 
-    def emit(obj) -> None:
-        # a consumer that closed its read end must not crash the server
-        # mid-stream; flag it so the loop winds down and metrics still land
-        nonlocal client_gone
-        if client_gone:
-            return
-        try:
-            fout.write(json.dumps(obj) + "\n")
-            fout.flush()
-        except (BrokenPipeError, OSError):
-            client_gone = True
+    if wire == "binary":
+        # Binary framing (r5): every message both directions is
+        #   u32 header_len | header JSON | u32 payload_len | payload
+        # (little-endian lengths). Push audio travels as raw <i2 PCM in
+        # the payload; frames events carry raw <f4 row-major features.
+        # Skips the b64+json payload transcodes that bound the jsonl wire
+        # at ~1.9k realtime streams/thread (SERVING_r05.json).
+        import struct as _struct
+
+        fout_b = getattr(fout, "buffer", fout)
+
+        def emit(obj, payload: bytes = b"") -> None:
+            nonlocal client_gone
+            if client_gone:
+                return
+            head = json.dumps(obj).encode()
+            try:
+                fout_b.write(
+                    _struct.pack("<I", len(head)) + head
+                    + _struct.pack("<I", len(payload)) + payload
+                )
+                fout_b.flush()
+            except (BrokenPipeError, OSError):
+                client_gone = True
+    else:
+
+        def emit(obj, payload: bytes = b"") -> None:
+            # a consumer that closed its read end must not crash the
+            # server mid-stream; flag it so the loop winds down and
+            # metrics still land
+            nonlocal client_gone
+            if client_gone:
+                return
+            try:
+                fout.write(json.dumps(obj) + "\n")
+                fout.flush()
+            except (BrokenPipeError, OSError):
+                client_gone = True
 
     def drain() -> None:
         nonlocal audio_s
@@ -849,9 +885,13 @@ def cmd_serve(args) -> int:
                     metas.append({"sid": sid, "n": int(feat.shape[0]),
                                   "dim": int(feat.shape[1])})
             if metas:
-                emit({"event": "frames_batch", "streams": metas,
-                      "data": base64.b64encode(b"".join(parts))
-                      .decode("ascii")})
+                if wire == "binary":
+                    emit({"event": "frames_batch", "streams": metas},
+                         payload=b"".join(parts))
+                else:
+                    emit({"event": "frames_batch", "streams": metas,
+                          "data": base64.b64encode(b"".join(parts))
+                          .decode("ascii")})
             for sid in polled:
                 if pool.done(sid):
                     emit({"event": "done", "sid": sid})
@@ -863,6 +903,14 @@ def cmd_serve(args) -> int:
                           "dim": feat.shape[1],
                           "frames": [[round(float(v), 6) for v in row]
                                      for row in feat]})
+                elif wire == "binary":
+                    emit(
+                        {"event": "frames", "sid": sid,
+                         "n": int(feat.shape[0]), "dim": int(feat.shape[1])},
+                        payload=np.ascontiguousarray(
+                            feat, dtype="<f4"
+                        ).tobytes(),
+                    )
                 else:
                     emit({
                         "event": "frames", "sid": sid,
@@ -901,7 +949,56 @@ def cmd_serve(args) -> int:
             lines_q.put(raw)
         lines_q.put(None)  # EOF sentinel
 
-    threading.Thread(target=_reader, daemon=True).start()
+    def _reader_binary() -> None:
+        # framed counterpart of _reader: yields ("req", dict, payload),
+        # ("bad_req", msg) for a bad header inside an intact frame, or
+        # ("bad", msg) for a framing error (unrecoverable: once the byte
+        # stream desyncs there is no resync point — flush and stop)
+        import struct as _struct
+
+        src = getattr(fin, "buffer", fin)
+
+        def read_exact(n: int):
+            buf = b""
+            while len(buf) < n:
+                chunk = src.read(n - len(buf))
+                if not chunk:
+                    return None
+                buf += chunk
+            return buf
+
+        while True:
+            hl = read_exact(4)
+            if hl is None:
+                break  # clean EOF at a frame boundary
+            (hlen,) = _struct.unpack("<I", hl)
+            if hlen > (1 << 20):
+                lines_q.put(("bad", f"header length {hlen} > 1 MiB"))
+                break
+            head = read_exact(hlen)
+            pl = read_exact(4) if head is not None else None
+            if pl is None:
+                lines_q.put(("bad", "truncated message"))
+                break
+            (plen,) = _struct.unpack("<I", pl)
+            if plen > (1 << 30):
+                lines_q.put(("bad", f"payload length {plen} > 1 GiB"))
+                break
+            payload = read_exact(plen) if plen else b""
+            if payload is None:
+                lines_q.put(("bad", "truncated payload"))
+                break
+            try:
+                req = json.loads(head.decode())
+            except (UnicodeDecodeError, json.JSONDecodeError) as e:
+                lines_q.put(("bad_req", f"bad header JSON: {e}"))
+                continue
+            lines_q.put(("req", req, payload))
+        lines_q.put(None)
+
+    threading.Thread(
+        target=_reader_binary if wire == "binary" else _reader, daemon=True
+    ).start()
 
     # Drain policy (r5, SERVING_r05.json): polling after EVERY input line
     # costs an O(n_active) slot scan per line — O(n²) per round of n
@@ -921,19 +1018,36 @@ def cmd_serve(args) -> int:
                 continue
             if line is None:
                 break  # EOF
-            line = line.strip()
-            if not line:
-                continue
+            payload = b""
+            req_obj = None
+            if isinstance(line, tuple):  # binary-wire reader items
+                if line[0] == "bad":
+                    emit({"event": "error",
+                          "msg": f"wire framing error: {line[1]}; flushing"})
+                    break  # desynced byte stream: flush like EOF
+                if line[0] == "bad_req":
+                    emit({"event": "error", "msg": line[1]})
+                    continue
+                req_obj, payload = line[1], line[2]
+            else:
+                line = line.strip()
+                if not line:
+                    continue
             force_drain = False
             try:
-                req = json.loads(line)
+                req = json.loads(line) if req_obj is None else req_obj
                 op = req["op"]
                 if op == "open":
                     sid = pool.open()
                     emit({"event": "opened", "sid": sid,
                           **({"id": req["id"]} if "id" in req else {})})
                 elif op == "push":
-                    if "pcm16" in req:
+                    if payload:
+                        # binary wire: raw little-endian int16 PCM frame
+                        x = np.frombuffer(payload, dtype="<i2").astype(
+                            np.float32
+                        )
+                    elif "pcm16" in req:
                         x = np.frombuffer(
                             base64.b64decode(req["pcm16"]), dtype="<i2"
                         ).astype(np.float32)
@@ -1165,6 +1279,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--speaker", default=None,
                    help="with speaker-CMVN stats: the pool to normalize "
                         "this server's sessions with")
+    s.add_argument("--wire", choices=["jsonl", "binary"], default="jsonl",
+                   help="transport framing: jsonl (one JSON object per "
+                        "line, payloads b64 — the default, debuggable) or "
+                        "binary (u32 header_len | JSON header | u32 "
+                        "payload_len | payload; push audio as raw <i2 PCM, "
+                        "frames as raw <f4 — skips the b64+json payload "
+                        "transcodes, SERVING_r05.json)")
     s.add_argument("--emit", choices=["b64", "list", "b64-batched"],
                    default="b64",
                    help="frame payload encoding: b64 float32 (compact), "

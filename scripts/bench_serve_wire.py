@@ -107,6 +107,34 @@ class _FakeIn:
         return iter(self._lines)
 
 
+class _FakeBinIn:
+    def __init__(self, data: bytes):
+        self.buffer = io.BytesIO(data)
+
+    def __iter__(self):
+        return iter(())
+
+
+def render_requests_binary(n_streams: int, rounds: int,
+                           chunk_samples: int) -> bytes:
+    import struct
+
+    def frame(obj, payload=b""):
+        head = json.dumps(obj).encode()
+        return (struct.pack("<I", len(head)) + head
+                + struct.pack("<I", len(payload)) + payload)
+
+    g = np.random.default_rng(0)
+    pcm = (g.standard_normal(chunk_samples) * 3000).astype("<i2").tobytes()
+    parts = [frame({"op": "open"}) for _ in range(n_streams)]
+    for _ in range(rounds):
+        for sid in range(n_streams):
+            parts.append(frame({"op": "push", "sid": sid}, pcm))
+    for sid in range(n_streams):
+        parts.append(frame({"op": "end", "sid": sid}))
+    return b"".join(parts)
+
+
 def render_requests(n_streams: int, rounds: int, chunk_samples: int) -> list:
     g = np.random.default_rng(0)
     pcm = (g.standard_normal(chunk_samples) * 3000).astype("<i2")
@@ -132,14 +160,24 @@ def measure_wire(n_streams: int, rounds: int, cfg_name: str,
 
     cfg = named_config(cfg_name)
     K = 16
-    lines = render_requests(n_streams, rounds, K * cfg.frame_step)
+    wire_mode = "binary" if emit == "__binary__" else "jsonl"
+    if wire_mode == "binary":
+        emit = "b64"
+        fake_in = _FakeBinIn(
+            render_requests_binary(n_streams, rounds, K * cfg.frame_step)
+        )
+    else:
+        fake_in = _FakeIn(
+            render_requests(n_streams, rounds, K * cfg.frame_step)
+        )
 
     real_pool = pipeline_mod.MultiStreamExtractor
     pipeline_mod.MultiStreamExtractor = StubPool
     old_in, old_out = sys.stdin, sys.stdout
-    devnull = open("/dev/null", "w")
+    devnull = open("/dev/null", "w")  # TextIOWrapper: .buffer exists and
+    # points at the underlying binary stream - both wire modes work
     try:
-        sys.stdin, sys.stdout = _FakeIn(lines), devnull
+        sys.stdin, sys.stdout = fake_in, devnull
 
         class A:
             config = cfg_name
@@ -150,6 +188,7 @@ def measure_wire(n_streams: int, rounds: int, cfg_name: str,
             frames_per_block = K
             metrics = None
         A.emit = emit
+        A.wire = wire_mode
 
         t0 = time.perf_counter()
         rc = cli_main.cmd_serve(A())
@@ -199,6 +238,10 @@ def main() -> int:
         wb = measure_wire(n, args.rounds, args.config, emit="b64-batched")
         w["wire_us_per_stream_block_batched_emit"] = (
             wb["wire_us_per_stream_block"]
+        )
+        wbin = measure_wire(n, args.rounds, args.config, emit="__binary__")
+        w["wire_us_per_stream_block_binary"] = (
+            wbin["wire_us_per_stream_block"]
         )
         ep = measure_empty_poll(n, args.config)
         w["empty_poll_us"] = round(ep, 1)

@@ -407,6 +407,117 @@ def test_serve_batched_emit_parity(monkeypatch, capsys):
     assert {e["sid"] for e in events if e.get("event") == "done"} == {0, 1}
 
 
+def _frame_msg(obj, payload=b""):
+    import struct
+
+    head = json.dumps(obj).encode()
+    return (struct.pack("<I", len(head)) + head
+            + struct.pack("<I", len(payload)) + payload)
+
+
+def _parse_framed(raw: bytes):
+    import struct
+
+    out, off = [], 0
+    while off < len(raw):
+        (hlen,) = struct.unpack_from("<I", raw, off)
+        off += 4
+        head = json.loads(raw[off : off + hlen].decode())
+        off += hlen
+        (plen,) = struct.unpack_from("<I", raw, off)
+        off += 4
+        out.append((head, raw[off : off + plen]))
+        off += plen
+    return out
+
+
+def test_serve_binary_wire_parity(monkeypatch, capsysbinary):
+    """--wire binary (r5): length-prefixed framing, raw <i2 PCM in / raw
+    <f4 frames out — same semantics as jsonl, exact offline parity."""
+    import io
+    import sys as _sys
+
+    from mfcc_tpu.ops import chain
+
+    g = np.random.default_rng(113)
+    x0 = (g.standard_normal(9000) * 3000).astype(np.int16)
+    x1 = (g.standard_normal(4777) * 2000).astype(np.int16)
+    raw = b"".join([
+        _frame_msg({"op": "open", "id": "bin-a"}),
+        _frame_msg({"op": "open"}),
+        _frame_msg({"op": "push", "sid": 0}, x0.tobytes()),
+        _frame_msg({"op": "push", "sid": 1}, x1[:3000].tobytes()),
+        _frame_msg({"op": "end", "sid": 0}),
+        _frame_msg({"op": "push", "sid": 1}, x1[3000:].tobytes()),
+        _frame_msg({"op": "end", "sid": 1}),
+        _frame_msg({"op": "stats"}),
+    ])
+
+    class _BinIn:
+        def __init__(self, data):
+            self.buffer = io.BytesIO(data)
+
+        def __iter__(self):  # never used on the binary path
+            return iter(())
+
+    monkeypatch.setattr(_sys, "stdin", _BinIn(raw))
+    rc = run_cli("serve", "--config", "classic13_deltas", "--streams", "4",
+                 "--frames-per-block", "8", "--wire", "binary")
+    out = capsysbinary.readouterr().out
+    assert rc == 0
+    msgs = _parse_framed(out)
+    events = [h for h, _ in msgs]
+    assert [e["sid"] for e in events if e.get("event") == "opened"] == [0, 1]
+    assert {e["sid"] for e in events if e.get("event") == "done"} == {0, 1}
+    cfg = NAMED_CONFIGS["classic13_deltas"]
+    for sid, x in ((0, x0), (1, x1)):
+        rows = [
+            np.frombuffer(p, dtype="<f4").reshape(h["n"], h["dim"])
+            for h, p in msgs
+            if h.get("event") == "frames" and h["sid"] == sid
+        ]
+        got = np.concatenate(rows, axis=0)
+        want = chain.extract_single(x.astype(np.float32), cfg, backend="jnp")
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-5)
+    final = [e for e in events if e.get("event") == "stats"][-1]
+    assert final["sessions_finished"] == 2
+
+
+def test_serve_binary_wire_framing_error_flushes(monkeypatch, capsysbinary):
+    """A desynced byte stream (oversized header length) flushes open
+    streams like EOF and reports a wire error instead of hanging."""
+    import io
+    import struct
+    import sys as _sys
+
+    g = np.random.default_rng(127)
+    x = (g.standard_normal(4000) * 3000).astype(np.int16)
+    raw = b"".join([
+        _frame_msg({"op": "open"}),
+        _frame_msg({"op": "push", "sid": 0}, x.tobytes()),
+        struct.pack("<I", 1 << 24) + b"garbage",  # absurd header length
+    ])
+
+    class _BinIn:
+        def __init__(self, data):
+            self.buffer = io.BytesIO(data)
+
+        def __iter__(self):
+            return iter(())
+
+    monkeypatch.setattr(_sys, "stdin", _BinIn(raw))
+    rc = run_cli("serve", "--config", "classic13", "--streams", "2",
+                 "--wire", "binary")
+    out = capsysbinary.readouterr().out
+    assert rc == 0
+    events = [h for h, _ in _parse_framed(out)]
+    assert any(e.get("event") == "error"
+               and "framing" in e.get("msg", "") for e in events)
+    # the pushed stream still flushed (end_all on wind-down)
+    assert any(e.get("event") == "done" for e in events)
+
+
 def test_serve_push_backpressure_drains_and_retries(monkeypatch, capsys):
     """r5 review regression: under the burst drain policy, a pipelined
     push run can hit the pool's max_buffer_s backpressure before any
