@@ -153,3 +153,90 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+class BinaryServeClient:
+    """Same session API over `--wire binary` (r5): length-prefixed framing
+    — u32 header_len | JSON header | u32 payload_len | payload, both
+    directions. Push audio as raw little-endian int16 PCM; frames arrive
+    as raw float32 rows. 2–3× cheaper per stream-block than jsonl
+    (SERVING_r05.json); use it when a single wire thread must carry
+    thousands of realtime streams."""
+
+    def __init__(self, config: str = "classic13_deltas", streams: int = 16,
+                 frames_per_block: int = 16, extra_args=()):
+        self.proc = subprocess.Popen(
+            [sys.executable, "-m", "mfcc_tpu.cli", "serve",
+             "--config", config, "--streams", str(streams),
+             "--frames-per-block", str(frames_per_block),
+             "--wire", "binary", *extra_args],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        )
+        self.frames: dict[int, list[np.ndarray]] = {}
+        self.done: set[int] = set()
+
+    def _send(self, obj: dict, payload: bytes = b"") -> None:
+        import struct
+
+        head = json.dumps(obj).encode()
+        self.proc.stdin.write(
+            struct.pack("<I", len(head)) + head
+            + struct.pack("<I", len(payload)) + payload
+        )
+        self.proc.stdin.flush()
+
+    def _read_msg(self):
+        import struct
+
+        def read_exact(n):
+            buf = b""
+            while len(buf) < n:
+                chunk = self.proc.stdout.read(n - len(buf))
+                if not chunk:
+                    return None
+                buf += chunk
+            return buf
+
+        hl = read_exact(4)
+        if hl is None:
+            return None
+        head = json.loads(read_exact(struct.unpack("<I", hl)[0]).decode())
+        (plen,) = struct.unpack("<I", read_exact(4))
+        payload = read_exact(plen) if plen else b""
+        return head, payload
+
+    def open(self) -> int:
+        self._send({"op": "open"})
+        while True:
+            head, _ = self._read_msg()
+            if head["event"] == "opened":
+                return head["sid"]
+
+    def push_pcm16(self, sid: int, pcm: np.ndarray) -> None:
+        self._send({"op": "push", "sid": sid},
+                   np.ascontiguousarray(pcm, "<i2").tobytes())
+
+    def end(self, sid: int) -> None:
+        self._send({"op": "end", "sid": sid})
+
+    def finish(self) -> dict[int, np.ndarray]:
+        """Close stdin (EOF flush) and collect every stream's frames."""
+        self.proc.stdin.close()
+        while True:
+            msg = self._read_msg()
+            if msg is None:
+                break
+            head, payload = msg
+            if head.get("event") == "frames":
+                self.frames.setdefault(head["sid"], []).append(
+                    np.frombuffer(payload, "<f4").reshape(
+                        head["n"], head["dim"]
+                    )
+                )
+            elif head.get("event") == "done":
+                self.done.add(head["sid"])
+        self.proc.wait(timeout=30)
+        return {
+            sid: np.concatenate(rows, axis=0)
+            for sid, rows in self.frames.items()
+        }
