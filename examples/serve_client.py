@@ -27,54 +27,79 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 class ServeClient:
-    """Drive a `mfcc_tpu serve` subprocess over its stdin/stdout protocol."""
+    """Drive a `mfcc_tpu serve` subprocess over its stdin/stdout protocol.
+
+    The session API (open/push/end/drain/close) is transport-agnostic:
+    BinaryServeClient below overrides only the four transport hooks
+    (_popen_kw, _send, _send_push, _recv_event) for `--wire binary`."""
+
+    _wire_args: tuple = ()
+    _text = True
 
     def __init__(self, config: str = "classic13_deltas", streams: int = 16,
                  frames_per_block: int = 16, extra_args=()):
         self.proc = subprocess.Popen(
             [sys.executable, "-m", "mfcc_tpu.cli", "serve",
              "--config", config, "--streams", str(streams),
-             "--frames-per-block", str(frames_per_block), *extra_args],
-            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+             "--frames-per-block", str(frames_per_block),
+             *self._wire_args, *extra_args],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=self._text,
         )
         self.done: set[int] = set()
         self.frames: dict[int, list[np.ndarray]] = {}
         self.last_stats: dict | None = None
 
-    # -- protocol ------------------------------------------------------------
+    # -- transport hooks -----------------------------------------------------
 
     def _send(self, **req) -> None:
         self.proc.stdin.write(json.dumps(req) + "\n")
         self.proc.stdin.flush()
 
+    def _send_push(self, sid: int, pcm: np.ndarray) -> None:
+        self._send(op="push", sid=sid,
+                   pcm16=base64.b64encode(pcm.astype("<i2").tobytes()).decode())
+
+    def _recv_event(self) -> dict | None:
+        """One decoded event (frames materialized into ev["_feat"]), or
+        None on EOF."""
+        line = self.proc.stdout.readline()
+        if not line:
+            return None
+        ev = json.loads(line)
+        if ev.get("event") == "frames":
+            ev["_feat"] = np.frombuffer(
+                base64.b64decode(ev["data"]), dtype="<f4"
+            ).reshape(ev["n"], ev["dim"])
+        return ev
+
+    # -- shared machinery ----------------------------------------------------
+
     def _read_available(self, block_for: int | None = None) -> None:
-        """Consume response lines; with block_for=sid, read until that
-        stream is done."""
+        """Consume responses; with block_for=sid, read until that stream is
+        done."""
         while block_for is not None and block_for not in self.done:
-            line = self.proc.stdout.readline()
-            if not line:
+            ev = self._recv_event()
+            if ev is None:
                 raise RuntimeError("server closed its stdout")
-            self._handle(json.loads(line))
+            self._handle(ev)
 
     def drain(self) -> None:
         """Non-blocking consume of whatever the server has emitted so far.
         Call between pushes on long-lived streams so neither side blocks on
-        a full OS pipe buffer."""
+        a full OS pipe buffer. (select sees the PIPE, not Python's read
+        buffer — adequate for this reference client's cadence.)"""
         import select
 
         while select.select([self.proc.stdout], [], [], 0)[0]:
-            line = self.proc.stdout.readline()
-            if not line:
+            ev = self._recv_event()
+            if ev is None:
                 return
-            self._handle(json.loads(line))
+            self._handle(ev)
 
     def _handle(self, ev: dict) -> None:
         kind = ev.get("event")
         if kind == "frames":
-            feat = np.frombuffer(
-                base64.b64decode(ev["data"]), dtype="<f4"
-            ).reshape(ev["n"], ev["dim"])
-            self.frames.setdefault(ev["sid"], []).append(feat)
+            self.frames.setdefault(ev["sid"], []).append(ev["_feat"])
         elif kind == "done":
             self.done.add(ev["sid"])
         elif kind == "stats":
@@ -87,18 +112,19 @@ class ServeClient:
     def open(self) -> int:
         self._send(op="open")
         while True:
-            ev = json.loads(self.proc.stdout.readline())
+            ev = self._recv_event()
+            if ev is None:
+                raise RuntimeError("server closed its stdout")
             if ev.get("event") == "opened":
                 return ev["sid"]
-            self._handle(ev)
+            self._handle(ev)  # in-flight frames/done events are KEPT
 
     def push(self, sid: int, samples: np.ndarray) -> None:
         """samples: int16 array (or float in the int16 value range)."""
         pcm = np.asarray(samples)
         if pcm.dtype != np.int16:
             pcm = np.clip(np.rint(pcm), -32768, 32767).astype(np.int16)
-        self._send(op="push", sid=sid,
-                   pcm16=base64.b64encode(pcm.astype("<i2").tobytes()).decode())
+        self._send_push(sid, pcm)
 
     def end(self, sid: int) -> np.ndarray:
         """End the stream and block until its tail arrives; returns the
@@ -113,10 +139,71 @@ class ServeClient:
         """EOF the server (flushes any open streams) and return its final
         stats event."""
         self.proc.stdin.close()
-        for line in self.proc.stdout:
-            self._handle(json.loads(line))
+        while True:
+            ev = self._recv_event()
+            if ev is None:
+                break
+            self._handle(ev)
         self.proc.wait(timeout=60)
         return self.last_stats
+
+
+class BinaryServeClient(ServeClient):
+    """ServeClient over `--wire binary` (r5): length-prefixed framing —
+    u32 header_len | JSON header | u32 payload_len | payload, both
+    directions; push audio as raw little-endian int16 PCM, frames as raw
+    float32 rows. Identical session API; 2–3× cheaper per stream-block
+    (SERVING_r05.json)."""
+
+    _wire_args = ("--wire", "binary")
+    _text = False
+
+    def _send(self, **req) -> None:
+        self._send_framed(req)
+
+    def _send_push(self, sid: int, pcm: np.ndarray) -> None:
+        self._send_framed({"op": "push", "sid": sid},
+                          np.ascontiguousarray(pcm, "<i2").tobytes())
+
+    def _send_framed(self, obj: dict, payload: bytes = b"") -> None:
+        import struct
+
+        head = json.dumps(obj).encode()
+        self.proc.stdin.write(
+            struct.pack("<I", len(head)) + head
+            + struct.pack("<I", len(payload)) + payload
+        )
+        self.proc.stdin.flush()
+
+    def _recv_event(self) -> dict | None:
+        import struct
+
+        def read_exact(n):
+            buf = b""
+            while len(buf) < n:
+                chunk = self.proc.stdout.read(n - len(buf))
+                if not chunk:
+                    return None
+                buf += chunk
+            return buf
+
+        hl = read_exact(4)
+        if hl is None:
+            return None
+        head_b = read_exact(struct.unpack("<I", hl)[0])
+        pl = read_exact(4) if head_b is not None else None
+        if pl is None:
+            raise RuntimeError("server closed its stdout mid-message")
+        (plen,) = struct.unpack("<I", pl)
+        payload = read_exact(plen) if plen else b""
+        if payload is None:
+            raise RuntimeError("server closed its stdout mid-payload")
+        ev = json.loads(head_b.decode())
+        if ev.get("event") == "frames":
+            ev["_feat"] = np.frombuffer(payload, "<f4").reshape(
+                ev["n"], ev["dim"]
+            )
+        return ev
 
 
 def main() -> int:
@@ -153,90 +240,3 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
-
-
-class BinaryServeClient:
-    """Same session API over `--wire binary` (r5): length-prefixed framing
-    — u32 header_len | JSON header | u32 payload_len | payload, both
-    directions. Push audio as raw little-endian int16 PCM; frames arrive
-    as raw float32 rows. 2–3× cheaper per stream-block than jsonl
-    (SERVING_r05.json); use it when a single wire thread must carry
-    thousands of realtime streams."""
-
-    def __init__(self, config: str = "classic13_deltas", streams: int = 16,
-                 frames_per_block: int = 16, extra_args=()):
-        self.proc = subprocess.Popen(
-            [sys.executable, "-m", "mfcc_tpu.cli", "serve",
-             "--config", config, "--streams", str(streams),
-             "--frames-per-block", str(frames_per_block),
-             "--wire", "binary", *extra_args],
-            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-        )
-        self.frames: dict[int, list[np.ndarray]] = {}
-        self.done: set[int] = set()
-
-    def _send(self, obj: dict, payload: bytes = b"") -> None:
-        import struct
-
-        head = json.dumps(obj).encode()
-        self.proc.stdin.write(
-            struct.pack("<I", len(head)) + head
-            + struct.pack("<I", len(payload)) + payload
-        )
-        self.proc.stdin.flush()
-
-    def _read_msg(self):
-        import struct
-
-        def read_exact(n):
-            buf = b""
-            while len(buf) < n:
-                chunk = self.proc.stdout.read(n - len(buf))
-                if not chunk:
-                    return None
-                buf += chunk
-            return buf
-
-        hl = read_exact(4)
-        if hl is None:
-            return None
-        head = json.loads(read_exact(struct.unpack("<I", hl)[0]).decode())
-        (plen,) = struct.unpack("<I", read_exact(4))
-        payload = read_exact(plen) if plen else b""
-        return head, payload
-
-    def open(self) -> int:
-        self._send({"op": "open"})
-        while True:
-            head, _ = self._read_msg()
-            if head["event"] == "opened":
-                return head["sid"]
-
-    def push_pcm16(self, sid: int, pcm: np.ndarray) -> None:
-        self._send({"op": "push", "sid": sid},
-                   np.ascontiguousarray(pcm, "<i2").tobytes())
-
-    def end(self, sid: int) -> None:
-        self._send({"op": "end", "sid": sid})
-
-    def finish(self) -> dict[int, np.ndarray]:
-        """Close stdin (EOF flush) and collect every stream's frames."""
-        self.proc.stdin.close()
-        while True:
-            msg = self._read_msg()
-            if msg is None:
-                break
-            head, payload = msg
-            if head.get("event") == "frames":
-                self.frames.setdefault(head["sid"], []).append(
-                    np.frombuffer(payload, "<f4").reshape(
-                        head["n"], head["dim"]
-                    )
-                )
-            elif head.get("event") == "done":
-                self.done.add(head["sid"])
-        self.proc.wait(timeout=30)
-        return {
-            sid: np.concatenate(rows, axis=0)
-            for sid, rows in self.frames.items()
-        }

@@ -958,26 +958,32 @@ def cmd_serve(args) -> int:
 
         src = getattr(fin, "buffer", fin)
 
-        def read_exact(n: int):
+        def read_exact(n: int) -> bytes:
+            # possibly-short read: b"" means EOF before any byte, a short
+            # buffer means EOF mid-field (truncation — reported, not
+            # conflated with a clean frame-boundary EOF)
             buf = b""
             while len(buf) < n:
                 chunk = src.read(n - len(buf))
                 if not chunk:
-                    return None
+                    break
                 buf += chunk
             return buf
 
         while True:
             hl = read_exact(4)
-            if hl is None:
+            if not hl:
                 break  # clean EOF at a frame boundary
+            if len(hl) < 4:
+                lines_q.put(("bad", "truncated message (length prefix)"))
+                break
             (hlen,) = _struct.unpack("<I", hl)
             if hlen > (1 << 20):
                 lines_q.put(("bad", f"header length {hlen} > 1 MiB"))
                 break
             head = read_exact(hlen)
-            pl = read_exact(4) if head is not None else None
-            if pl is None:
+            pl = read_exact(4) if len(head) == hlen else b""
+            if len(pl) < 4:
                 lines_q.put(("bad", "truncated message"))
                 break
             (plen,) = _struct.unpack("<I", pl)
@@ -985,7 +991,7 @@ def cmd_serve(args) -> int:
                 lines_q.put(("bad", f"payload length {plen} > 1 GiB"))
                 break
             payload = read_exact(plen) if plen else b""
-            if payload is None:
+            if len(payload) < plen:
                 lines_q.put(("bad", "truncated payload"))
                 break
             try:
@@ -1042,8 +1048,11 @@ def cmd_serve(args) -> int:
                     emit({"event": "opened", "sid": sid,
                           **({"id": req["id"]} if "id" in req else {})})
                 elif op == "push":
-                    if payload:
-                        # binary wire: raw little-endian int16 PCM frame
+                    if (req_obj is not None and "pcm16" not in req
+                            and "samples" not in req):
+                        # binary wire: raw little-endian int16 PCM payload
+                        # (possibly EMPTY — a zero-sample push is a valid
+                        # no-op, matching the jsonl wire's pcm16="")
                         x = np.frombuffer(payload, dtype="<i2").astype(
                             np.float32
                         )

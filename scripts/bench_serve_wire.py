@@ -151,7 +151,7 @@ def render_requests(n_streams: int, rounds: int, chunk_samples: int) -> list:
 
 
 def measure_wire(n_streams: int, rounds: int, cfg_name: str,
-                 emit: str = "b64") -> dict:
+                 emit: str = "b64", wire: str = "jsonl") -> dict:
     import importlib
 
     import mfcc_tpu.pipeline as pipeline_mod
@@ -160,9 +160,8 @@ def measure_wire(n_streams: int, rounds: int, cfg_name: str,
 
     cfg = named_config(cfg_name)
     K = 16
-    wire_mode = "binary" if emit == "__binary__" else "jsonl"
+    wire_mode = wire
     if wire_mode == "binary":
-        emit = "b64"
         fake_in = _FakeBinIn(
             render_requests_binary(n_streams, rounds, K * cfg.frame_step)
         )
@@ -239,7 +238,7 @@ def main() -> int:
         w["wire_us_per_stream_block_batched_emit"] = (
             wb["wire_us_per_stream_block"]
         )
-        wbin = measure_wire(n, args.rounds, args.config, emit="__binary__")
+        wbin = measure_wire(n, args.rounds, args.config, wire="binary")
         w["wire_us_per_stream_block_binary"] = (
             wbin["wire_us_per_stream_block"]
         )

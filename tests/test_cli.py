@@ -415,6 +415,19 @@ def _frame_msg(obj, payload=b""):
             + struct.pack("<I", len(payload)) + payload)
 
 
+class _BinIn:
+    """Fake binary stdin for the framed wire (the server reads
+    getattr(stdin, "buffer", stdin))."""
+
+    def __init__(self, data: bytes):
+        import io
+
+        self.buffer = io.BytesIO(data)
+
+    def __iter__(self):  # never used on the binary path
+        return iter(())
+
+
 def _parse_framed(raw: bytes):
     import struct
 
@@ -452,13 +465,6 @@ def test_serve_binary_wire_parity(monkeypatch, capsysbinary):
         _frame_msg({"op": "end", "sid": 1}),
         _frame_msg({"op": "stats"}),
     ])
-
-    class _BinIn:
-        def __init__(self, data):
-            self.buffer = io.BytesIO(data)
-
-        def __iter__(self):  # never used on the binary path
-            return iter(())
 
     monkeypatch.setattr(_sys, "stdin", _BinIn(raw))
     rc = run_cli("serve", "--config", "classic13_deltas", "--streams", "4",
@@ -499,13 +505,6 @@ def test_serve_binary_wire_framing_error_flushes(monkeypatch, capsysbinary):
         struct.pack("<I", 1 << 24) + b"garbage",  # absurd header length
     ])
 
-    class _BinIn:
-        def __init__(self, data):
-            self.buffer = io.BytesIO(data)
-
-        def __iter__(self):
-            return iter(())
-
     monkeypatch.setattr(_sys, "stdin", _BinIn(raw))
     rc = run_cli("serve", "--config", "classic13", "--streams", "2",
                  "--wire", "binary")
@@ -515,6 +514,32 @@ def test_serve_binary_wire_framing_error_flushes(monkeypatch, capsysbinary):
     assert any(e.get("event") == "error"
                and "framing" in e.get("msg", "") for e in events)
     # the pushed stream still flushed (end_all on wind-down)
+    assert any(e.get("event") == "done" for e in events)
+
+
+def test_serve_binary_wire_empty_push_and_partial_prefix(monkeypatch,
+                                                         capsysbinary):
+    """r5 review: an EMPTY binary push is a valid 0-sample no-op (parity
+    with jsonl pcm16=""), and EOF after a PARTIAL length prefix reports a
+    truncation instead of masquerading as a clean frame boundary."""
+    import sys as _sys
+
+    g = np.random.default_rng(131)
+    x = (g.standard_normal(4000) * 3000).astype(np.int16)
+    raw = b"".join([
+        _frame_msg({"op": "open"}),
+        _frame_msg({"op": "push", "sid": 0}, b""),  # empty push: no-op
+        _frame_msg({"op": "push", "sid": 0}, x.tobytes()),
+        _frame_msg({"op": "end", "sid": 0}),
+    ]) + b"\x07\x00"  # 2 of 4 length-prefix bytes, then EOF
+    monkeypatch.setattr(_sys, "stdin", _BinIn(raw))
+    rc = run_cli("serve", "--config", "classic13", "--streams", "2",
+                 "--wire", "binary")
+    out = capsysbinary.readouterr().out
+    assert rc == 0
+    events = [h for h, _ in _parse_framed(out)]
+    errors = [e for e in events if e.get("event") == "error"]
+    assert len(errors) == 1 and "length prefix" in errors[0]["msg"], errors
     assert any(e.get("event") == "done" for e in events)
 
 
