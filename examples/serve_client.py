@@ -60,17 +60,36 @@ class ServeClient:
                    pcm16=base64.b64encode(pcm.astype("<i2").tobytes()).decode())
 
     def _recv_event(self) -> dict | None:
-        """One decoded event (frames materialized into ev["_feat"]), or
-        None on EOF."""
+        """One decoded event (frames materialized into ev["_feat"] /
+        frames_batch into ev["_batch"]), or None on EOF. Understands every
+        server --emit mode (b64, list, b64-batched)."""
         line = self.proc.stdout.readline()
         if not line:
             return None
         ev = json.loads(line)
         if ev.get("event") == "frames":
-            ev["_feat"] = np.frombuffer(
-                base64.b64decode(ev["data"]), dtype="<f4"
-            ).reshape(ev["n"], ev["dim"])
+            if "data" in ev:
+                ev["_feat"] = np.frombuffer(
+                    base64.b64decode(ev["data"]), dtype="<f4"
+                ).reshape(ev["n"], ev["dim"])
+            else:  # --emit list
+                ev["_feat"] = np.asarray(ev["frames"], dtype=np.float32)
+        elif ev.get("event") == "frames_batch":
+            ev["_batch"] = self._split_batch(
+                ev["streams"], base64.b64decode(ev["data"])
+            )
         return ev
+
+    @staticmethod
+    def _split_batch(metas, raw: bytes):
+        out, off = [], 0
+        for m in metas:
+            k = m["n"] * m["dim"] * 4
+            out.append((m["sid"], np.frombuffer(
+                raw[off : off + k], "<f4"
+            ).reshape(m["n"], m["dim"])))
+            off += k
+        return out
 
     # -- shared machinery ----------------------------------------------------
 
@@ -100,6 +119,9 @@ class ServeClient:
         kind = ev.get("event")
         if kind == "frames":
             self.frames.setdefault(ev["sid"], []).append(ev["_feat"])
+        elif kind == "frames_batch":  # --emit b64-batched
+            for sid, arr in ev["_batch"]:
+                self.frames.setdefault(sid, []).append(arr)
         elif kind == "done":
             self.done.add(ev["sid"])
         elif kind == "stats":
@@ -179,30 +201,44 @@ class BinaryServeClient(ServeClient):
         import struct
 
         def read_exact(n):
+            # possibly-short (like the server's reader): b"" = clean EOF,
+            # short = truncation — never conflated
             buf = b""
             while len(buf) < n:
                 chunk = self.proc.stdout.read(n - len(buf))
                 if not chunk:
-                    return None
+                    break
                 buf += chunk
             return buf
 
         hl = read_exact(4)
-        if hl is None:
-            return None
-        head_b = read_exact(struct.unpack("<I", hl)[0])
-        pl = read_exact(4) if head_b is not None else None
-        if pl is None:
+        if not hl:
+            return None  # clean EOF at a frame boundary
+        if len(hl) < 4:
+            raise RuntimeError("server stdout truncated mid length prefix")
+        (hlen,) = struct.unpack("<I", hl)
+        if hlen > (1 << 20):
+            raise RuntimeError(f"wire desync: header length {hlen} > 1 MiB")
+        head_b = read_exact(hlen)
+        pl = read_exact(4) if len(head_b) == hlen else b""
+        if len(pl) < 4:
             raise RuntimeError("server closed its stdout mid-message")
         (plen,) = struct.unpack("<I", pl)
+        if plen > (1 << 30):
+            raise RuntimeError(f"wire desync: payload length {plen} > 1 GiB")
         payload = read_exact(plen) if plen else b""
-        if payload is None:
+        if len(payload) < plen:
             raise RuntimeError("server closed its stdout mid-payload")
         ev = json.loads(head_b.decode())
         if ev.get("event") == "frames":
-            ev["_feat"] = np.frombuffer(payload, "<f4").reshape(
-                ev["n"], ev["dim"]
-            )
+            if payload:
+                ev["_feat"] = np.frombuffer(payload, "<f4").reshape(
+                    ev["n"], ev["dim"]
+                )
+            else:  # --emit list over the binary wire
+                ev["_feat"] = np.asarray(ev["frames"], dtype=np.float32)
+        elif ev.get("event") == "frames_batch":
+            ev["_batch"] = self._split_batch(ev["streams"], payload)
         return ev
 
 
