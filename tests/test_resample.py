@@ -546,6 +546,46 @@ def test_resample_slab_extract_parity(name, n):
         )
 
 
+def test_resample_slab_upsampling_8k():
+    """The UPSAMPLING direction (8 kHz -> 16 kHz, up=2) through the
+    in-kernel fused resample: device_layout routes it to the rs slab
+    (step = hop*down/up = 80, unambiguous), parity vs the flat jnp twin."""
+    from mfcc_tpu.pipeline import device_layout
+
+    cfg = NAMED_CONFIGS["classic13_deltas"].replace(input_sample_rate=8000)
+    g = np.random.default_rng(137)
+    sigs = [(g.standard_normal(8000) * 3000).astype(np.int16)
+            .astype(np.float32),
+            (g.standard_normal(3001) * 3000).astype(np.int16)
+            .astype(np.float32)]
+    lay = device_layout(cfg, 8000)
+    assert type(lay).__name__ == "ResampleSlabLayout" and lay.chunk == 80
+    slab = pad_batch(sigs, cfg, bucket_len=8000, layout=lay)
+    f_rs, m_rs = chain.extract_batch(
+        jnp.asarray(slab.audio), jnp.asarray(slab.lengths), cfg,
+        backend="pallas", input_layout=slab.layout_kind,
+    )
+    flat = pad_batch(sigs, cfg, bucket_len=8000)
+    f_jn, m_jn = chain.extract_batch(
+        jnp.asarray(flat.audio), jnp.asarray(flat.lengths), cfg,
+        backend="jnp",
+    )
+    nv = np.asarray(m_jn).sum(axis=1).astype(int)
+    np.testing.assert_array_equal(nv, np.asarray(m_rs).sum(axis=1).astype(int))
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(f_rs)[i, : nv[i]], np.asarray(f_jn)[i, : nv[i]],
+            atol=1e-3, rtol=2e-3, err_msg=f"utt{i}",
+        )
+    # i16 slab bitwise, upsampling direction
+    f_i16, _ = chain.extract_batch(
+        jnp.asarray(np.asarray(slab.audio).astype(np.int16)),
+        jnp.asarray(slab.lengths), cfg, backend="pallas",
+        input_layout=slab.layout_kind,
+    )
+    np.testing.assert_array_equal(np.asarray(f_i16), np.asarray(f_rs))
+
+
 def test_resample_slab_i16_bitwise():
     """int16 rs slabs (raw PCM; input_scale rides the taps) are bit-
     identical to fp32 rs slabs of the same values."""
