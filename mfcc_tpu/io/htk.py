@@ -48,7 +48,12 @@ KIND_NAMES = {_BASE_MFCC: "MFCC", _BASE_FBANK: "FBANK", _BASE_USER: "USER",
 def parm_kind(cfg: FrontendConfig) -> int:
     """HTK parmKind code for this config's output layout."""
     kind = {"mfcc": _BASE_MFCC, "logmel": _BASE_FBANK,
-            "ssc": _BASE_USER, "plp": _BASE_PLP}[cfg.features]
+            "ssc": _BASE_USER, "plp": _BASE_PLP,
+            # per-FFT-bin log power spectrum has no native HTK kind
+            # (FBANK/MELSPEC are mel-bank layouts); USER like SSC. The
+            # energy is REPLACED into lane 0 (Kaldi semantics), not
+            # appended, so no _E qualifier.
+            "spectrogram": _BASE_USER}[cfg.features]
     if cfg.features in ("mfcc", "plp") and cfg.append_energy:
         kind |= _Q_E
     if cfg.deltas >= 1:

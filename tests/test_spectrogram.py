@@ -111,6 +111,25 @@ def test_streams():
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
 
 
+def test_htk_kaldi_export_roundtrip(tmp_path):
+    """kaldi_spectrogram features export to HTK (USER kind — no native
+    HTK layout for per-bin log pspec) and Kaldi ark, round-tripping
+    byte-exact. (parm_kind raised KeyError for the family before r5.)"""
+    from mfcc_tpu.io import htk, kaldi
+
+    assert htk.kind_string(htk.parm_kind(CFG)) == "USER"
+    feat = RNG.standard_normal((37, CFG.n_bins)).astype(np.float32)
+    p = tmp_path / "u.htk"
+    htk.write_htk(p, feat, CFG)
+    back, kind = htk.read_htk(p)
+    np.testing.assert_array_equal(back, feat)
+    w = kaldi.ArkWriter(tmp_path / "s")
+    w.add("u0", feat)
+    w.close()
+    got = kaldi.read_ark(tmp_path / "s.ark")
+    np.testing.assert_array_equal(got["u0"], feat)
+
+
 def test_deltas_and_cmvn_compose():
     cfg = CFG.replace(deltas=2, cmvn="utterance")
     assert cfg.feat_dim == 3 * 257
