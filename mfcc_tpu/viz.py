@@ -74,8 +74,8 @@ def plot_features(feat, cfg: FrontendConfig, ax=None):
     f = np.asarray(feat, dtype=np.float64)
     extent = [0, f.shape[0] * cfg.hop_s, 0, f.shape[1]]
     im = ax.imshow(f.T, origin="lower", aspect="auto", extent=extent, cmap="viridis")
-    kind = {"mfcc": "MFCC", "plp": "PLP", "ssc": "SSC"}.get(
-        cfg.features, "log-mel")
+    kind = {"mfcc": "MFCC", "plp": "PLP", "ssc": "SSC",
+            "spectrogram": "log-spectrogram"}.get(cfg.features, "log-mel")
     ax.set_xlabel("time [s]")
     ax.set_ylabel(f"{kind} index")
     ax.set_title(f"{kind} features [{f.shape[1]}]")
