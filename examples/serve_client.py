@@ -231,12 +231,12 @@ class BinaryServeClient(ServeClient):
             raise RuntimeError("server closed its stdout mid-payload")
         ev = json.loads(head_b.decode())
         if ev.get("event") == "frames":
-            if payload:
-                ev["_feat"] = np.frombuffer(payload, "<f4").reshape(
-                    ev["n"], ev["dim"]
-                )
-            else:  # --emit list over the binary wire
-                ev["_feat"] = np.asarray(ev["frames"], dtype=np.float32)
+            # the server rejects --emit list on the binary wire (its
+            # header-resident lists would overflow framed-header caps),
+            # so frames payloads are always raw <f4 here
+            ev["_feat"] = np.frombuffer(payload, "<f4").reshape(
+                ev["n"], ev["dim"]
+            )
         elif ev.get("event") == "frames_batch":
             ev["_batch"] = self._split_batch(ev["streams"], payload)
         return ev

@@ -821,6 +821,13 @@ def cmd_serve(args) -> int:
 
     fin, fout = sys.stdin, sys.stdout
     wire = getattr(args, "wire", "jsonl")
+    if wire == "binary" and args.emit == "list":
+        # list mode puts the whole frames list in the JSON header, which
+        # can exceed any sane framed-header cap after one long tail drain
+        # (r5 review) — and defeats the binary wire's purpose anyway
+        log.error("--emit list is a jsonl-wire debug mode; use b64/"
+                  "b64-batched with --wire binary")
+        return 2
     metrics = MetricsLogger(args.metrics, context={"config": args.config})
     t0 = time.perf_counter()
     audio_s = 0.0

@@ -490,6 +490,18 @@ def test_serve_binary_wire_parity(monkeypatch, capsysbinary):
     assert final["sessions_finished"] == 2
 
 
+def test_serve_binary_rejects_list_emit(monkeypatch, capsysbinary):
+    """--emit list on the binary wire is rejected at startup: its
+    header-resident frame lists would overflow the framed-header cap
+    after one long tail drain (r5 review)."""
+    import sys as _sys
+
+    monkeypatch.setattr(_sys, "stdin", _BinIn(b""))
+    rc = run_cli("serve", "--config", "classic13", "--streams", "2",
+                 "--wire", "binary", "--emit", "list")
+    assert rc == 2
+
+
 def test_serve_binary_wire_framing_error_flushes(monkeypatch, capsysbinary):
     """A desynced byte stream (oversized header length) flushes open
     streams like EOF and reports a wire error instead of hanging."""
