@@ -1,5 +1,12 @@
 """A/B measurements for the resample->frontend seam (VERDICT r2 item 1).
 
+HISTORICAL (r2/r3 decision record): the variants below compare the
+r2-era kernel formulations, and the "e2e" reference point feeds FLAT
+audio — the fallback path, NOT the production layout. The shipped r5
+path is the in-kernel fused resample (ResampleSlabLayout, ~1.3 ms/step
+at b64 x 10 s — RESAMPLE_r05.json, bench.py --config mfcc39_48k);
+numbers printed here are only comparable to each other.
+
 Variants at batch-64 x 10 s x 48 kHz->16 kHz (up=1, down=3, J=128, step=384):
   v0       current resample_pallas (grid (B, n_sup), SUB=128, host pad+reshape)
   v0_prep  just the host-side pad+slice+reshape retile
