@@ -117,7 +117,10 @@ def main() -> int:
                 "-> XLA blocked matmul 4.8 -> pallas kernel 1.78 (0.54 "
                 "host retile) -> blocked dots ~0.55; e2e 35k (r1) -> 244k "
                 "(r2) -> ~420k audio-s/s i16 (r3). The *_flat rows keep "
-                "the r2 flat-input path honest for comparison.",
+                "the r2 flat-input path honest for comparison. r5: "
+                "device_layout now routes to the IN-KERNEL fused resample "
+                "(ResampleSlabLayout, docs/KERNEL.md 7c), so the "
+                "mfcc39_48k/_i16 rows measure that path.",
     }))
     return 0
 
